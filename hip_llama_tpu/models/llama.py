@@ -1,0 +1,273 @@
+"""Pure-functional JAX Llama-2 forward: one jitted decode step + chunked
+prefill over a preallocated KV cache.
+
+TPU-first design notes (vs the reference's per-op HIP kernel launches,
+src/thaDNN.cpp:13-81):
+- The whole token step is ONE traced function: XLA fuses rmsnorm/rope/swiglu
+  into the surrounding matmuls; `lax.scan` over stacked layer params keeps
+  compile time flat in n_layers.
+- Fixed shapes everywhere: the batch is a fixed slot array and raggedness is
+  expressed with a per-slot `pos` vector + masking — the jit-stable
+  re-formulation of the reference's continuous batching (llama.cpp:968-1073).
+- KV cache layout (L, B, S, KVH, HS), updated with per-slot dynamic scatter
+  (the analog of the reference's fused KV-scatter GEMV, thaBLAS.cpp:191-228).
+- Attention is pluggable: "xla" (this file) or "pallas" (ops/attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.models.params import LlamaParams
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, S, KVH, HS)
+    v: jax.Array  # (L, B, S, KVH, HS)
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, dtype=jnp.float32, seq_len: int | None = None
+) -> KVCache:
+    s = seq_len or cfg.seq_len
+    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_size)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Always computed in fp32 (reference keeps norms fp32 even in the int8
+    engine, runq.c:383)."""
+    xf = x.astype(jnp.float32)
+    ss = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * lax.rsqrt(ss + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
+    """Rotate consecutive (even, odd) pairs per head — llama2.c convention
+    (src/seq.cpp:86-100), NOT the HF half-rotation.
+
+    x: (..., n_heads, head_size); pos: broadcastable to x's leading dims.
+    """
+    head_size = x.shape[-1]
+    half = head_size // 2
+    freq = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / head_size))
+    # pos: (B,) -> angles (B, 1, half) against x (B, H, half)
+    ang = pos.astype(jnp.float32)[..., None, None] * freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], half, 2)
+    x0, x1 = xf[..., 0], xf[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _scatter_kv(cache_l: jax.Array, new: jax.Array, pos: jax.Array) -> jax.Array:
+    """Write `new` (B, KVH, HS) into cache_l (B, S, KVH, HS) at per-slot pos."""
+
+    def one(c, n, p):
+        return lax.dynamic_update_slice(c, n[None].astype(c.dtype), (p, 0, 0))
+
+    return jax.vmap(one)(cache_l, new, pos)
+
+
+def attention_decode_xla(
+    q: jax.Array,  # (B, H, HS)
+    k_cache: jax.Array,  # (B, S, KVH, HS)
+    v_cache: jax.Array,  # (B, S, KVH, HS)
+    pos: jax.Array,  # (B,) int32 — current position (attend to 0..pos incl.)
+) -> jax.Array:
+    """Masked GQA decode attention, fp32 softmax. The XLA re-formulation of
+    the reference's 3-phase MHA kernels (src/thaDNN/thaDNN_mha.cpp)."""
+    b, h, hs = q.shape
+    s = k_cache.shape[1]
+    kvh = k_cache.shape[2]
+    kv_mul = h // kvh
+    qf = q.reshape(b, kvh, kv_mul, hs).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("bgmd,bsgd->bgms", qf, kf) / jnp.sqrt(jnp.float32(hs))
+    t = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, s), 3)
+    mask = t <= pos[:, None, None, None]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bgms,bsgd->bgmd", att, vf)
+    return out.reshape(b, h, hs).astype(q.dtype)
+
+
+AttnFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def _get_attn(attn_impl: str) -> AttnFn:
+    if attn_impl == "xla":
+        return attention_decode_xla
+    if attn_impl == "pallas":
+        from hip_llama_tpu.ops.attention import attention_decode_pallas
+
+        return attention_decode_pallas
+    raise ValueError(f"unknown attn_impl {attn_impl!r}")
+
+
+# ---------------------------------------------------------------------------
+# decode step
+
+
+def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "highest"):
+    """Returns step(params, cache, tokens (B,), pos (B,)) -> (logits fp32
+    (B, V), cache). Jit/pjit-ready; donate the cache at the jit boundary.
+
+    `precision` sets jax.default_matmul_precision for the step: "highest"
+    makes fp32 params exact on the MXU (needed for oracle parity); it is a
+    no-op for bf16/int8 params, so the fast paths keep full MXU throughput.
+    """
+    attn = _get_attn(attn_impl)
+    c = cfg
+
+    def step_inner(params: LlamaParams, cache: KVCache, tokens: jax.Array, pos: jax.Array):
+        x = params.tok_emb[tokens]  # (B, D) gather
+        b = x.shape[0]
+
+        layer_xs = (
+            params.rms_att,
+            params.wq,
+            params.wk,
+            params.wv,
+            params.wo,
+            params.rms_ffn,
+            params.w1,
+            params.w2,
+            params.w3,
+            cache.k,
+            cache.v,
+        )
+
+        def layer(x, xs):
+            rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3, kc, vc = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
+            k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
+            v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+            kc = _scatter_kv(kc, k, pos)
+            vc = _scatter_kv(vc, v, pos)
+            att_out = attn(q, kc, vc, pos).reshape(b, c.dim)
+            x = x + att_out @ wo
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(xb @ w1) * (xb @ w3)
+            x = x + h @ w2
+            return x, (kc, vc)
+
+        x, (new_k, new_v) = lax.scan(layer, x, layer_xs)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits = (x @ params.wcls).astype(jnp.float32)
+        return logits, KVCache(new_k, new_v)
+
+    def step(params, cache, tokens, pos):
+        with jax.default_matmul_precision(precision):
+            return step_inner(params, cache, tokens, pos)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# chunked prefill
+
+
+def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "highest"):
+    """Returns prefill(params, cache, tokens (B, T), start (B,)) ->
+    (logits fp32 (B, T, V), cache).
+
+    Processes T prompt tokens per slot in one pass (positions start..start+T-1)
+    — the TTFT lever the reference lacks (it streams prompts one token per
+    step, llama.cpp:1030-1033). Causal within the chunk, full attention over
+    the existing cache. Call with tokens padded to T; positions beyond a
+    slot's real length write into padding slots the engine overwrites later.
+    """
+    del attn_impl  # prefill attention is always the XLA einsum path for now
+    c = cfg
+
+    def prefill_inner(params: LlamaParams, cache: KVCache, tokens: jax.Array, start: jax.Array):
+        b, t = tokens.shape
+        s = cache.seq_len
+        x = params.tok_emb[tokens]  # (B, T, D)
+        pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
+
+        layer_xs = (
+            params.rms_att,
+            params.wq,
+            params.wk,
+            params.wv,
+            params.wo,
+            params.rms_ffn,
+            params.w1,
+            params.w2,
+            params.w3,
+            cache.k,
+            cache.v,
+        )
+
+        def layer(x, xs):
+            rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3, kc, vc = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = (xb @ wq).reshape(b, t, c.n_heads, c.head_size)
+            k = (xb @ wk).reshape(b, t, c.n_kv_heads, c.head_size)
+            v = (xb @ wv).reshape(b, t, c.n_kv_heads, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+
+            def scatter_seq(c_b, new_b, st):
+                return lax.dynamic_update_slice(
+                    c_b, new_b.astype(c_b.dtype), (st, 0, 0)
+                )
+
+            kc = jax.vmap(scatter_seq)(kc, k, start)
+            vc = jax.vmap(scatter_seq)(vc, v, start)
+
+            kv_mul = c.n_heads // c.n_kv_heads
+            qf = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size).astype(jnp.float32)
+            kf = kc.astype(jnp.float32)
+            vf = vc.astype(jnp.float32)
+            scores = jnp.einsum("btgmd,bsgd->btgms", qf, kf) / jnp.sqrt(
+                jnp.float32(c.head_size)
+            )
+            s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
+            mask = s_idx <= pos[:, :, None, None, None]
+            scores = jnp.where(mask, scores, -jnp.inf)
+            att = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("btgms,bsgd->btgmd", att, vf)
+            att_out = out.reshape(b, t, c.dim).astype(x.dtype)
+
+            x = x + att_out @ wo
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(xb @ w1) * (xb @ w3)
+            x = x + h @ w2
+            return x, (kc, vc)
+
+        x, (new_k, new_v) = lax.scan(layer, x, layer_xs)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits = (x @ params.wcls).astype(jnp.float32)
+        return logits, KVCache(new_k, new_v)
+
+    def prefill(params, cache, tokens, start):
+        with jax.default_matmul_precision(precision):
+            return prefill_inner(params, cache, tokens, start)
+
+    return prefill

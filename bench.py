@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: batched decode tokens/sec/chip on the north-star config
+(BASELINE.json: Llama-2-7B batched decode; p50 TTFT).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+`vs_baseline` = fraction of the analytical speed-of-light for this chip
+(decode is HBM-bound: every step must stream all weight bytes + the live KV
+window; SoL tok/s = B * HBM_BW / bytes_per_step). The reference publishes no
+numbers (BASELINE.md), so roofline fraction is the honest denominator — the
+explicit target is >=90% of roofline (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.models import init_kv_cache, make_decode_step
+from hip_llama_tpu.models.params import LlamaParams
+
+CONFIGS = {
+    "7b": ModelConfig(
+        dim=4096, hidden_dim=11008, n_layers=32, n_heads=32, n_kv_heads=32,
+        vocab_size=32000, seq_len=2048,
+    ),
+    "110m": ModelConfig(
+        dim=768, hidden_dim=2048, n_layers=12, n_heads=12, n_kv_heads=12,
+        vocab_size=32000, seq_len=1024,
+    ),
+}
+
+# v5e: 16 GB HBM @ ~819 GB/s, 197 TFLOPs bf16
+HBM_BW_BYTES = 819e9
+
+
+def rand_params_on_device(cfg: ModelConfig, dtype) -> LlamaParams:
+    """Generate weights directly on-device (no 27 GB fp32 host detour)."""
+    c = cfg
+    key = jax.random.PRNGKey(0)
+    shapes = dict(
+        tok_emb=(c.vocab_size, c.dim),
+        rms_att=(c.n_layers, c.dim),
+        wq=(c.n_layers, c.dim, c.dim),
+        wk=(c.n_layers, c.dim, c.kv_dim),
+        wv=(c.n_layers, c.dim, c.kv_dim),
+        wo=(c.n_layers, c.dim, c.dim),
+        rms_ffn=(c.n_layers, c.dim),
+        w1=(c.n_layers, c.dim, c.hidden_dim),
+        w2=(c.n_layers, c.hidden_dim, c.dim),
+        w3=(c.n_layers, c.dim, c.hidden_dim),
+        rms_final=(c.dim,),
+        wcls=(c.dim, c.vocab_size),
+    )
+    out = {}
+    for i, (name, shape) in enumerate(shapes.items()):
+        k = jax.random.fold_in(key, i)
+        if name.startswith("rms"):
+            out[name] = jnp.ones(shape, dtype)
+        else:
+            fan_in = shape[-2] if len(shape) > 1 else shape[-1]
+            out[name] = (jax.random.normal(k, shape, dtype) * (fan_in ** -0.5)).astype(dtype)
+    return LlamaParams(**out)
+
+
+def param_bytes(p: LlamaParams) -> int:
+    return sum(x.size * x.dtype.itemsize for x in p)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=list(CONFIGS))
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--window", type=int, default=512, help="KV window (seq_len)")
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
+    args = ap.parse_args()
+
+    cfg = CONFIGS[args.model]
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    b, window = args.batch, args.window
+
+    params = rand_params_on_device(cfg, dtype)
+    cache = init_kv_cache(cfg, b, dtype=dtype, seq_len=window)
+    step = jax.jit(
+        make_decode_step(cfg, attn_impl=args.attn, precision="default"),
+        donate_argnums=(1,),
+    )
+
+    tokens = jnp.zeros((b,), jnp.int32)
+    pos0 = window // 2  # typical mid-window decode position
+    # warmup / compile. NOTE: sync via host fetch of the logits — on the
+    # tunneled 'axon' platform block_until_ready does not actually wait.
+    for i in range(args.warmup):
+        logits, cache = step(params, cache, tokens, jnp.full((b,), pos0 + i, jnp.int32))
+    np.asarray(logits)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        logits, cache = step(
+            params, cache, tokens, jnp.full((b,), pos0 + args.warmup + i, jnp.int32)
+        )
+    # the final logits depend on every prior step through the donated cache,
+    # so fetching them serializes the whole timed chain exactly once
+    np.asarray(logits)
+    dt = time.perf_counter() - t0
+
+    tok_s = b * args.steps / dt
+
+    # speed-of-light: stream all weights + full KV window once per step
+    wbytes = param_bytes(params)
+    kv_bytes = 2 * cache.k.size * cache.k.dtype.itemsize  # k + v
+    sol_step_s = (wbytes + kv_bytes) / HBM_BW_BYTES
+    sol_tok_s = b / sol_step_s
+    result = {
+        "metric": f"decode_tok_per_s_per_chip_llama2_{args.model}_{args.dtype}_b{b}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol_tok_s, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

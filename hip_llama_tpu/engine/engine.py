@@ -1,0 +1,324 @@
+"""Inference engine: single-prompt generation and continuous batching.
+
+TPU re-design of the reference's schedulers (SURVEY.md N24):
+- the reference runs one OS thread per GPU, each with a `batch_size`-slot
+  continuous-batching loop (src/llama.cpp:891-1083). Here the whole batch is
+  ONE fixed-shape jitted step on a (possibly sharded) device mesh; the slot
+  state machine lives on the host exactly like the reference's
+  (fill / step / sample / retire on BOS-or-EOS-or-length, llama.cpp:968-1073).
+- new requests are chunk-prefilled (bucketed shapes, bounded recompiles)
+  instead of being force-fed one token per step — strictly fewer steps per
+  prompt than the reference while keeping behavioral parity for outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.engine.requests import Requests
+from hip_llama_tpu.models.llama import KVCache, init_kv_cache, make_decode_step, make_prefill
+from hip_llama_tpu.models.params import LlamaParams
+from hip_llama_tpu.sampler import Sampler, request_sampler
+from hip_llama_tpu.tokenizer import BOS_ID, EOS_ID, Tokenizer, printable_piece
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    text: str
+    token_ids: list[int]
+    n_gen_tokens: int
+    elapsed_s: float
+    ttft_s: float
+
+    @property
+    def tok_per_s(self) -> float:
+        return self.n_gen_tokens / self.elapsed_s if self.elapsed_s > 0 else 0.0
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: LlamaParams,
+        tokenizer: Tokenizer,
+        *,
+        batch_size: int = 8,
+        cache_dtype=None,
+        attn_impl: str = "xla",
+        precision: str = "highest",
+        max_seq_len: int | None = None,
+        use_prefill: bool = True,
+        prefill_buckets: tuple[int, ...] = (16, 64, 256),
+        shardings=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.cache_dtype = cache_dtype or params.tok_emb.dtype
+        self.max_seq_len = max_seq_len or cfg.seq_len
+        self.use_prefill = use_prefill
+        self.prefill_buckets = tuple(
+            b for b in prefill_buckets if b <= self.max_seq_len
+        ) or (min(16, self.max_seq_len),)
+        self.shardings = shardings
+
+        step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
+        prefill = make_prefill(cfg, attn_impl=attn_impl, precision=precision)
+        donate = dict(donate_argnums=(1,))
+        if shardings is not None:
+            self._step = jax.jit(
+                step,
+                in_shardings=(shardings.params, shardings.cache, None, None),
+                out_shardings=(None, shardings.cache),
+                **donate,
+            )
+            self._prefill = jax.jit(
+                prefill,
+                in_shardings=(shardings.params, shardings.cache, None, None, None),
+                out_shardings=(None, shardings.cache),
+                **donate,
+            )
+        else:
+            self._step = jax.jit(step, **donate)
+            self._prefill = jax.jit(prefill, **donate)
+
+    # -- helpers ------------------------------------------------------------
+
+    def new_cache(self, batch: int | None = None) -> KVCache:
+        cache = init_kv_cache(
+            self.cfg,
+            batch or self.batch_size,
+            dtype=self.cache_dtype,
+            seq_len=self.max_seq_len,
+        )
+        if self.shardings is not None:
+            cache = jax.device_put(cache, self.shardings.cache)
+        return cache
+
+    def _prefill_tokens(
+        self,
+        cache: KVCache,
+        batch: int,
+        slot_tokens: dict[int, list[int]],
+        slot_start: dict[int, int],
+    ) -> tuple[np.ndarray | None, KVCache]:
+        """Prefill each slot's token list starting at its offset. Returns the
+        logits (B, V) at each slot's final prefilled position (None if no
+        tokens were prefilled) and the updated cache."""
+        if not slot_tokens:
+            return None, cache
+        remaining = {s: list(t) for s, t in slot_tokens.items() if t}
+        offset = dict(slot_start)
+        last_logits = np.zeros((batch, self.cfg.vocab_size), np.float32)
+        while any(remaining.values()):
+            t = _bucket(max(len(v) for v in remaining.values()), self.prefill_buckets)
+            toks = np.zeros((batch, t), np.int32)
+            start = np.zeros((batch,), np.int32)
+            valid = np.zeros((batch,), np.int32)
+            for s, v in remaining.items():
+                chunk = v[:t]
+                toks[s, : len(chunk)] = chunk
+                start[s] = offset[s]
+                valid[s] = len(chunk)
+                offset[s] += len(chunk)
+                remaining[s] = v[t:]
+            logits, cache = self._prefill(
+                self.params, cache, jnp.asarray(toks), jnp.asarray(start), jnp.asarray(valid)
+            )
+            logits_h = np.asarray(logits)
+            for s in list(remaining):
+                if valid[s] > 0:
+                    last_logits[s] = logits_h[s, valid[s] - 1]
+        return last_logits, cache
+
+    # -- generate mode (llama.cpp:522-579) -----------------------------------
+
+    def generate(
+        self,
+        prompt: str | None,
+        steps: int | None = None,
+        sampler: Sampler | None = None,
+        echo: bool = False,
+    ) -> GenerationResult:
+        cfg = self.cfg
+        steps = steps or self.max_seq_len
+        steps = min(steps, self.max_seq_len)
+        sampler = sampler or Sampler(cfg.vocab_size, temperature=0.0)
+        prompt_tokens = self.tokenizer.encode(prompt or "", bos=True, eos=False)
+
+        cache = self.new_cache(batch=1)
+        t0 = time.perf_counter()
+        ttft = None
+        out_pieces: list[bytes] = []
+        token_ids: list[int] = []
+
+        pos = 0
+        token = prompt_tokens[0]
+        if self.use_prefill and len(prompt_tokens) > 1:
+            # prefill all but the last prompt token; the decode step below
+            # consumes the last one and produces the first sampled logits
+            _, cache = self._prefill_tokens(
+                cache, 1, {0: prompt_tokens[:-1]}, {0: 0}
+            )
+            pos = len(prompt_tokens) - 1
+            token = prompt_tokens[-1]
+            # reproduce the prompt echo the reference prints while force-feeding
+            # (llama.cpp:560-563)
+            for a, nxt in zip(prompt_tokens, prompt_tokens[1:]):
+                piece = printable_piece(self.tokenizer.decode_piece(a, nxt))
+                if echo and piece:
+                    print(piece.decode("utf-8", errors="replace"), end="", flush=True)
+                out_pieces.append(piece)
+
+        while pos < steps:
+            logits, cache = self._step(
+                self.params, cache, jnp.array([token]), jnp.array([pos], jnp.int32)
+            )
+            if pos < len(prompt_tokens) - 1:
+                nxt = prompt_tokens[pos + 1]
+            else:
+                nxt = sampler.sample(np.asarray(logits[0]))
+                if ttft is None:
+                    ttft = time.perf_counter() - t0
+            pos += 1
+            # data-dependent terminating condition: BOS (llama.cpp:556-558)
+            if nxt == BOS_ID:
+                break
+            piece = printable_piece(self.tokenizer.decode_piece(token, nxt))
+            if echo and piece:
+                print(piece.decode("utf-8", errors="replace"), end="", flush=True)
+            if pos > len(prompt_tokens) - 1:
+                token_ids.append(nxt)
+            out_pieces.append(piece)
+            token = nxt
+
+        elapsed = time.perf_counter() - t0
+        text = b"".join(out_pieces).decode("utf-8", errors="replace")
+        return GenerationResult(
+            text=text,
+            token_ids=token_ids,
+            n_gen_tokens=max(pos - 1, 0),
+            elapsed_s=elapsed,
+            ttft_s=ttft if ttft is not None else elapsed,
+        )
+
+    # -- test mode: continuous batching (llama.cpp:891-1083) -----------------
+
+    def serve(
+        self,
+        requests: Requests,
+        steps: int | None = None,
+        samplers: list[Sampler] | None = None,
+        verbose: bool = False,
+    ) -> int:
+        """Continuous-batching over a request list; fills
+        `requests.generations` in place and returns the generated-token count
+        (the reference's gen_cnt, llama.cpp:1062)."""
+        cfg = self.cfg
+        b = self.batch_size
+        steps = steps or self.max_seq_len
+        if samplers is None:
+            # per-request fixed-seed samplers (llama.cpp:897-900)
+            samplers = [request_sampler(cfg.vocab_size) for _ in requests.prompts]
+
+        cache = self.new_cache(batch=b)
+        next_idx = 0
+        gen_cnt = 0
+
+        req_id = [-1] * b  # batch_token_id
+        token = np.zeros(b, np.int32)
+        pos = np.zeros(b, np.int32)
+        prompt_toks: list[list[int]] = [[] for _ in range(b)]
+        gen_bytes: list[bytearray] = [bytearray() for _ in range(b)]
+
+        while True:
+            # assign new requests to empty slots (llama.cpp:973-1007)
+            newly_assigned: dict[int, list[int]] = {}
+            n_idle = 0
+            for s in range(b):
+                if req_id[s] == -1:
+                    if next_idx < requests.num_reqs:
+                        req_id[s] = next_idx
+                        next_idx += 1
+                        toks = self.tokenizer.encode(
+                            requests.prompts[req_id[s]], bos=True, eos=False
+                        )
+                        prompt_toks[s] = toks
+                        gen_bytes[s] = bytearray()
+                        token[s] = toks[0]
+                        pos[s] = 0
+                        if self.use_prefill and len(toks) > 1:
+                            newly_assigned[s] = toks[:-1]
+                            token[s] = toks[-1]
+                            pos[s] = len(toks) - 1
+                            # prompt echo parity: the reference appends decoded
+                            # pieces while force-feeding (llama.cpp:1040-1046)
+                            for a, nx in zip(toks, toks[1:]):
+                                gen_bytes[s] += printable_piece(
+                                    self.tokenizer.decode_piece(a, nx)
+                                )
+                        if verbose:
+                            print(f"slot {s} <- request {req_id[s]}")
+                    else:
+                        n_idle += 1
+            if n_idle == b:
+                break
+
+            if newly_assigned:
+                _, cache = self._prefill_tokens(
+                    cache, b, newly_assigned, {s: 0 for s in newly_assigned}
+                )
+
+            logits, cache = self._step(
+                self.params, cache, jnp.asarray(token), jnp.asarray(pos)
+            )
+            logits_h = np.asarray(logits)
+
+            # advance state machines (llama.cpp:1027-1049)
+            done = [False] * b
+            for s in range(b):
+                if req_id[s] == -1:
+                    continue
+                if pos[s] < len(prompt_toks[s]) - 1:
+                    nxt = prompt_toks[s][pos[s] + 1]
+                else:
+                    nxt = samplers[req_id[s]].sample(logits_h[s])
+                pos[s] += 1
+                if nxt == BOS_ID or nxt == EOS_ID:
+                    done[s] = True
+                else:
+                    piece = printable_piece(
+                        self.tokenizer.decode_piece(int(token[s]), nxt)
+                    )
+                    gen_bytes[s] += piece
+                    token[s] = nxt
+                    if pos[s] >= steps:
+                        done[s] = True
+
+            # retire (llama.cpp:1052-1070)
+            for s in range(b):
+                if done[s] and req_id[s] > -1:
+                    text = gen_bytes[s].decode("utf-8", errors="replace") + "\n"
+                    requests.generations[req_id[s]] = text
+                    gen_cnt += int(pos[s]) - 1
+                    if verbose:
+                        print(f"slot {s} DONE request {req_id[s]}")
+                    req_id[s] = -1
+                    pos[s] = 0
+                    token[s] = 0
+
+        return gen_cnt

@@ -192,23 +192,34 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
 
 
 def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "highest"):
-    """Returns prefill(params, cache, tokens (B, T), start (B,)) ->
-    (logits fp32 (B, T, V), cache).
+    """Returns prefill(params, cache, tokens (B, T), start (B,), valid_len
+    (B,)) -> (logits fp32 (B, T, V), cache).
 
-    Processes T prompt tokens per slot in one pass (positions start..start+T-1)
-    — the TTFT lever the reference lacks (it streams prompts one token per
-    step, llama.cpp:1030-1033). Causal within the chunk, full attention over
-    the existing cache. Call with tokens padded to T; positions beyond a
-    slot's real length write into padding slots the engine overwrites later.
+    Processes up to T prompt tokens per slot in one pass (positions
+    start..start+valid_len-1) — the TTFT lever the reference lacks (it
+    streams prompts one token per step, llama.cpp:1030-1033). Causal within
+    the chunk, full attention over the existing cache. KV writes beyond a
+    slot's `valid_len` are masked to the old cache contents, so slots with
+    valid_len=0 are bystanders: a mixed batch can prefill one slot while
+    others hold mid-decode state.
     """
     del attn_impl  # prefill attention is always the XLA einsum path for now
     c = cfg
 
-    def prefill_inner(params: LlamaParams, cache: KVCache, tokens: jax.Array, start: jax.Array):
+    def prefill_inner(
+        params: LlamaParams,
+        cache: KVCache,
+        tokens: jax.Array,
+        start: jax.Array,
+        valid_len: jax.Array,
+    ):
         b, t = tokens.shape
         s = cache.seq_len
         x = params.tok_emb[tokens]  # (B, T, D)
         pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
+        tvalid = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid_len[:, None]
+        )  # (B, T)
 
         layer_xs = (
             params.rms_att,
@@ -233,13 +244,17 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             q = rope(q, pos)
             k = rope(k, pos)
 
-            def scatter_seq(c_b, new_b, st):
-                return lax.dynamic_update_slice(
-                    c_b, new_b.astype(c_b.dtype), (st, 0, 0)
+            def scatter_seq(c_b, new_b, st, vmask):
+                # merge with the old window so positions past valid_len keep
+                # their previous contents (bystander slots stay untouched)
+                old = lax.dynamic_slice(c_b, (st, 0, 0), (t,) + c_b.shape[1:])
+                merged = jnp.where(
+                    vmask[:, None, None], new_b.astype(c_b.dtype), old
                 )
+                return lax.dynamic_update_slice(c_b, merged, (st, 0, 0))
 
-            kc = jax.vmap(scatter_seq)(kc, k, start)
-            vc = jax.vmap(scatter_seq)(vc, v, start)
+            kc = jax.vmap(scatter_seq)(kc, k, start, tvalid)
+            vc = jax.vmap(scatter_seq)(vc, v, start, tvalid)
 
             kv_mul = c.n_heads // c.n_kv_heads
             qf = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size).astype(jnp.float32)
@@ -266,8 +281,8 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
         logits = (x @ params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)
 
-    def prefill(params, cache, tokens, start):
+    def prefill(params, cache, tokens, start, valid_len):
         with jax.default_matmul_precision(precision):
-            return prefill_inner(params, cache, tokens, start)
+            return prefill_inner(params, cache, tokens, start, valid_len)
 
     return prefill

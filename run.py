@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""CLI with the reference's flag contract (src/llama.cpp:1490-1639):
+
+  python run.py <checkpoint> [options]
+  python run.py model.bin -n 256 -i "Once upon a time"
+  python run.py model.bin -m test -f <input_file> -o <output_file>
+
+Options (single-dash single-letter, like the reference):
+  -t <float>  temperature (default 1.0)
+  -p <float>  top-p (default 0.9)
+  -s <int>    RNG seed (default time)
+  -n <int>    steps (default 256; 0 = max_seq_len)
+  -i <str>    prompt
+  -z <str>    tokenizer path (default ./assets/tokenizer.bin)
+  -m <str>    mode: generate|chat|test (default generate)
+  -y <str>    system prompt (chat mode)
+  -f <str>    input file (test mode)
+  -o <str>    output file (test mode)
+  -b <int>    batch size (default 1; test mode continuous-batching slots)
+Extra (framework-specific, double-dash):
+  --dtype float32|bfloat16   param/compute dtype (default bfloat16)
+  --attn xla|pallas          decode attention impl
+  --no-prefill               force-feed prompts one token/step (parity mode)
+  --tp N                     tensor-parallel size over available devices
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from hip_llama_tpu.chat import chat as chat_mode
+from hip_llama_tpu.engine import InferenceEngine, read_inputfile, write_outputfile
+from hip_llama_tpu.io.checkpoint import load_checkpoint, LlamaWeights
+from hip_llama_tpu.models.params import params_from_weights, params_from_quant_dequant
+from hip_llama_tpu.sampler import Sampler
+from hip_llama_tpu.tokenizer import Tokenizer
+
+
+def error_usage():
+    print(__doc__, file=sys.stderr)
+    sys.exit(1)
+
+
+def main(argv: list[str]) -> int:
+    total_start = time.perf_counter()
+    if len(argv) < 2:
+        error_usage()
+    checkpoint_path = argv[1]
+    temperature, topp, steps, batch = 1.0, 0.9, 256, 1
+    rng_seed = 0
+    prompt = None
+    tokenizer_path = "./assets/tokenizer.bin"
+    mode = "generate"
+    system_prompt = None
+    input_filename = output_filename = None
+    dtype_name, attn_impl, use_prefill, tp = "bfloat16", "xla", True, 1
+
+    i = 2
+    while i < len(argv):
+        a = argv[i]
+        if a == "--no-prefill":
+            use_prefill = False
+            i += 1
+            continue
+        if i + 1 >= len(argv) or not a.startswith("-"):
+            error_usage()
+        v = argv[i + 1]
+        if a == "-t":
+            temperature = float(v)
+        elif a == "-p":
+            topp = float(v)
+        elif a == "-s":
+            rng_seed = int(v)
+        elif a == "-n":
+            steps = int(v)
+        elif a == "-i":
+            prompt = v
+        elif a == "-z":
+            tokenizer_path = v
+        elif a == "-m":
+            mode = v
+        elif a == "-y":
+            system_prompt = v
+        elif a == "-f":
+            input_filename = v
+        elif a == "-o":
+            output_filename = v
+        elif a == "-b":
+            batch = int(v)
+        elif a == "--dtype":
+            dtype_name = v
+        elif a == "--attn":
+            attn_impl = v
+        elif a == "--tp":
+            tp = int(v)
+        else:
+            error_usage()
+        i += 2
+
+    if rng_seed <= 0:
+        rng_seed = int(time.time())
+    temperature = max(temperature, 0.0)
+    if topp < 0.0 or topp > 1.0:
+        topp = 0.9
+    steps = max(steps, 0)
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+    cfg, weights = load_checkpoint(checkpoint_path)
+    if isinstance(weights, LlamaWeights):
+        params = params_from_weights(weights, dtype=dtype)
+    else:
+        params = params_from_quant_dequant(cfg, weights, dtype=dtype)
+    print(
+        f"---------Model Information----------\n"
+        f"dim: {cfg.dim}\nhidden_dim: {cfg.hidden_dim}\nn_layers: {cfg.n_layers}\n"
+        f"n_heads: {cfg.n_heads}\nn_kv_heads: {cfg.n_kv_heads}\n"
+        f"vocab_size: {cfg.vocab_size}\nseq_len: {cfg.seq_len}\n"
+        f"------------------------------------"
+    )
+    if steps == 0 or steps > cfg.seq_len:
+        steps = cfg.seq_len
+
+    tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
+
+    shardings = None
+    if tp > 1:
+        from hip_llama_tpu.parallel import make_mesh, make_shardings, shard_params
+
+        mesh = make_mesh(tp=tp)
+        shardings = make_shardings(cfg, mesh)
+        params = shard_params(params, shardings)
+
+    engine = InferenceEngine(
+        cfg,
+        params,
+        tokenizer,
+        batch_size=batch,
+        attn_impl=attn_impl,
+        use_prefill=use_prefill,
+        precision="highest" if dtype == jnp.float32 else "default",
+        shardings=shardings,
+    )
+
+    if mode == "generate":
+        sampler = Sampler(cfg.vocab_size, temperature, topp, rng_seed)
+        res = engine.generate(prompt, steps, sampler, echo=True)
+        print()
+        if res.n_gen_tokens > 0:
+            print(
+                f"achieved tok/s: {res.tok_per_s:.2f}, ttft: {res.ttft_s*1000:.1f} ms",
+                file=sys.stderr,
+            )
+    elif mode == "chat":
+        chat_mode(engine, prompt, system_prompt, steps, temperature, topp, rng_seed)
+    elif mode == "test":
+        if input_filename is None or output_filename is None:
+            error_usage()
+        requests = read_inputfile(input_filename)
+        start = time.perf_counter()
+        num_gen_tokens = engine.serve(requests, steps=cfg.seq_len, verbose=True)
+        end = time.perf_counter()
+        print(f"Total achieved token: {num_gen_tokens}")
+        print(
+            f"elapsed time(s): {end-start:.6f}, "
+            f"achieved throughput(tok/s): {num_gen_tokens/(end-start):.6f}"
+        )
+        write_outputfile(output_filename, requests)
+    else:
+        print(f"unknown mode: {mode}", file=sys.stderr)
+        error_usage()
+
+    print(f"total elapsed time(s): {time.perf_counter()-total_start:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

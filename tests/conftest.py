@@ -58,6 +58,10 @@ def toy_tokenizer():
     piece_scores = [-1.0, -2.0, -2.0, -2.0, -2.0, -3.0, -3.5, -2.5, -2.0, -1.5]
     vocab.extend(pieces)
     scores.extend(piece_scores)
+    # pad to the tiny model's vocab size (512) so any sampled id decodes
+    while len(vocab) < 512:
+        vocab.append(f"<extra_{len(vocab)}>".encode())
+        scores.append(-1e6)
     return Tokenizer(vocab, scores)
 
 

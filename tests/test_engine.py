@@ -1,0 +1,99 @@
+"""Engine tests: generate-mode parity with the oracle, continuous batching
+state machine, prefill-vs-forced-feed output equality, request file I/O."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hip_llama_tpu.engine import InferenceEngine, Requests, read_inputfile, write_outputfile
+from hip_llama_tpu.models import params_from_weights
+from hip_llama_tpu.models import reference as ref
+from hip_llama_tpu.sampler import Sampler
+from hip_llama_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def toy_setup(tiny_cfg, tiny_weights, toy_tokenizer):
+    # tiny vocab (512) > toy tokenizer vocab (269): fine, ids stay in range
+    params = params_from_weights(tiny_weights, dtype=jnp.float32)
+    return tiny_cfg, tiny_weights, params, toy_tokenizer
+
+
+def make_engine(setup, **kw):
+    cfg, w, params, tok = setup
+    kw.setdefault("batch_size", 4)
+    return InferenceEngine(cfg, params, tok, **kw)
+
+
+def test_generate_greedy_matches_oracle(toy_setup):
+    cfg, w, params, tok = toy_setup
+    engine = make_engine(toy_setup)
+    prompt = "hello hello"
+    res = engine.generate(prompt, steps=24, sampler=Sampler(cfg.vocab_size, temperature=0.0))
+    prompt_tokens = tok.encode(prompt, bos=True, eos=False)
+    want_ids = ref.generate_greedy(cfg, w, prompt_tokens, n_steps=24)
+    got_ids = prompt_tokens[1:] + res.token_ids  # engine emits prompt echo too
+    # compare only the sampled continuation
+    assert res.token_ids == want_ids[len(prompt_tokens) - 1 :]
+
+
+def test_generate_prefill_equals_forced_feed(toy_setup):
+    cfg, _, _, _ = toy_setup
+    e1 = make_engine(toy_setup, use_prefill=True)
+    e2 = make_engine(toy_setup, use_prefill=False)
+    s1 = Sampler(cfg.vocab_size, temperature=0.0)
+    s2 = Sampler(cfg.vocab_size, temperature=0.0)
+    r1 = e1.generate("hello hello hello", steps=20, sampler=s1)
+    r2 = e2.generate("hello hello hello", steps=20, sampler=s2)
+    assert r1.token_ids == r2.token_ids
+    assert r1.text == r2.text
+
+
+def test_serve_continuous_batching(toy_setup):
+    cfg, _, _, _ = toy_setup
+    engine = make_engine(toy_setup, batch_size=2)
+    reqs = Requests(
+        prompts=["hello", "hello hello", "he", "llo hello", "o"],
+        generations=[""] * 5,
+    )
+    gen_cnt = engine.serve(reqs, steps=16)
+    assert gen_cnt > 0
+    assert all(g.endswith("\n") for g in reqs.generations)
+
+
+def test_serve_prefill_equals_forced_feed(toy_setup):
+    cfg, _, _, _ = toy_setup
+    prompts = ["hello", "hello hello", "he llo", "llo"]
+    e1 = make_engine(toy_setup, batch_size=2, use_prefill=True)
+    e2 = make_engine(toy_setup, batch_size=2, use_prefill=False)
+    r1 = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+    r2 = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+    c1 = e1.serve(r1, steps=16)
+    c2 = e2.serve(r2, steps=16)
+    assert r1.generations == r2.generations
+    assert c1 == c2
+
+
+def test_serve_batch_size_invariance(toy_setup):
+    """Generations must not depend on slot count (per-request fixed-seed
+    samplers make this deterministic, like llama.cpp:897-900)."""
+    prompts = ["hello", "he", "llo hello", "hello hello hello", "o he"]
+    outs = []
+    for bs in (1, 3):
+        e = make_engine(toy_setup, batch_size=bs)
+        r = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        e.serve(r, steps=12)
+        outs.append(r.generations)
+    assert outs[0] == outs[1]
+
+
+def test_request_file_roundtrip(tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("3\nfirst prompt\nsecond prompt\nthird\n")
+    reqs = read_inputfile(str(p))
+    assert reqs.num_reqs == 3
+    assert reqs.prompts == ["first prompt", "second prompt", "third"]
+    reqs.generations = ["a\n", "b\n", "c\n"]
+    out = tmp_path / "out.txt"
+    write_outputfile(str(out), reqs)
+    assert out.read_text() == "3\na\n\nb\n\nc\n\n"

@@ -96,7 +96,11 @@ def test_prefill_matches_stepwise(setup):
     # one-shot prefill
     cache2 = init_kv_cache(cfg, batch=1)
     lg2, cache2 = prefill(
-        params, cache2, jnp.array([tokens]), jnp.array([0], dtype=jnp.int32)
+        params,
+        cache2,
+        jnp.array([tokens]),
+        jnp.array([0], dtype=jnp.int32),
+        jnp.array([len(tokens)], dtype=jnp.int32),
     )
     for p in range(len(tokens)):
         assert_close(
@@ -123,7 +127,11 @@ def test_prefill_then_decode(setup):
 
     cache = init_kv_cache(cfg, batch=1)
     _, cache = prefill(
-        params, cache, jnp.array([tokens[:n_prefill]]), jnp.array([0], dtype=jnp.int32)
+        params,
+        cache,
+        jnp.array([tokens[:n_prefill]]),
+        jnp.array([0], dtype=jnp.int32),
+        jnp.array([n_prefill], dtype=jnp.int32),
     )
     lg, cache = step(
         params, cache, jnp.array([tokens[n_prefill]]), jnp.array([n_prefill])

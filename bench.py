@@ -77,7 +77,7 @@ def param_bytes(p: LlamaParams) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=list(CONFIGS))
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--window", type=int, default=512, help="KV window (seq_len)")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=3)

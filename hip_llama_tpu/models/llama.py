@@ -9,7 +9,9 @@ src/thaDNN.cpp:13-81):
 - Fixed shapes everywhere: the batch is a fixed slot array and raggedness is
   expressed with a per-slot `pos` vector + masking — the jit-stable
   re-formulation of the reference's continuous batching (llama.cpp:968-1073).
-- KV cache layout (L, B, S, KVH, HS), updated with per-slot dynamic scatter
+- KV cache layout (B, L, S, KVH, HS) — batch-major so per-slot vmapped
+  scatters keep XLA's natural row-major layout (no carry layout-conversion
+  copies in the layer loop) — updated with per-slot dynamic scatter
   (the analog of the reference's fused KV-scatter GEMV, thaBLAS.cpp:191-228).
 - Attention is pluggable: "xla" (this file) or "pallas" (ops/attention.py).
 """
@@ -28,12 +30,12 @@ from hip_llama_tpu.models.params import LlamaParams
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, S, KVH, HS)
-    v: jax.Array  # (L, B, S, KVH, HS)
+    k: jax.Array  # (B, L, S, KVH, HS)
+    v: jax.Array  # (B, L, S, KVH, HS)
 
     @property
     def batch(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[0]
 
     @property
     def seq_len(self) -> int:
@@ -44,7 +46,7 @@ def init_kv_cache(
     cfg: ModelConfig, batch: int, dtype=jnp.float32, seq_len: int | None = None
 ) -> KVCache:
     s = seq_len or cfg.seq_len
-    shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_size)
+    shape = (batch, cfg.n_layers, s, cfg.n_kv_heads, cfg.head_size)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -79,13 +81,19 @@ def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
     return out.reshape(x.shape).astype(x.dtype)
 
 
-def _scatter_kv(cache_l: jax.Array, new: jax.Array, pos: jax.Array) -> jax.Array:
-    """Write `new` (B, KVH, HS) into cache_l (B, S, KVH, HS) at per-slot pos."""
+def _scatter_kv_row(
+    cache: jax.Array, new: jax.Array, layer: jax.Array, pos: jax.Array
+) -> jax.Array:
+    """Scatter `new` (B, KVH, HS) into the full cache (B, L, S, KVH, HS) at
+    (b, layer, pos[b]). Row-granular: XLA writes only B*KVH*HS elements
+    in-place in the scan carry — never a whole-layer (let alone whole-cache)
+    copy. The analog of the reference's fused KV-scatter GEMV output
+    addressing (thaBLAS.cpp:191-228)."""
 
-    def one(c, n, p):
-        return lax.dynamic_update_slice(c, n[None].astype(c.dtype), (p, 0, 0))
+    def one(c, n, p):  # c: (L, S, KVH, HS) — one batch slot
+        return lax.dynamic_update_slice(c, n[None, None].astype(c.dtype), (layer, p, 0, 0))
 
-    return jax.vmap(one)(cache_l, new, pos)
+    return jax.vmap(one)(cache, new, pos)
 
 
 def attention_decode_xla(
@@ -145,6 +153,7 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         b = x.shape[0]
 
         layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
             params.rms_att,
             params.wq,
             params.wk,
@@ -154,28 +163,29 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             params.w1,
             params.w2,
             params.w3,
-            cache.k,
-            cache.v,
         )
 
-        def layer(x, xs):
-            rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3, kc, vc = xs
+        def layer(carry, xs):
+            x, kcache, vcache = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
             q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
             v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
-            kc = _scatter_kv(kc, k, pos)
-            vc = _scatter_kv(vc, v, pos)
+            kcache = _scatter_kv_row(kcache, k, l, pos)
+            vcache = _scatter_kv_row(vcache, v, l, pos)
+            kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
+            vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
             att_out = attn(q, kc, vc, pos).reshape(b, c.dim)
             x = x + att_out @ wo
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(xb @ w1) * (xb @ w3)
             x = x + h @ w2
-            return x, (kc, vc)
+            return (x, kcache, vcache), None
 
-        x, (new_k, new_v) = lax.scan(layer, x, layer_xs)
+        (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = (x @ params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)
@@ -222,6 +232,7 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
         )  # (B, T)
 
         layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
             params.rms_att,
             params.wq,
             params.wk,
@@ -231,12 +242,11 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             params.w1,
             params.w2,
             params.w3,
-            cache.k,
-            cache.v,
         )
 
-        def layer(x, xs):
-            rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3, kc, vc = xs
+        def layer(carry, xs):
+            x, kcache, vcache = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
             q = (xb @ wq).reshape(b, t, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(b, t, c.n_kv_heads, c.head_size)
@@ -245,16 +255,21 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             k = rope(k, pos)
 
             def scatter_seq(c_b, new_b, st, vmask):
+                # window-granular write into (L, S, KVH, HS) at (l, st);
                 # merge with the old window so positions past valid_len keep
                 # their previous contents (bystander slots stay untouched)
-                old = lax.dynamic_slice(c_b, (st, 0, 0), (t,) + c_b.shape[1:])
+                old = lax.dynamic_slice(
+                    c_b, (l, st, 0, 0), (1, t) + c_b.shape[2:]
+                )[0]
                 merged = jnp.where(
                     vmask[:, None, None], new_b.astype(c_b.dtype), old
                 )
-                return lax.dynamic_update_slice(c_b, merged, (st, 0, 0))
+                return lax.dynamic_update_slice(c_b, merged[None], (l, st, 0, 0))
 
-            kc = jax.vmap(scatter_seq)(kc, k, start, tvalid)
-            vc = jax.vmap(scatter_seq)(vc, v, start, tvalid)
+            kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
+            vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
+            kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
+            vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
 
             kv_mul = c.n_heads // c.n_kv_heads
             qf = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size).astype(jnp.float32)
@@ -274,9 +289,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(xb @ w1) * (xb @ w3)
             x = x + h @ w2
-            return x, (kc, vc)
+            return (x, kcache, vcache), None
 
-        x, (new_k, new_v) = lax.scan(layer, x, layer_xs)
+        (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = (x @ params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)

@@ -1,0 +1,158 @@
+"""Q8_0 weight-only quantized matmul as a fused Pallas TPU kernel.
+
+Semantics follow the reference int8 engine (runq.c:317-342): weights are
+symmetric int8 with one fp32 scale per `group_size` consecutive elements
+along the contraction (input) dimension; the product is accumulated per
+group, scaled, and summed in fp32. Unlike runq (which also quantizes
+activations, runq.c:367), activations stay bf16/fp32 here — decode is
+HBM-bandwidth-bound, so the win is streaming 1 byte/weight instead of 2;
+keeping activations wide only improves quality (the ≤0.1 ppl Δ target in
+BASELINE.md is vs runq's w8a8).
+
+The kernel streams int8 weight tiles HBM→VMEM, dequantizes in VMEM
+(VPU multiply by the per-group scale) and feeds the MXU — the TPU analog of
+the reference's fused dequant+int8-matmul inner loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QTensor(NamedTuple):
+    """Quantized weight in matmul orientation: q (K, N) int8, s (K//gs, N) f32."""
+
+    q: jax.Array
+    s: jax.Array
+
+    @property
+    def group_size(self) -> int:
+        return self.q.shape[0] // self.s.shape[0]
+
+
+def q8_quantize_weights(w, group_size: int = 64) -> QTensor:
+    """Quantize a (K, N) [or (L, K, N)] weight along K in groups (Q8_0).
+
+    Matches quantize_q80 (train/export.py:46-70) applied per (group, column).
+    """
+    w = jnp.asarray(w, jnp.float32)
+    k = w.shape[-2]
+    assert k % group_size == 0, (w.shape, group_size)
+    g = w.reshape(*w.shape[:-2], k // group_size, group_size, w.shape[-1])
+    absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+    scale = absmax / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.round(g / scale).astype(jnp.int8).reshape(w.shape)
+    return QTensor(q=q, s=scale[..., 0, :].astype(jnp.float32))
+
+
+def q8_dequantize(qt: QTensor) -> jax.Array:
+    gs = qt.group_size
+    k, n = qt.q.shape[-2], qt.q.shape[-1]
+    g = qt.q.astype(jnp.float32).reshape(*qt.q.shape[:-2], k // gs, gs, n)
+    return (g * qt.s[..., :, None, :]).reshape(*qt.q.shape[:-2], k, n)
+
+
+def q8_matmul_xla(x: jax.Array, qt: QTensor) -> jax.Array:
+    """Reference implementation (materializes the dequantized tile): used as
+    the oracle for the Pallas kernel and as the CPU fallback."""
+    gs = qt.group_size
+    k, n = qt.q.shape
+    xg = x.astype(jnp.float32).reshape(*x.shape[:-1], k // gs, gs)
+    wg = qt.q.reshape(k // gs, gs, n)
+    # per-group partial dots, scaled then summed (runq.c:332-337)
+    partial = jnp.einsum(
+        "bgk,gkn->bgn", xg, wg.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return jnp.einsum("bgn,gn->bn", partial, qt.s).astype(x.dtype)
+
+
+def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = q_ref[:].astype(jnp.float32)  # (BK, BN)
+    bk, bn = w.shape
+    w = w.reshape(n_groups, gs, bn) * s_ref[:][:, None, :]
+    w = w.reshape(bk, bn).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == last_j)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret", "out_dtype"))
+def q8_matmul(
+    x: jax.Array,
+    qt: QTensor,
+    *,
+    block_n: int = 512,
+    block_k: int = 1024,
+    interpret: bool | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
+
+    Fused dequantization: int8 tiles are the only weight HBM traffic.
+    """
+    b, k = x.shape
+    kq, n = qt.q.shape
+    assert k == kq, (x.shape, qt.q.shape)
+    gs = qt.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # shrink requested blocks to divisors of the problem (weights like
+    # hidden_dim=11008 or vocab=32000 are not 512-aligned)
+    while block_k > gs and (k % block_k or block_k % gs):
+        block_k //= 2
+    if k % block_k or block_k % gs:
+        block_k = gs if k % gs == 0 else k
+    while block_n > 128 and n % block_n:
+        block_n //= 2
+    if n % block_n:
+        block_n = n
+    assert k % block_k == 0 and block_k % gs == 0, (k, block_k, gs)
+    assert n % block_n == 0, (n, block_n)
+    n_groups = block_k // gs
+    grid = (n // block_n, k // block_k)
+
+    return pl.pallas_call(
+        functools.partial(
+            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[1] - 1
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_groups, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n + (k // gs) * n * 4 + b * k * 2 + b * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qt.q, qt.s)

@@ -9,9 +9,11 @@ src/thaDNN.cpp:13-81):
 - Fixed shapes everywhere: the batch is a fixed slot array and raggedness is
   expressed with a per-slot `pos` vector + masking — the jit-stable
   re-formulation of the reference's continuous batching (llama.cpp:968-1073).
-- KV cache layout (B, L, S, KVH, HS) — batch-major so per-slot vmapped
-  scatters keep XLA's natural row-major layout (no carry layout-conversion
-  copies in the layer loop) — updated with per-slot dynamic scatter
+- KV cache layout (B, L, KVH, S, HS) — batch-major so per-slot updates are
+  windowed in-place writes (no carry layout-conversion copies in the layer
+  loop), and head-major so one (head, S-block) slice is a CONTIGUOUS
+  (block_k, head_size) matrix in HBM: the Pallas decode-attention kernel
+  streams K/V tiles at full HBM bandwidth instead of 256-byte strided DMAs
   (the analog of the reference's fused KV-scatter GEMV, thaBLAS.cpp:191-228).
 - Attention is pluggable: "xla" (this file) or "pallas" (ops/attention.py).
 """
@@ -30,8 +32,8 @@ from hip_llama_tpu.models.params import LlamaParams
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (B, L, S, KVH, HS)
-    v: jax.Array  # (B, L, S, KVH, HS)
+    k: jax.Array  # (B, L, KVH, S, HS)
+    v: jax.Array  # (B, L, KVH, S, HS)
 
     @property
     def batch(self) -> int:
@@ -39,14 +41,14 @@ class KVCache(NamedTuple):
 
     @property
     def seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
     cfg: ModelConfig, batch: int, dtype=jnp.float32, seq_len: int | None = None
 ) -> KVCache:
     s = seq_len or cfg.seq_len
-    shape = (batch, cfg.n_layers, s, cfg.n_kv_heads, cfg.head_size)
+    shape = (batch, cfg.n_layers, cfg.n_kv_heads, s, cfg.head_size)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -83,7 +85,7 @@ def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
 
 def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Array:
     """Write one new KV row per slot for ALL layers at once: rows (L, B, KVH,
-    HS) into cache (B, L, S, KVH, HS) at (b, :, pos[b]).
+    HS) into cache (B, L, KVH, S, HS) at (b, :, :, pos[b]).
 
     Done OUTSIDE the layer scan with one dynamic_update_slice per slot
     (static Python loop over the fixed batch) — a windowed in-place write,
@@ -94,15 +96,16 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Arr
     upd = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
     for i in range(b):
         cache = lax.dynamic_update_slice(
-            cache, upd[i][None, :, None], (i, 0, pos[i], 0, 0)
+            cache, upd[i][None, :, :, None], (i, 0, 0, pos[i], 0)
         )
     return cache
 
 
 def attention_decode_xla(
     q: jax.Array,  # (B, H, HS)
-    k_cache: jax.Array,  # (B, S, KVH, HS) — history, NOT including this token
-    v_cache: jax.Array,  # (B, S, KVH, HS)
+    k_full: jax.Array,  # (B, L, KVH, S, HS) — FULL cache (history only)
+    v_full: jax.Array,  # (B, L, KVH, S, HS)
+    layer: jax.Array,  # () int32
     pos: jax.Array,  # (B,) int32 — current position (history is 0..pos-1)
     k_cur: jax.Array,  # (B, KVH, HS) — this token's key
     v_cur: jax.Array,  # (B, KVH, HS)
@@ -118,14 +121,16 @@ def attention_decode_xla(
       scattered into the cache first, so the layer loop never mutates the
       cache (in-loop TPU scatters cost ~7.5 ms/step at 7B).
     """
+    k_cache = lax.dynamic_index_in_dim(k_full, layer, 1, keepdims=False)
+    v_cache = lax.dynamic_index_in_dim(v_full, layer, 1, keepdims=False)
     b, h, hs = q.shape
-    s = k_cache.shape[1]
-    kvh = k_cache.shape[2]
+    kvh = k_cache.shape[1]
+    s = k_cache.shape[2]
     kv_mul = h // kvh
     qs = q.reshape(b, kvh, kv_mul, hs)
     inv_scale = 1.0 / jnp.sqrt(jnp.float32(hs))
     scores = (
-        jnp.einsum("bgmd,bsgd->bgms", qs, k_cache, preferred_element_type=jnp.float32)
+        jnp.einsum("bgmd,bgsd->bgms", qs, k_cache, preferred_element_type=jnp.float32)
         * inv_scale
     )
     t = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, s), 3)
@@ -138,7 +143,7 @@ def attention_decode_xla(
     all_scores = jnp.concatenate([scores, cur[..., None]], axis=-1)
     att = jax.nn.softmax(all_scores, axis=-1)
     out = jnp.einsum(
-        "bgms,bsgd->bgmd",
+        "bgms,bgsd->bgmd",
         att[..., :s].astype(v_cache.dtype),
         v_cache,
         preferred_element_type=jnp.float32,
@@ -152,7 +157,7 @@ def attention_decode_xla(
     return out.reshape(b, h, hs).astype(q.dtype)
 
 
-AttnFn = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+AttnFn = Callable[..., jax.Array]  # (q, k_full, v_full, layer, pos, k_cur, v_cur)
 
 
 def _get_attn(attn_impl: str) -> AttnFn:
@@ -208,9 +213,7 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             k = rope(k, pos)
             # cache is read-only inside the loop; the current row rides along
             # as explicit attention operands and is written once after the scan
-            kc = lax.dynamic_index_in_dim(cache.k, l, 1, keepdims=False)
-            vc = lax.dynamic_index_in_dim(cache.v, l, 1, keepdims=False)
-            att_out = attn(q, kc, vc, pos, k, v).reshape(b, c.dim)
+            att_out = attn(q, cache.k, cache.v, l, pos, k, v).reshape(b, c.dim)
             x = x + att_out @ wo
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(xb @ w1) * (xb @ w3)
@@ -289,16 +292,15 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             k = rope(k, pos)
 
             def scatter_seq(c_b, new_b, st, vmask):
-                # window-granular write into (L, S, KVH, HS) at (l, st);
+                # window-granular write into (L, KVH, S, HS) at (l, :, st);
                 # merge with the old window so positions past valid_len keep
                 # their previous contents (bystander slots stay untouched)
                 old = lax.dynamic_slice(
-                    c_b, (l, st, 0, 0), (1, t) + c_b.shape[2:]
-                )[0]
-                merged = jnp.where(
-                    vmask[:, None, None], new_b.astype(c_b.dtype), old
-                )
-                return lax.dynamic_update_slice(c_b, merged[None], (l, st, 0, 0))
+                    c_b, (l, 0, st, 0), (1, c_b.shape[1], t, c_b.shape[3])
+                )[0]  # (KVH, T, HS)
+                new_kv = jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype)  # (KVH, T, HS)
+                merged = jnp.where(vmask[None, :, None], new_kv, old)
+                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
 
             kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
             vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
@@ -308,14 +310,14 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             kv_mul = c.n_heads // c.n_kv_heads
             qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
             scores = jnp.einsum(
-                "btgmd,bsgd->btgms", qs, kc, preferred_element_type=jnp.float32
+                "btgmd,bgsd->btgms", qs, kc, preferred_element_type=jnp.float32
             ) / jnp.sqrt(jnp.float32(c.head_size))
             s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
             mask = s_idx <= pos[:, :, None, None, None]
             scores = jnp.where(mask, scores, -jnp.inf)
             att = jax.nn.softmax(scores, axis=-1)
             out = jnp.einsum(
-                "btgms,bsgd->btgmd",
+                "btgms,bgsd->btgmd",
                 att.astype(vc.dtype),
                 vc,
                 preferred_element_type=jnp.float32,

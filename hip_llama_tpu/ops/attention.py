@@ -1,0 +1,206 @@
+"""Flash-style batched GQA decode attention as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the reference's 3-phase decode MHA
+(reference: src/thaDNN/thaDNN_mha.cpp — separate QK^T / softmax / score·V
+kernels over a ragged per-(batch,head,t) grid, include/thaDNN/thaDNN_mha.hpp:5-47).
+On TPU the three phases collapse into ONE kernel with an online softmax, so
+the (pos+1)-length score row never round-trips through HBM, and raggedness
+(per-slot `pos`) is handled with a static grid + masking + index-map clamping
+instead of a data-dependent grid.
+
+Design (see /opt/skills/guides/boom_attention_tricks.md):
+- grid (batch, kv_head, S/block_k); the KV-block axis is innermost and does
+  the online-softmax reduction into VMEM scratch (m/l/acc).
+- The FULL cache (B, L, KVH, S, HS) is an operand and the layer index is a
+  scalar-prefetch argument consumed by the BlockSpec index maps — the kernel
+  streams K/V tiles for layer `l` straight from the cache buffer in HBM.
+  Slicing the layer outside the kernel would make XLA materialize a copy of
+  the whole layer slice per step, doubling KV traffic.
+- Per-slot `pos` is also scalar-prefetched: the index map CLAMPS the block
+  index to the last live block, so trailing blocks re-visit the same tile
+  (Pallas elides the repeated DMA) and their compute is skipped with
+  `pl.when` — the TPU analog of the reference's ragged `Σ(pos[b]+1)` grid.
+- The current token's K/V arrive as separate operands (the cache is updated
+  once per step outside the layer scan, models/llama.py) and are folded in
+  as a final online-softmax update.
+- K/V tiles stay in the cache dtype on the MXU with fp32 accumulation;
+  softmax stats are fp32 (m/l/acc scratch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    layer_ref,  # (1,) int32 scalar-prefetch: layer index
+    pos_ref,  # (B,) int32 scalar-prefetch: per-slot position
+    q_ref,  # (1, 1, M, HS)
+    k_ref,  # (1, 1, 1, BK, HS) block of the full K cache
+    v_ref,
+    kc_ref,  # (1, 1, 1, HS) current token K
+    vc_ref,
+    o_ref,  # (1, 1, M, HS)
+    m_scr,  # (M, 128) f32
+    l_scr,  # (M, 128) f32
+    acc_scr,  # (M, HS) f32
+    *,
+    block_k: int,
+    n_blocks: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    pos = pos_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i * block_k < pos)
+    def _block():
+        q = q_ref[0, 0]  # (M, HS)
+        k = k_ref[0, 0, 0]  # (BK, HS)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # (M, BK)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(t_idx < pos, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :1]  # (M, 1), all lanes equal
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # (M, BK)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+        v = v_ref[0, 0, 0]  # (BK, HS)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _final():
+        # fold in the current token (always valid: history is 0..pos-1,
+        # this token sits at `pos`), then normalize and store.
+        q = q_ref[0, 0]  # (M, HS)
+        kc = kc_ref[0, 0].astype(jnp.float32)  # (1, HS)
+        vc = vc_ref[0, 0].astype(jnp.float32)
+        s_cur = (
+            jax.lax.dot_general(
+                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # (M, 1)
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_next = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p_cur = jnp.exp(s_cur - m_next)  # (M, 1)
+        l_next = alpha * l_prev + p_cur
+        acc = acc_scr[:] * alpha + jax.lax.dot(
+            p_cur, vc, preferred_element_type=jnp.float32
+        )
+        l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def _pick_block_k(s: int, target: int = 256) -> int:
+    for bk in (target, 128, 64, 32, 16, 8):
+        if bk <= s and s % bk == 0:
+            return bk
+    return s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_k", "interpret")
+)
+def attention_decode_pallas(
+    q: jax.Array,  # (B, H, HS)
+    k_cache: jax.Array,  # (B, L, KVH, S, HS) — FULL cache, history only
+    v_cache: jax.Array,  # (B, L, KVH, S, HS)
+    layer: jax.Array,  # () int32
+    pos: jax.Array,  # (B,) int32 — history is 0..pos-1
+    k_cur: jax.Array,  # (B, KVH, HS)
+    v_cur: jax.Array,  # (B, KVH, HS)
+    *,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    b, h, hs = q.shape
+    _, n_layers, kvh, s, _ = k_cache.shape
+    kv_mul = h // kvh
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bk = block_k or _pick_block_k(s)
+    n_blocks = s // bk
+    scale = 1.0 / (hs ** 0.5)
+
+    qs = q.reshape(b, kvh, kv_mul, hs)
+    kc4 = k_cur.reshape(b, kvh, 1, hs)
+    vc4 = v_cur.reshape(b, kvh, 1, hs)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q_map(bi, g, i, layer_ref, pos_ref):
+        return (bi, g, 0, 0)
+
+    def kv_map(bi, g, i, layer_ref, pos_ref):
+        # clamp to the last block containing live history; skipped blocks
+        # re-fetch the same tile, which the pipeline elides.
+        last_live = jnp.maximum(pos_ref[bi] - 1, 0) // bk
+        return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+
+    def cur_map(bi, g, i, layer_ref, pos_ref):
+        return (bi, g, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, hs), cur_map),
+            pl.BlockSpec((1, 1, 1, hs), cur_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((kv_mul, 128), jnp.float32),
+            pltpu.VMEM((kv_mul, 128), jnp.float32),
+            pltpu.VMEM((kv_mul, hs), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel, block_k=bk, n_blocks=n_blocks, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, kv_mul, hs), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * hs,
+            bytes_accessed=2 * b * kvh * s * hs * k_cache.dtype.itemsize
+            + 2 * b * h * hs * q.dtype.itemsize,
+            transcendentals=b * h * s,
+        ),
+        interpret=interpret,
+    )(layer_arr, pos, qs, k_cache, v_cache, kc4, vc4)
+    return out.reshape(b, h, hs)

@@ -72,10 +72,10 @@ def make_shardings(cfg: ModelConfig, mesh: Mesh, shard_batch: bool = True) -> Sh
         rms_final=ns(None),
         wcls=ns(None, "tp"),
     )
-    # (B, L, S, KVH, HS): batch on dp, kv heads on tp
+    # (B, L, KVH, S, HS): batch on dp, kv heads on tp
     cache = KVCache(
-        k=ns(dp_axis, None, None, "tp", None),
-        v=ns(dp_axis, None, None, "tp", None),
+        k=ns(dp_axis, None, "tp", None, None),
+        v=ns(dp_axis, None, "tp", None, None),
     )
     return Shardings(
         mesh=mesh,

@@ -1,0 +1,106 @@
+"""Pallas decode-attention kernel vs the XLA oracle — the op-level
+GPU-vs-CPU validation tier of the reference (SURVEY.md §4.1,
+scripts/test/thaDNN.test.cpp:62-77), re-targeted: Pallas (interpret mode on
+CPU) vs the jnp einsum path, random inputs, size sweep incl. GQA and ragged
+per-slot positions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import assert_close
+from hip_llama_tpu.models.llama import attention_decode_xla
+from hip_llama_tpu.ops.attention import attention_decode_pallas
+
+
+def _rand_case(rng, b, l, h, kvh, s, hs, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((b, h, hs)), dtype)
+    kf = jnp.asarray(rng.standard_normal((b, l, kvh, s, hs)), dtype)
+    vf = jnp.asarray(rng.standard_normal((b, l, kvh, s, hs)), dtype)
+    kc = jnp.asarray(rng.standard_normal((b, kvh, hs)), dtype)
+    vc = jnp.asarray(rng.standard_normal((b, kvh, hs)), dtype)
+    return q, kf, vf, kc, vc
+
+
+@pytest.mark.parametrize(
+    "b,h,kvh,s,hs",
+    [
+        (1, 4, 4, 32, 16),  # MHA
+        (2, 8, 4, 64, 16),  # GQA 2x
+        (4, 8, 1, 64, 32),  # MQA
+        (2, 12, 12, 128, 64),  # stories110M head shape
+    ],
+)
+def test_pallas_matches_xla(b, h, kvh, s, hs):
+    rng = np.random.default_rng(42)
+    n_layers = 3
+    q, kf, vf, kc, vc = _rand_case(rng, b, n_layers, h, kvh, s, hs)
+    pos = jnp.asarray(rng.integers(0, s, (b,)), jnp.int32)
+    for layer in range(n_layers):
+        want = attention_decode_xla(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        got = attention_decode_pallas(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"layer {layer}")
+
+
+def test_pallas_pos_zero_and_full():
+    """Degenerate positions: empty history (pos=0) and full window (pos=S)."""
+    rng = np.random.default_rng(0)
+    b, h, kvh, s, hs = 3, 4, 2, 32, 16
+    q, kf, vf, kc, vc = _rand_case(rng, b, 1, h, kvh, s, hs)
+    for p in (0, 1, s - 1, s):
+        pos = jnp.full((b,), p, jnp.int32)
+        want = attention_decode_xla(q, kf, vf, jnp.int32(0), pos, kc, vc)
+        got = attention_decode_pallas(q, kf, vf, jnp.int32(0), pos, kc, vc)
+        assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"pos={p}")
+
+
+def test_pallas_ragged_pos_isolated_slots():
+    """Each slot attends only to its own history length — raggedness parity
+    with the reference's per-slot pos[] (thaBLAS.cpp:197)."""
+    rng = np.random.default_rng(7)
+    b, h, kvh, s, hs = 4, 4, 4, 64, 16
+    q, kf, vf, kc, vc = _rand_case(rng, b, 1, h, kvh, s, hs)
+    pos = jnp.asarray([0, 5, 33, 64], jnp.int32)
+    want = attention_decode_xla(q, kf, vf, jnp.int32(0), pos, kc, vc)
+    got = attention_decode_pallas(q, kf, vf, jnp.int32(0), pos, kc, vc)
+    assert_close(got, want, atol=1e-5, rtol=1e-4)
+    # poisoning cache beyond pos must not change the result
+    kf2 = kf.at[:, :, :, 40:, :].set(1e6)
+    pos2 = jnp.asarray([0, 5, 33, 40], jnp.int32)
+    want2 = attention_decode_pallas(q, kf, vf, jnp.int32(0), pos2, kc, vc)
+    got2 = attention_decode_pallas(q, kf2, vf, jnp.int32(0), pos2, kc, vc)
+    assert_close(got2, want2, atol=1e-6, rtol=1e-6)
+
+
+def test_pallas_bf16_cache():
+    rng = np.random.default_rng(3)
+    b, h, kvh, s, hs = 2, 8, 2, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, 2, h, kvh, s, hs, dtype=jnp.bfloat16)
+    pos = jnp.asarray([17, 100], jnp.int32)
+    want = attention_decode_xla(q, kf, vf, jnp.int32(1), pos, kc, vc)
+    got = attention_decode_pallas(q, kf, vf, jnp.int32(1), pos, kc, vc)
+    assert_close(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_decode_step_pallas_matches_xla(tiny_cfg, tiny_weights):
+    """Whole decode step with attn_impl='pallas' vs 'xla' (whole-forward
+    equivalence tier, SURVEY.md §4.2)."""
+    from hip_llama_tpu.models import init_kv_cache, make_decode_step, params_from_weights
+
+    cfg = tiny_cfg
+    params = params_from_weights(tiny_weights)
+    b = 2
+    rng = np.random.default_rng(11)
+    step_x = jax.jit(make_decode_step(cfg, attn_impl="xla"))
+    step_p = jax.jit(make_decode_step(cfg, attn_impl="pallas"))
+    cache_x = init_kv_cache(cfg, b)
+    cache_p = init_kv_cache(cfg, b)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+    for p in range(4):
+        pos = jnp.full((b,), p, jnp.int32)
+        lx, cache_x = step_x(params, cache_x, tokens, pos)
+        lp, cache_p = step_p(params, cache_p, tokens, pos)
+        assert_close(lp, lx, atol=1e-4, rtol=1e-3, msg=f"step {p}")

@@ -70,8 +70,45 @@ def rand_params_on_device(cfg: ModelConfig, dtype) -> LlamaParams:
     return LlamaParams(**out)
 
 
-def param_bytes(p: LlamaParams) -> int:
-    return sum(x.size * x.dtype.itemsize for x in p)
+def rand_qparams_on_device(cfg: ModelConfig, group_size: int = 64):
+    """Random Q8_0 params generated directly on-device (int8 payload +
+    fp32 group scales) — the north-star 7B INT8 config."""
+    from hip_llama_tpu.models.params import QuantLlamaParams
+    from hip_llama_tpu.ops.quant import QTensor
+
+    c = cfg
+    key = jax.random.PRNGKey(0)
+
+    def qt(i, k, n, layers=True):
+        shape = (c.n_layers, k, n) if layers else (k, n)
+        sshape = (c.n_layers, k // group_size, n) if layers else (k // group_size, n)
+        q = jax.random.randint(jax.random.fold_in(key, i), shape, -127, 128, jnp.int8)
+        s = jnp.full(sshape, (k**-0.5) / 127.0, jnp.float32)
+        return QTensor(q=q, s=s)
+
+    emb_q = jax.random.randint(
+        jax.random.fold_in(key, 99), (c.vocab_size, c.dim), -127, 128, jnp.int8
+    )
+    emb_s = jnp.full((c.vocab_size, c.dim // group_size), 1.0 / 127.0, jnp.float32)
+    return QuantLlamaParams(
+        tok_emb_q=emb_q,
+        tok_emb_s=emb_s,
+        rms_att=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        wq=qt(0, c.dim, c.dim),
+        wk=qt(1, c.dim, c.kv_dim),
+        wv=qt(2, c.dim, c.kv_dim),
+        wo=qt(3, c.dim, c.dim),
+        rms_ffn=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        w1=qt(4, c.dim, c.hidden_dim),
+        w2=qt(5, c.hidden_dim, c.dim),
+        w3=qt(6, c.dim, c.hidden_dim),
+        rms_final=jnp.ones((c.dim,), jnp.float32),
+        wcls=qt(7, c.dim, c.vocab_size, layers=False),
+    )
+
+
+def param_bytes(p) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
 
 
 def main():
@@ -83,13 +120,18 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--quant", default=None, choices=[None, "q8"])
     args = ap.parse_args()
 
     cfg = CONFIGS[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     b, window = args.batch, args.window
 
-    params = rand_params_on_device(cfg, dtype)
+    if args.quant == "q8":
+        params = rand_qparams_on_device(cfg)
+        dtype = jnp.bfloat16  # activations / cache
+    else:
+        params = rand_params_on_device(cfg, dtype)
     cache = init_kv_cache(cfg, b, dtype=dtype, seq_len=window)
     step = jax.jit(
         make_decode_step(cfg, attn_impl=args.attn, precision="default"),
@@ -121,8 +163,9 @@ def main():
     kv_bytes = 2 * cache.k.size * cache.k.dtype.itemsize  # k + v
     sol_step_s = (wbytes + kv_bytes) / HBM_BW_BYTES
     sol_tok_s = b / sol_step_s
+    kind = "int8" if args.quant == "q8" else args.dtype
     result = {
-        "metric": f"decode_tok_per_s_per_chip_llama2_{args.model}_{args.dtype}_b{b}",
+        "metric": f"decode_tok_per_s_per_chip_llama2_{args.model}_{kind}_b{b}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),

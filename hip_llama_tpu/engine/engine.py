@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.engine.block_manager import BlockManager
 from hip_llama_tpu.engine.requests import Requests
 from hip_llama_tpu.models.llama import KVCache, init_kv_cache, make_decode_step, make_prefill
 from hip_llama_tpu.models.params import LlamaParams
@@ -63,18 +64,45 @@ class InferenceEngine:
         use_prefill: bool = True,
         prefill_buckets: tuple[int, ...] = (16, 64, 256),
         shardings=None,
+        paged: bool = False,
+        page_size: int = 128,
+        num_pages: int | None = None,
     ):
+        from hip_llama_tpu.models.llama import _act_dtype
+
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.batch_size = batch_size
-        self.cache_dtype = cache_dtype or params.tok_emb.dtype
+        self.cache_dtype = cache_dtype or _act_dtype(params)
         self.max_seq_len = max_seq_len or cfg.seq_len
         self.use_prefill = use_prefill
         self.prefill_buckets = tuple(
             b for b in prefill_buckets if b <= self.max_seq_len
         ) or (min(16, self.max_seq_len),)
         self.shardings = shardings
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            from hip_llama_tpu.models.paged import (
+                make_paged_decode_step,
+                make_paged_prefill,
+            )
+
+            # paged prefill requires page-aligned chunk starts: chunk in
+            # exactly-page_size buckets (models/paged.py docstring)
+            self.prefill_buckets = (page_size,)
+            self.num_pages = num_pages or (
+                batch_size * -(-self.max_seq_len // page_size)
+            )
+            self.max_pages = -(-self.max_seq_len // page_size)
+            self.block_manager = BlockManager(
+                num_pages=self.num_pages, page_size=page_size, num_slots=batch_size
+            )
+            pstep = make_paged_decode_step(cfg, precision=precision)
+            pprefill = make_paged_prefill(cfg, precision=precision)
+            self._paged_step = jax.jit(pstep, donate_argnums=(1,))
+            self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,))
 
         step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
         prefill = make_prefill(cfg, attn_impl=attn_impl, precision=precision)
@@ -98,10 +126,18 @@ class InferenceEngine:
 
     # -- helpers ------------------------------------------------------------
 
-    def new_cache(self, batch: int | None = None) -> KVCache:
+    def new_cache(self, batch: int | None = None):
+        b = batch or self.batch_size
+        if self.paged:
+            from hip_llama_tpu.models.paged import init_paged_kv_cache
+
+            n_pages = max(self.num_pages, b)  # at least one page per slot
+            return init_paged_kv_cache(
+                self.cfg, n_pages, self.page_size, dtype=self.cache_dtype
+            )
         cache = init_kv_cache(
             self.cfg,
-            batch or self.batch_size,
+            b,
             dtype=self.cache_dtype,
             seq_len=self.max_seq_len,
         )
@@ -109,12 +145,38 @@ class InferenceEngine:
             cache = jax.device_put(cache, self.shardings.cache)
         return cache
 
+    def new_block_manager(self, batch: int | None = None) -> "BlockManager | None":
+        if not self.paged:
+            return None
+        b = batch or self.batch_size
+        return BlockManager(
+            num_pages=max(self.num_pages, b), page_size=self.page_size, num_slots=b
+        )
+
+    def _table(self, bm: "BlockManager", b: int):
+        return jnp.asarray(
+            [bm.table_array(s, self.max_pages) for s in range(b)], jnp.int32
+        )
+
+    def _do_step(self, cache, tokens, pos, bm=None, b: int | None = None):
+        if self.paged:
+            table = self._table(bm, b)
+            return self._paged_step(self.params, cache, table, tokens, pos)
+        return self._step(self.params, cache, tokens, pos)
+
+    def _do_prefill(self, cache, toks, start, valid, bm=None, b: int | None = None):
+        if self.paged:
+            table = self._table(bm, b)
+            return self._paged_prefill(self.params, cache, table, toks, start, valid)
+        return self._prefill(self.params, cache, toks, start, valid)
+
     def _prefill_tokens(
         self,
         cache: KVCache,
         batch: int,
         slot_tokens: dict[int, list[int]],
         slot_start: dict[int, int],
+        bm=None,
     ) -> tuple[np.ndarray | None, KVCache]:
         """Prefill each slot's token list starting at its offset. Returns the
         logits (B, V) at each slot's final prefilled position (None if no
@@ -136,8 +198,11 @@ class InferenceEngine:
                 valid[s] = len(chunk)
                 offset[s] += len(chunk)
                 remaining[s] = v[t:]
-            logits, cache = self._prefill(
-                self.params, cache, jnp.asarray(toks), jnp.asarray(start), jnp.asarray(valid)
+                if bm is not None and valid[s]:
+                    bm.ensure_capacity(s, int(start[s]) + int(valid[s]))
+            logits, cache = self._do_prefill(
+                cache, jnp.asarray(toks), jnp.asarray(start), jnp.asarray(valid),
+                bm=bm, b=batch,
             )
             logits_h = np.asarray(logits)
             for s in list(remaining):
@@ -161,6 +226,7 @@ class InferenceEngine:
         prompt_tokens = self.tokenizer.encode(prompt or "", bos=True, eos=False)
 
         cache = self.new_cache(batch=1)
+        bm = self.new_block_manager(batch=1)
         t0 = time.perf_counter()
         ttft = None
         out_pieces: list[bytes] = []
@@ -172,7 +238,7 @@ class InferenceEngine:
             # prefill all but the last prompt token; the decode step below
             # consumes the last one and produces the first sampled logits
             _, cache = self._prefill_tokens(
-                cache, 1, {0: prompt_tokens[:-1]}, {0: 0}
+                cache, 1, {0: prompt_tokens[:-1]}, {0: 0}, bm=bm
             )
             pos = len(prompt_tokens) - 1
             token = prompt_tokens[-1]
@@ -185,8 +251,10 @@ class InferenceEngine:
                 out_pieces.append(piece)
 
         while pos < steps:
-            logits, cache = self._step(
-                self.params, cache, jnp.array([token]), jnp.array([pos], jnp.int32)
+            if bm is not None:
+                bm.append_token(0, pos)
+            logits, cache = self._do_step(
+                cache, jnp.array([token]), jnp.array([pos], jnp.int32), bm=bm, b=1
             )
             if pos < len(prompt_tokens) - 1:
                 nxt = prompt_tokens[pos + 1]
@@ -236,6 +304,7 @@ class InferenceEngine:
             samplers = [request_sampler(cfg.vocab_size) for _ in requests.prompts]
 
         cache = self.new_cache(batch=b)
+        bm = self.new_block_manager(batch=b)
         next_idx = 0
         gen_cnt = 0
 
@@ -280,11 +349,15 @@ class InferenceEngine:
 
             if newly_assigned:
                 _, cache = self._prefill_tokens(
-                    cache, b, newly_assigned, {s: 0 for s in newly_assigned}
+                    cache, b, newly_assigned, {s: 0 for s in newly_assigned}, bm=bm
                 )
 
-            logits, cache = self._step(
-                self.params, cache, jnp.asarray(token), jnp.asarray(pos)
+            if bm is not None:
+                for s in range(b):
+                    if req_id[s] != -1:
+                        bm.append_token(s, int(pos[s]))
+            logits, cache = self._do_step(
+                cache, jnp.asarray(token), jnp.asarray(pos), bm=bm, b=b
             )
             logits_h = np.asarray(logits)
 
@@ -320,5 +393,7 @@ class InferenceEngine:
                     req_id[s] = -1
                     pos[s] = 0
                     token[s] = 0
+                    if bm is not None:
+                        bm.free_slot(s)
 
         return gen_cnt

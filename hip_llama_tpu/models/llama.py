@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.models.params import LlamaParams
+from hip_llama_tpu.models.params import LlamaParams, QuantLlamaParams
+from hip_llama_tpu.ops.quant import QTensor, q8_matmul
 
 
 class KVCache(NamedTuple):
@@ -63,6 +64,38 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     ss = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * lax.rsqrt(ss + eps)
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul dispatch: dense `x @ W` or fused int8 dequant+matmul when the
+    weight is a Q8_0 QTensor (the TPU analog of runq.c:317-342 — int8 is the
+    only weight HBM traffic)."""
+    if isinstance(w, QTensor):
+        lead = x.shape[:-1]
+        y = q8_matmul(x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype)
+        return y.reshape(*lead, y.shape[-1])
+    return x @ w
+
+
+def _embed(params, tokens: jax.Array, act_dtype) -> jax.Array:
+    """Token embedding gather; for Q8_0 params, gather int8 rows + their
+    group scales and dequantize only the gathered rows (runq.c:360-364)."""
+    if isinstance(params, QuantLlamaParams):
+        q = params.tok_emb_q[tokens]  # (..., D) int8
+        s = params.tok_emb_s[tokens]  # (..., D//gs)
+        gs = params.group_size
+        d = q.shape[-1]
+        g = q.astype(jnp.float32).reshape(*q.shape[:-1], d // gs, gs)
+        return (g * s[..., None]).reshape(q.shape).astype(act_dtype)
+    return params.tok_emb[tokens]
+
+
+def _act_dtype(params):
+    """bf16 activations for the int8 path (MXU-native; norms still fp32
+    internally), else the dense param dtype."""
+    if isinstance(params, QuantLlamaParams):
+        return jnp.bfloat16
+    return params.tok_emb.dtype
 
 
 def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
@@ -185,8 +218,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
     attn = _get_attn(attn_impl)
     c = cfg
 
-    def step_inner(params: LlamaParams, cache: KVCache, tokens: jax.Array, pos: jax.Array):
-        x = params.tok_emb[tokens]  # (B, D) gather
+    def step_inner(params, cache: KVCache, tokens: jax.Array, pos: jax.Array):
+        x = _embed(params, tokens, _act_dtype(params))  # (B, D) gather
         b = x.shape[0]
 
         layer_xs = (
@@ -206,25 +239,25 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             x = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
-            k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
-            v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
+            q = _mm(xb, wq).reshape(b, c.n_heads, c.head_size)
+            k = _mm(xb, wk).reshape(b, c.n_kv_heads, c.head_size)
+            v = _mm(xb, wv).reshape(b, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
             # cache is read-only inside the loop; the current row rides along
             # as explicit attention operands and is written once after the scan
             att_out = attn(q, cache.k, cache.v, l, pos, k, v).reshape(b, c.dim)
-            x = x + att_out @ wo
+            x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(xb @ w1) * (xb @ w3)
-            x = x + h @ w2
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + _mm(h, w2)
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
         new_k = _write_kv_rows(cache.k, k_rows, pos)
         new_v = _write_kv_rows(cache.v, v_rows, pos)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = (x @ params.wcls).astype(jnp.float32)
+        logits = _mm(x, params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)
 
     def step(params, cache, tokens, pos):
@@ -249,12 +282,15 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
     slot's `valid_len` are masked to the old cache contents, so slots with
     valid_len=0 are bystanders: a mixed batch can prefill one slot while
     others hold mid-decode state.
+
+    attn_impl="pallas" uses the flash prefill kernel (ops/attention.py):
+    the (T, S) score matrix is never materialized — at 7B serving shapes
+    the einsum path's score tensor is ~0.5 GB per layer.
     """
-    del attn_impl  # prefill attention is always the XLA einsum path for now
     c = cfg
 
     def prefill_inner(
-        params: LlamaParams,
+        params,
         cache: KVCache,
         tokens: jax.Array,
         start: jax.Array,
@@ -262,7 +298,7 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
     ):
         b, t = tokens.shape
         s = cache.seq_len
-        x = params.tok_emb[tokens]  # (B, T, D)
+        x = _embed(params, tokens, _act_dtype(params))  # (B, T, D)
         pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
         tvalid = (
             jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid_len[:, None]
@@ -285,9 +321,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             x, kcache, vcache = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = (xb @ wq).reshape(b, t, c.n_heads, c.head_size)
-            k = (xb @ wk).reshape(b, t, c.n_kv_heads, c.head_size)
-            v = (xb @ wv).reshape(b, t, c.n_kv_heads, c.head_size)
+            q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
+            k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
+            v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
 
@@ -304,35 +340,43 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
             kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
             vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
-            kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
-            vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
 
-            kv_mul = c.n_heads // c.n_kv_heads
-            qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
-            scores = jnp.einsum(
-                "btgmd,bgsd->btgms", qs, kc, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(jnp.float32(c.head_size))
-            s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
-            mask = s_idx <= pos[:, :, None, None, None]
-            scores = jnp.where(mask, scores, -jnp.inf)
-            att = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum(
-                "btgms,bgsd->btgmd",
-                att.astype(vc.dtype),
-                vc,
-                preferred_element_type=jnp.float32,
-            )
-            att_out = out.reshape(b, t, c.dim).astype(x.dtype)
+            if attn_impl == "pallas":
+                from hip_llama_tpu.ops.attention import attention_prefill_pallas
 
-            x = x + att_out @ wo
+                att_out = attention_prefill_pallas(
+                    q, kcache, vcache, l, start, valid_len
+                ).reshape(b, t, c.dim).astype(x.dtype)
+            else:
+                kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
+                vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
+
+                kv_mul = c.n_heads // c.n_kv_heads
+                qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
+                scores = jnp.einsum(
+                    "btgmd,bgsd->btgms", qs, kc, preferred_element_type=jnp.float32
+                ) / jnp.sqrt(jnp.float32(c.head_size))
+                s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
+                mask = s_idx <= pos[:, :, None, None, None]
+                scores = jnp.where(mask, scores, -jnp.inf)
+                att = jax.nn.softmax(scores, axis=-1)
+                out = jnp.einsum(
+                    "btgms,bgsd->btgmd",
+                    att.astype(vc.dtype),
+                    vc,
+                    preferred_element_type=jnp.float32,
+                )
+                att_out = out.reshape(b, t, c.dim).astype(x.dtype)
+
+            x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(xb @ w1) * (xb @ w3)
-            x = x + h @ w2
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + _mm(h, w2)
             return (x, kcache, vcache), None
 
         (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = (x @ params.wcls).astype(jnp.float32)
+        logits = _mm(x, params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)
 
     def prefill(params, cache, tokens, start, valid_len):

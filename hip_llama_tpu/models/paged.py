@@ -1,0 +1,206 @@
+"""Paged-KV Llama forward: decode step + page-aligned prefill.
+
+The device half of the paged KV design (host half: engine/block_manager.py).
+Physical pages (L, KVH, P, page_size, HS) are shared by every slot; a
+per-slot page table (B, max_pages) maps logical KV blocks to pages. This is
+the production version of what the reference started and never finished
+(BatchManager + the commented-out paged forward, thaDNN.cpp:430-567).
+
+Compared to the contiguous cache (models/llama.py):
+- HBM for KV scales with TOKENS IN FLIGHT, not slots x max_seq_len;
+- slots with short requests don't reserve the whole window;
+- the attention kernels gather pages via the BlockSpec index map
+  (ops/attention.py attention_{decode,prefill}_paged).
+
+Constraint: prefill chunks must be page-aligned (the engine uses
+prefill buckets == page_size in paged mode), so each chunk writes exactly
+one page window per slot.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.models.llama import _act_dtype, _embed, _mm, rmsnorm, rope
+from hip_llama_tpu.ops.attention import (
+    attention_decode_paged,
+    attention_prefill_paged,
+)
+
+
+class PagedKVCache(NamedTuple):
+    k: jax.Array  # (L, KVH, P, PS, HS)
+    v: jax.Array  # (L, KVH, P, PS, HS)
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[2]
+
+
+def init_paged_kv_cache(
+    cfg: ModelConfig, num_pages: int, page_size: int = 128, dtype=jnp.float32
+) -> PagedKVCache:
+    shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size, cfg.head_size)
+    return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _write_kv_rows_paged(
+    pages: jax.Array,  # (L, KVH, P, PS, HS)
+    rows: jax.Array,  # (L, B, KVH, HS)
+    page_table: jax.Array,  # (B, MAX_PAGES)
+    pos: jax.Array,  # (B,)
+) -> jax.Array:
+    """Write one token row per slot into its physical page at the in-page
+    offset, all layers at once (the paged analog of llama._write_kv_rows)."""
+    ps = pages.shape[3]
+    b = rows.shape[1]
+    upd = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)
+    for i in range(b):
+        page = page_table[i, pos[i] // ps]
+        off = pos[i] % ps
+        pages = lax.dynamic_update_slice(
+            pages, upd[i][:, :, None, None], (0, 0, page, off, 0)
+        )
+    return pages
+
+
+def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
+    """Returns step(params, cache, page_table, tokens (B,), pos (B,)) ->
+    (logits fp32 (B, V), cache)."""
+    c = cfg
+
+    def step_inner(params, cache: PagedKVCache, page_table, tokens, pos):
+        x = _embed(params, tokens, _act_dtype(params))
+        b = x.shape[0]
+        layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
+            params.rms_att,
+            params.wq,
+            params.wk,
+            params.wv,
+            params.wo,
+            params.rms_ffn,
+            params.w1,
+            params.w2,
+            params.w3,
+        )
+
+        def layer(carry, xs):
+            x = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = _mm(xb, wq).reshape(b, c.n_heads, c.head_size)
+            k = _mm(xb, wk).reshape(b, c.n_kv_heads, c.head_size)
+            v = _mm(xb, wv).reshape(b, c.n_kv_heads, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+            att_out = attention_decode_paged(
+                q, cache.k, cache.v, page_table, l, pos, k, v
+            ).reshape(b, c.dim)
+            x = x + _mm(att_out, wo)
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + _mm(h, w2)
+            return x, (k, v)
+
+        x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
+        new_k = _write_kv_rows_paged(cache.k, k_rows, page_table, pos)
+        new_v = _write_kv_rows_paged(cache.v, v_rows, page_table, pos)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits = _mm(x, params.wcls).astype(jnp.float32)
+        return logits, PagedKVCache(new_k, new_v)
+
+    def step(params, cache, page_table, tokens, pos):
+        with jax.default_matmul_precision(precision):
+            return step_inner(params, cache, page_table, tokens, pos)
+
+    return step
+
+
+def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
+    """Returns prefill(params, cache, page_table, tokens (B, T), start (B,),
+    valid (B,)) -> (logits (B, T, V), cache).
+
+    REQUIRES page-aligned starts and T <= page_size (each chunk lands in
+    exactly one page window per slot) — the engine guarantees this by using
+    page_size-sized prefill buckets in paged mode."""
+    c = cfg
+
+    def prefill_inner(params, cache: PagedKVCache, page_table, tokens, start, valid):
+        b, t = tokens.shape
+        ps = cache.page_size
+        x = _embed(params, tokens, _act_dtype(params))
+        pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        tvalid = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid[:, None]
+
+        layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
+            params.rms_att,
+            params.wq,
+            params.wk,
+            params.wv,
+            params.wo,
+            params.rms_ffn,
+            params.w1,
+            params.w2,
+            params.w3,
+        )
+
+        def write_chunk(pages, new, l):
+            # new: (B, T, KVH, HS); one page window per slot at offset 0
+            win = min(t, ps)
+            for i in range(b):
+                page = page_table[i, start[i] // ps]
+                old = lax.dynamic_slice(
+                    pages,
+                    (l, 0, page, 0, 0),
+                    (1, c.n_kv_heads, 1, win, c.head_size),
+                )
+                new_i = jnp.swapaxes(new[i, :win], 0, 1).astype(pages.dtype)
+                merged = jnp.where(
+                    tvalid[i, :win, None][None, :, :], new_i, old[0, :, 0]
+                )
+                pages = lax.dynamic_update_slice(
+                    pages, merged[None, :, None], (l, 0, page, 0, 0)
+                )
+            return pages
+
+        def layer(carry, xs):
+            x, kpages, vpages = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
+            k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
+            v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+            kpages = write_chunk(kpages, k, l)
+            vpages = write_chunk(vpages, v, l)
+            att_out = attention_prefill_paged(
+                q, kpages, vpages, page_table, l, start, valid
+            ).reshape(b, t, c.dim).astype(x.dtype)
+            x = x + _mm(att_out, wo)
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + _mm(h, w2)
+            return (x, kpages, vpages), None
+
+        (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits = _mm(x, params.wcls).astype(jnp.float32)
+        return logits, PagedKVCache(new_k, new_v)
+
+    def prefill(params, cache, page_table, tokens, start, valid):
+        with jax.default_matmul_precision(precision):
+            return prefill_inner(params, cache, page_table, tokens, start, valid)
+
+    return prefill

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.io.checkpoint import LlamaWeights, QuantWeights
+from hip_llama_tpu.io.checkpoint import LlamaWeights, QuantTensor, QuantWeights
+from hip_llama_tpu.ops.quant import QTensor, q8_quantize_weights
 
 
 class LlamaParams(NamedTuple):
@@ -63,6 +64,123 @@ def params_from_weights(
         w3=put(w.w3, True),
         rms_final=put(w.rms_final, False),
         wcls=put(w.wcls, True),
+    )
+
+
+class QuantLlamaParams(NamedTuple):
+    """Q8_0 weight-only param pytree: the TPU-native runq engine
+    (reference: runq.c int8 grouped matmul, :317-342). All big matmul
+    weights are QTensors in (K, N) matmul orientation; norms stay fp32
+    (runq.c:383) and the embedding stays int8 with per-row-group scales,
+    dequantized per gathered token (runq.c:360-364)."""
+
+    tok_emb_q: jax.Array  # (V, D) int8
+    tok_emb_s: jax.Array  # (V, D//gs) f32
+    rms_att: jax.Array  # (L, D) f32
+    wq: QTensor  # (L, D, D)
+    wk: QTensor  # (L, D, KV)
+    wv: QTensor  # (L, D, KV)
+    wo: QTensor  # (L, D, D)
+    rms_ffn: jax.Array
+    w1: QTensor  # (L, D, H)
+    w2: QTensor  # (L, H, D)
+    w3: QTensor  # (L, D, H)
+    rms_final: jax.Array  # (D,) f32
+    wcls: QTensor  # (D, V)
+
+    @property
+    def group_size(self) -> int:
+        return self.tok_emb_q.shape[1] // self.tok_emb_s.shape[1]
+
+    @property
+    def tok_emb(self) -> jax.Array:
+        """Dequantized embedding table view (test/debug only — the hot path
+        gathers rows and dequantizes per token)."""
+        gs = self.group_size
+        v, d = self.tok_emb_q.shape
+        g = self.tok_emb_q.astype(jnp.float32).reshape(v, d // gs, gs)
+        return (g * self.tok_emb_s[..., None]).reshape(v, d)
+
+
+def _qt_transpose(t: QuantTensor, out_dim: int, in_dim: int, gs: int) -> QTensor:
+    """Checkpoint QuantTensor (out, in) row-major, groups along `in`
+    (export.py:46-70) -> matmul-oriented QTensor q (in, out), s (in//gs, out).
+    The group structure transposes exactly: no requantization, the v2 file
+    loads LOSSLESSLY (bit-identical int8 payload)."""
+    q = np.ascontiguousarray(t.q.reshape(out_dim, in_dim).T)
+    s = np.ascontiguousarray(t.s.reshape(out_dim, in_dim // gs).T)
+    return QTensor(q=jnp.asarray(q), s=jnp.asarray(s, jnp.float32))
+
+
+def _qt_stack(tensors, out_dim: int, in_dim: int, gs: int) -> QTensor:
+    qs = [_qt_transpose(t, out_dim, in_dim, gs) for t in tensors]
+    return QTensor(
+        q=jnp.stack([t.q for t in qs]), s=jnp.stack([t.s for t in qs])
+    )
+
+
+def qparams_from_quant_weights(cfg: ModelConfig, qw: QuantWeights) -> QuantLlamaParams:
+    """Load a v2 Q8_0 checkpoint straight into the fused-int8 path."""
+    gs = cfg.group_size
+    assert gs is not None
+    c = cfg
+    emb_q = jnp.asarray(qw.q_tokens.q.reshape(c.vocab_size, c.dim))
+    emb_s = jnp.asarray(
+        qw.q_tokens.s.reshape(c.vocab_size, c.dim // gs), jnp.float32
+    )
+    wcls = _qt_transpose(qw.wcls, c.vocab_size, c.dim, gs)
+    return QuantLlamaParams(
+        tok_emb_q=emb_q,
+        tok_emb_s=emb_s,
+        rms_att=jnp.asarray(qw.rms_att, jnp.float32),
+        wq=_qt_stack(qw.wq, c.dim, c.dim, gs),
+        wk=_qt_stack(qw.wk, c.kv_dim, c.dim, gs),
+        wv=_qt_stack(qw.wv, c.kv_dim, c.dim, gs),
+        wo=_qt_stack(qw.wo, c.dim, c.dim, gs),
+        rms_ffn=jnp.asarray(qw.rms_ffn, jnp.float32),
+        w1=_qt_stack(qw.w1, c.hidden_dim, c.dim, gs),
+        w2=_qt_stack(qw.w2, c.dim, c.hidden_dim, gs),
+        w3=_qt_stack(qw.w3, c.hidden_dim, c.dim, gs),
+        rms_final=jnp.asarray(qw.rms_final, jnp.float32),
+        wcls=wcls,
+    )
+
+
+def quantize_params_q8(
+    cfg: ModelConfig, w: LlamaWeights, group_size: int = 64
+) -> QuantLlamaParams:
+    """Quantize fp32 checkpoint weights to the Q8_0 path on the fly
+    (what `export.py 2` does offline — train/export.py:182-260)."""
+    gs = group_size
+    c = cfg
+
+    def qt(arr: np.ndarray) -> QTensor:
+        a = np.asarray(arr, np.float32)
+        a = np.swapaxes(a, -1, -2)  # (…, out, in) -> (…, in, out)
+        return q8_quantize_weights(jnp.asarray(a), gs)
+
+    emb = np.asarray(w.tok_emb, np.float32)  # (V, D), groups along D
+    v, d = emb.shape
+    g = emb.reshape(v, d // gs, gs)
+    absmax = np.abs(g).max(axis=-1)
+    s = absmax / 127.0
+    s_safe = np.where(s == 0, 1.0, s)
+    q = np.round(g / s_safe[..., None]).astype(np.int8).reshape(v, d)
+
+    return QuantLlamaParams(
+        tok_emb_q=jnp.asarray(q),
+        tok_emb_s=jnp.asarray(s, jnp.float32),
+        rms_att=jnp.asarray(w.rms_att, jnp.float32),
+        wq=qt(w.wq),
+        wk=qt(w.wk),
+        wv=qt(w.wv),
+        wo=qt(w.wo),
+        rms_ffn=jnp.asarray(w.rms_ffn, jnp.float32),
+        w1=qt(w.w1),
+        w2=qt(w.w2),
+        w3=qt(w.w3),
+        rms_final=jnp.asarray(w.rms_final, jnp.float32),
+        wcls=qt(w.wcls),
     )
 
 

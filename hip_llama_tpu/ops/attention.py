@@ -68,8 +68,8 @@ def _decode_kernel(
 
     @pl.when(i * block_k < pos)
     def _block():
-        q = q_ref[0, 0]  # (M, HS)
         k = k_ref[0, 0, 0]  # (BK, HS)
+        q = q_ref[0, 0].astype(k.dtype)  # (M, HS) — match cache dtype for MXU
         s = (
             jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -98,7 +98,7 @@ def _decode_kernel(
         # fold in the current token (always valid: history is 0..pos-1,
         # this token sits at `pos`), then normalize and store.
         q = q_ref[0, 0]  # (M, HS)
-        kc = kc_ref[0, 0].astype(jnp.float32)  # (1, HS)
+        kc = kc_ref[0, 0].astype(q.dtype)  # (1, HS)
         vc = vc_ref[0, 0].astype(jnp.float32)
         s_cur = (
             jax.lax.dot_general(
@@ -119,11 +119,181 @@ def _decode_kernel(
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
 
 
+def _decode_kernel_paged(layer_ref, pos_ref, pt_ref, *rest, **kw):
+    # page table is consumed by the BlockSpec index maps only
+    del pt_ref
+    _decode_kernel(layer_ref, pos_ref, *rest, **kw)
+
+
+def _prefill_kernel_paged(start_ref, valid_ref, layer_ref, pt_ref, *rest, **kw):
+    del pt_ref
+    _prefill_kernel(start_ref, valid_ref, layer_ref, *rest, **kw)
+
+
 def _pick_block_k(s: int, target: int = 256) -> int:
     for bk in (target, 128, 64, 32, 16, 8):
         if bk <= s and s % bk == 0:
             return bk
     return s
+
+
+def _prefill_kernel(
+    start_ref,  # (B,) int32 scalar-prefetch: chunk start position per slot
+    valid_ref,  # (B,) int32 scalar-prefetch: valid tokens in chunk per slot
+    layer_ref,  # (1,) int32
+    q_ref,  # (1, 1, BT, M, HS)
+    k_ref,  # (1, 1, 1, BK, HS)
+    v_ref,
+    o_ref,  # (1, 1, BT, M, HS)
+    m_scr,  # (BT, M, 128) f32
+    l_scr,
+    acc_scr,  # (BT, M, HS) f32
+    *,
+    block_t: int,
+    block_k: int,
+    n_k_blocks: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    tq = pl.program_id(2)
+    i = pl.program_id(3)
+    start = start_ref[b]
+    valid = valid_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # the last query row of this tile sits at cache position
+    # start + min((tq+1)*BT, valid) - 1; KV blocks past it are all-masked.
+    q_pos_max = start + jnp.minimum((tq + 1) * block_t, valid) - 1
+
+    @pl.when(i * block_k <= q_pos_max)
+    def _block():
+        k = k_ref[0, 0, 0]  # (BK, HS)
+        q = q_ref[0, 0].astype(k.dtype)  # (BT, M, HS)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # (BT, M, BK)
+        t_row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + tq * block_t
+        kv_col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
+        # causal over the absolute positions; rows beyond `valid` are
+        # bystanders whose output is discarded, but mask them anyway so
+        # stale cache contents can't produce inf/nan that poisons the tile
+        mask = (kv_col <= start + t_row) & (t_row < valid)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[:, :, :1]
+        l_prev = l_scr[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+        v = v_ref[0, 0, 0]  # (BK, HS)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_k_blocks - 1)
+    def _final():
+        l = l_scr[:, :, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+
+
+def _pick_block_t(t: int, target: int = 128) -> int:
+    for bt in (target, 64, 32, 16, 8, 4, 2):
+        if bt <= t and t % bt == 0:
+            return bt
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_k", "interpret"))
+def attention_prefill_pallas(
+    q: jax.Array,  # (B, T, H, HS) — rope'd queries for the chunk
+    k_cache: jax.Array,  # (B, L, KVH, S, HS) — chunk rows ALREADY written
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    start: jax.Array,  # (B,) int32 — chunk start position per slot
+    valid: jax.Array,  # (B,) int32 — valid tokens in the chunk per slot
+    *,
+    block_t: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Flash prefill attention over the (already updated) KV cache: causal
+    within the chunk, full attention over the 0..start-1 history. Never
+    materializes the (T, S) score matrix — the TTFT analog of the decode
+    kernel (the reference has no prefill at all: it force-feeds prompts one
+    token per step, llama.cpp:1030-1033)."""
+    b, t, h, hs = q.shape
+    _, n_layers, kvh, s, _ = k_cache.shape
+    kv_mul = h // kvh
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bt = block_t or _pick_block_t(t)
+    bk = block_k or _pick_block_k(s)
+    n_t_blocks = t // bt
+    n_k_blocks = s // bk
+    scale = 1.0 / (hs ** 0.5)
+
+    # (B, T, KVH, M, HS) -> (B, KVH, T, M, HS): head-major tiles
+    qs = q.reshape(b, t, kvh, kv_mul, hs).transpose(0, 2, 1, 3, 4)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q_map(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+        return (bi, g, tq, 0, 0)
+
+    def kv_map(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+        # clamp: don't DMA blocks past the causal frontier of this q tile
+        q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
+        last_live = jnp.maximum(q_pos_max, 0) // bk
+        return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, kvh, n_t_blocks, n_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bt, kv_mul, hs), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, block_t=bt, block_k=bk, n_k_blocks=n_k_blocks, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, t, kv_mul, hs), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * t * h * s * hs,
+            bytes_accessed=2 * b * kvh * s * hs * k_cache.dtype.itemsize * n_t_blocks
+            + 2 * b * t * h * hs * q.dtype.itemsize,
+            transcendentals=b * t * h * s,
+        ),
+        interpret=interpret,
+    )(start, valid, layer_arr, qs, k_cache, v_cache)
+    # (B, KVH, T, M, HS) -> (B, T, H, HS)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t, h, hs)
 
 
 @functools.partial(
@@ -146,6 +316,12 @@ def attention_decode_pallas(
     kv_mul = h // kvh
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if hs < 64 and not interpret:
+        # sub-lane head sizes (toy configs) hit Mosaic layout edge cases;
+        # the einsum path is fine at those sizes
+        from hip_llama_tpu.models.llama import attention_decode_xla
+
+        return attention_decode_xla(q, k_cache, v_cache, layer, pos, k_cur, v_cur)
     bk = block_k or _pick_block_k(s)
     n_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
@@ -204,3 +380,147 @@ def attention_decode_pallas(
         interpret=interpret,
     )(layer_arr, pos, qs, k_cache, v_cache, kc4, vc4)
     return out.reshape(b, h, hs)
+
+
+# ---------------------------------------------------------------------------
+# paged variants: same kernel bodies, page-table-indexed KV tiles.
+# The physical KV pool is (L, KVH, P, page_size, HS); a per-slot page table
+# (B, max_pages) maps logical KV blocks to physical pages. The BlockSpec
+# index map does the gather — Pallas's pipeline turns each grid step's page
+# lookup into the DMA descriptor (the TPU-native form of the reference's
+# logicId_physicAddr_mapper, BatchManager.hpp:22-28).
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_decode_paged(
+    q: jax.Array,  # (B, H, HS)
+    k_pages: jax.Array,  # (L, KVH, P, PS, HS)
+    v_pages: jax.Array,
+    page_table: jax.Array,  # (B, MAX_PAGES) int32
+    layer: jax.Array,  # () int32
+    pos: jax.Array,  # (B,) int32
+    k_cur: jax.Array,  # (B, KVH, HS)
+    v_cur: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    b, h, hs = q.shape
+    n_layers, kvh, p, ps, _ = k_pages.shape
+    kv_mul = h // kvh
+    max_pages = page_table.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    scale = 1.0 / (hs ** 0.5)
+
+    qs = q.reshape(b, kvh, kv_mul, hs)
+    kc4 = k_cur.reshape(b, kvh, 1, hs)
+    vc4 = v_cur.reshape(b, kvh, 1, hs)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q_map(bi, g, i, layer_ref, pos_ref, pt_ref):
+        return (bi, g, 0, 0)
+
+    def kv_map(bi, g, i, layer_ref, pos_ref, pt_ref):
+        last_live = jnp.maximum(pos_ref[bi] - 1, 0) // ps
+        page = pt_ref[bi, jnp.minimum(i, last_live)]
+        return (layer_ref[0], g, page, 0, 0)
+
+    def cur_map(bi, g, i, layer_ref, pos_ref, pt_ref):
+        return (bi, g, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, kvh, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, hs), cur_map),
+            pl.BlockSpec((1, 1, 1, hs), cur_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((kv_mul, 128), jnp.float32),
+            pltpu.VMEM((kv_mul, 128), jnp.float32),
+            pltpu.VMEM((kv_mul, hs), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_paged, block_k=ps, n_blocks=max_pages, scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, kv_mul, hs), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(layer_arr, pos, page_table, qs, k_pages, v_pages, kc4, vc4)
+    return out.reshape(b, h, hs)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def attention_prefill_paged(
+    q: jax.Array,  # (B, T, H, HS)
+    k_pages: jax.Array,  # (L, KVH, P, PS, HS) — chunk rows ALREADY written
+    v_pages: jax.Array,
+    page_table: jax.Array,  # (B, MAX_PAGES)
+    layer: jax.Array,
+    start: jax.Array,  # (B,)
+    valid: jax.Array,  # (B,)
+    *,
+    block_t: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    b, t, h, hs = q.shape
+    n_layers, kvh, p, ps, _ = k_pages.shape
+    kv_mul = h // kvh
+    max_pages = page_table.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bt = block_t or _pick_block_t(t)
+    n_t_blocks = t // bt
+    scale = 1.0 / (hs ** 0.5)
+
+    qs = q.reshape(b, t, kvh, kv_mul, hs).transpose(0, 2, 1, 3, 4)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q_map(bi, g, tq, i, start_ref, valid_ref, layer_ref, pt_ref):
+        return (bi, g, tq, 0, 0)
+
+    def kv_map(bi, g, tq, i, start_ref, valid_ref, layer_ref, pt_ref):
+        q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
+        last_live = jnp.maximum(q_pos_max, 0) // ps
+        page = pt_ref[bi, jnp.minimum(i, last_live)]
+        return (layer_ref[0], g, page, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, kvh, n_t_blocks, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bt, kv_mul, hs), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel_paged, block_t=bt, block_k=ps, n_k_blocks=max_pages,
+        scale=scale,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, t, kv_mul, hs), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(start, valid, layer_arr, page_table, qs, k_pages, v_pages)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t, h, hs)

@@ -34,7 +34,7 @@ class QTensor(NamedTuple):
 
     @property
     def group_size(self) -> int:
-        return self.q.shape[0] // self.s.shape[0]
+        return self.q.shape[-2] // self.s.shape[-2]
 
 
 def q8_quantize_weights(w, group_size: int = 64) -> QTensor:
@@ -83,7 +83,10 @@ def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, l
 
     w = q_ref[:].astype(jnp.float32)  # (BK, BN)
     bk, bn = w.shape
-    w = w.reshape(n_groups, gs, bn) * s_ref[:][:, None, :]
+    # scales arrive pre-blocked as (K//BK, n_groups, N) so the BlockSpec's
+    # middle dim equals the array dim (always a legal tile, any n_groups)
+    s = s_ref[0]  # (n_groups, BN)
+    w = w.reshape(n_groups, gs, bn) * s[:, None, :]
     w = w.reshape(bk, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
@@ -128,8 +131,16 @@ def q8_matmul(
         block_n = n
     assert k % block_k == 0 and block_k % gs == 0, (k, block_k, gs)
     assert n % block_n == 0, (n, block_n)
+    # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or
+    # equal to the full array dims. Tiny models (test configs) fail this —
+    # fall back to the dense-dequant einsum, which is fine at those sizes.
+    ok_x = block_k % 128 == 0 or block_k == k
+    ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
+    if not (ok_x and ok_w) and not interpret:
+        return q8_matmul_xla(x, qt).astype(out_dtype)
     n_groups = block_k // gs
     grid = (n // block_n, k // block_k)
+    s_blocked = qt.s.reshape(k // block_k, n_groups, n)
 
     return pl.pallas_call(
         functools.partial(
@@ -140,7 +151,7 @@ def q8_matmul(
             pl.BlockSpec((b, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_groups, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM
+                (1, n_groups, block_n), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -155,4 +166,4 @@ def q8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qt.q, qt.s)
+    )(x, qt.q, s_blocked)

@@ -22,6 +22,11 @@ Extra (framework-specific, double-dash):
   --attn xla|pallas          decode attention impl
   --no-prefill               force-feed prompts one token/step (parity mode)
   --tp N                     tensor-parallel size over available devices
+  --quant q8                 quantize fp32 weights to Q8_0 on the fly
+                             (v2 checkpoints use the fused int8 path already)
+  --dequant                  force a v2 checkpoint through the dense path
+  --paged [page_size]        paged KV cache (block-table allocator; HBM
+                             scales with tokens in flight, not slots x seq)
 """
 
 from __future__ import annotations
@@ -58,12 +63,25 @@ def main(argv: list[str]) -> int:
     system_prompt = None
     input_filename = output_filename = None
     dtype_name, attn_impl, use_prefill, tp = "bfloat16", "xla", True, 1
+    quant, dequant = None, False
+    paged, page_size = False, 128
 
     i = 2
     while i < len(argv):
         a = argv[i]
         if a == "--no-prefill":
             use_prefill = False
+            i += 1
+            continue
+        if a == "--dequant":
+            dequant = True
+            i += 1
+            continue
+        if a == "--paged":
+            paged = True
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                page_size = int(argv[i + 1])
+                i += 1
             i += 1
             continue
         if i + 1 >= len(argv) or not a.startswith("-"):
@@ -97,6 +115,8 @@ def main(argv: list[str]) -> int:
             attn_impl = v
         elif a == "--tp":
             tp = int(v)
+        elif a == "--quant":
+            quant = v
         else:
             error_usage()
         i += 2
@@ -111,9 +131,18 @@ def main(argv: list[str]) -> int:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     cfg, weights = load_checkpoint(checkpoint_path)
     if isinstance(weights, LlamaWeights):
-        params = params_from_weights(weights, dtype=dtype)
-    else:
+        if quant == "q8":
+            from hip_llama_tpu.models.params import quantize_params_q8
+
+            params = quantize_params_q8(cfg, weights)
+        else:
+            params = params_from_weights(weights, dtype=dtype)
+    elif dequant:
         params = params_from_quant_dequant(cfg, weights, dtype=dtype)
+    else:
+        from hip_llama_tpu.models.params import qparams_from_quant_weights
+
+        params = qparams_from_quant_weights(cfg, weights)
     print(
         f"---------Model Information----------\n"
         f"dim: {cfg.dim}\nhidden_dim: {cfg.hidden_dim}\nn_layers: {cfg.n_layers}\n"
@@ -127,6 +156,9 @@ def main(argv: list[str]) -> int:
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
 
     shardings = None
+    if tp > 1 and not isinstance(params, LlamaWeights) and hasattr(params, "tok_emb_q"):
+        print("--tp with the Q8_0 path is not wired yet; running single-chip", file=sys.stderr)
+        tp = 1
     if tp > 1:
         from hip_llama_tpu.parallel import make_mesh, make_shardings, shard_params
 
@@ -143,6 +175,8 @@ def main(argv: list[str]) -> int:
         use_prefill=use_prefill,
         precision="highest" if dtype == jnp.float32 else "default",
         shardings=shardings,
+        paged=paged,
+        page_size=page_size,
     )
 
     if mode == "generate":

@@ -104,3 +104,76 @@ def test_decode_step_pallas_matches_xla(tiny_cfg, tiny_weights):
         lx, cache_x = step_x(params, cache_x, tokens, pos)
         lp, cache_p = step_p(params, cache_p, tokens, pos)
         assert_close(lp, lx, atol=1e-4, rtol=1e-3, msg=f"step {p}")
+
+
+# ---------------------------------------------------------------------------
+# flash prefill kernel
+
+
+def test_prefill_pallas_matches_xla_prefill(tiny_cfg, tiny_weights):
+    """make_prefill(attn_impl='pallas') == make_prefill('xla') on logits for
+    valid rows, mixed batch with different starts/valid lengths."""
+    import jax
+    from hip_llama_tpu.models import init_kv_cache, make_prefill, params_from_weights
+
+    cfg = tiny_cfg
+    params = params_from_weights(tiny_weights)
+    b, t = 3, 16
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    start = jnp.asarray([0, 4, 0], jnp.int32)
+    valid = jnp.asarray([16, 9, 0], jnp.int32)
+
+    pre_x = jax.jit(make_prefill(cfg, attn_impl="xla"))
+    pre_p = jax.jit(make_prefill(cfg, attn_impl="pallas"))
+    # seed the history for slot 1 (start=4): fill via decode steps first
+    cache_x = init_kv_cache(cfg, b)
+    cache_p = init_kv_cache(cfg, b)
+    from hip_llama_tpu.models import make_decode_step
+
+    step = jax.jit(make_decode_step(cfg))
+    for p in range(4):
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+        _, cache_x = step(params, cache_x, tok, jnp.full((b,), p, jnp.int32))
+        _, cache_p = step(params, cache_p, tok, jnp.full((b,), p, jnp.int32))
+
+    lx, cache_x = pre_x(params, cache_x, toks, start, valid)
+    lp, cache_p = pre_p(params, cache_p, toks, start, valid)
+    for s in range(b):
+        v = int(valid[s])
+        if v:
+            assert_close(lp[s, :v], lx[s, :v], atol=1e-4, rtol=1e-3, msg=f"slot {s}")
+    # caches must agree (same scatter; tiny drift from attention rounding
+    # propagating into later layers' K/V projections)
+    assert_close(cache_p.k, cache_x.k, atol=1e-5, rtol=1e-3)
+
+
+def test_prefill_pallas_then_decode_consistent(tiny_cfg, tiny_weights):
+    """prefill(pallas) then decode == pure step-by-step decode."""
+    import jax
+    from hip_llama_tpu.models import (
+        init_kv_cache,
+        make_decode_step,
+        make_prefill,
+        params_from_weights,
+    )
+
+    cfg = tiny_cfg
+    params = params_from_weights(tiny_weights)
+    rng = np.random.default_rng(9)
+    n = 8
+    toks = rng.integers(0, cfg.vocab_size, (1, n)).astype(np.int32)
+    step = jax.jit(make_decode_step(cfg))
+    prefill = jax.jit(make_prefill(cfg, attn_impl="pallas"))
+
+    cache_a = init_kv_cache(cfg, 1)
+    la, cache_a = prefill(
+        params, cache_a, jnp.asarray(toks), jnp.zeros((1,), jnp.int32),
+        jnp.full((1,), n, jnp.int32),
+    )
+    cache_b = init_kv_cache(cfg, 1)
+    for p in range(n):
+        lb, cache_b = step(
+            params, cache_b, jnp.asarray(toks[:, p]), jnp.full((1,), p, jnp.int32)
+        )
+    assert_close(la[:, n - 1], lb, atol=1e-4, rtol=1e-3)

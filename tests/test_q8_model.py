@@ -1,0 +1,150 @@
+"""End-to-end Q8_0 weight-only decode path (the runq-engine equivalent,
+reference: runq.c) — quantized decode step vs the dequantized dense oracle,
+plus lossless v2 checkpoint round-trip into the fused-int8 params."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import assert_close
+from hip_llama_tpu.config import tiny_config
+from hip_llama_tpu.io.checkpoint import load_checkpoint, random_weights, write_v2
+from hip_llama_tpu.models import init_kv_cache, make_decode_step, make_prefill
+from hip_llama_tpu.models.params import (
+    params_from_weights,
+    qparams_from_quant_weights,
+    quantize_params_q8,
+)
+
+GS = 32
+
+
+@pytest.fixture(scope="module")
+def q8_cfg():
+    # dims divisible by group size 32
+    return tiny_config(dim=64, hidden_dim=192, n_heads=8, n_kv_heads=4, seq_len=64)
+
+
+@pytest.fixture(scope="module")
+def q8_weights(q8_cfg):
+    return random_weights(q8_cfg, seed=5)
+
+
+def test_q8_decode_matches_dequant_dense(q8_cfg, q8_weights):
+    """Quantized step == dense step on the DEQUANTIZED weights (exactly the
+    same numbers stream through the matmuls, so tolerances are tight)."""
+    cfg = q8_cfg
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    # dense oracle built from the dequantized tensors
+    from hip_llama_tpu.ops.quant import q8_dequantize
+    import dataclasses
+
+    dw = dataclasses.replace(
+        q8_weights,
+        tok_emb=np.asarray(qp.tok_emb),
+        wq=np.swapaxes(np.asarray(q8_dequantize(qp.wq)), 1, 2),
+        wk=np.swapaxes(np.asarray(q8_dequantize(qp.wk)), 1, 2),
+        wv=np.swapaxes(np.asarray(q8_dequantize(qp.wv)), 1, 2),
+        wo=np.swapaxes(np.asarray(q8_dequantize(qp.wo)), 1, 2),
+        w1=np.swapaxes(np.asarray(q8_dequantize(qp.w1)), 1, 2),
+        w2=np.swapaxes(np.asarray(q8_dequantize(qp.w2)), 1, 2),
+        w3=np.swapaxes(np.asarray(q8_dequantize(qp.w3)), 1, 2),
+        wcls=np.asarray(q8_dequantize(qp.wcls)).T,
+    )
+    dp = params_from_weights(dw, dtype=jnp.bfloat16)
+
+    step_q = jax.jit(make_decode_step(cfg, precision="default"))
+    step_d = jax.jit(make_decode_step(cfg, precision="default"))
+    cache_q = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    cache_d = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for p in range(3):
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2,)), jnp.int32)
+        pos = jnp.full((2,), p, jnp.int32)
+        lq, cache_q = step_q(qp, cache_q, toks, pos)
+        ld, cache_d = step_d(dp, cache_d, toks, pos)
+        # both paths run bf16 activations; differences are bf16 rounding in
+        # different fusion orders
+        assert_close(lq, ld, atol=0.15, rtol=0.05, msg=f"step {p}")
+
+
+def test_q8_greedy_generation_matches_fp32(q8_cfg, q8_weights):
+    """Quality bar: Q8_0 greedy decode tracks the fp32 model (quantization
+    noise may flip a late token; require a long identical prefix)."""
+    cfg = q8_cfg
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    fp = params_from_weights(q8_weights, dtype=jnp.float32)
+    step_q = jax.jit(make_decode_step(cfg, precision="default"))
+    step_f = jax.jit(make_decode_step(cfg, precision="highest"))
+
+    def greedy(step, params, n=20):
+        cache = init_kv_cache(
+            cfg, 1, dtype=jnp.bfloat16 if params is qp else jnp.float32
+        )
+        tok = jnp.asarray([1], jnp.int32)
+        out = []
+        for p in range(n):
+            logits, cache = step(params, cache, tok, jnp.full((1,), p, jnp.int32))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            out.append(int(tok[0]))
+        return out
+
+    a = greedy(step_q, qp)
+    b = greedy(step_f, fp)
+    # identical prefix of at least 10 tokens
+    prefix = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        prefix += 1
+    assert prefix >= 10, (a, b)
+
+
+def test_v2_checkpoint_loads_lossless(tmp_path, q8_cfg, q8_weights):
+    """write_v2 -> read_v2 -> qparams: the int8 payload and scales must be
+    BIT-IDENTICAL to quantizing in memory (the transpose preserves groups)."""
+    cfg = q8_cfg
+    path = os.path.join(tmp_path, "m.bin")
+    write_v2(path, cfg, q8_weights, group_size=GS)
+    cfg2, qw = load_checkpoint(path)
+    assert cfg2.group_size == GS
+    qp_file = qparams_from_quant_weights(cfg2, qw)
+    qp_mem = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    np.testing.assert_array_equal(np.asarray(qp_file.wq.q), np.asarray(qp_mem.wq.q))
+    assert_close(qp_file.wq.s, qp_mem.wq.s, atol=1e-7, rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(qp_file.tok_emb_q), np.asarray(qp_mem.tok_emb_q)
+    )
+
+    # and the loaded params actually decode
+    step = jax.jit(make_decode_step(cfg2, precision="default"))
+    cache = init_kv_cache(cfg2, 1, dtype=jnp.bfloat16)
+    logits, _ = step(
+        qp_file, cache, jnp.asarray([1], jnp.int32), jnp.zeros((1,), jnp.int32)
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_q8_prefill_matches_stepwise(q8_cfg, q8_weights):
+    cfg = q8_cfg
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    prefill = jax.jit(make_prefill(cfg, precision="default"))
+    step = jax.jit(make_decode_step(cfg, precision="default"))
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+
+    cache_a = init_kv_cache(cfg, 1, dtype=jnp.bfloat16)
+    logits_a, cache_a = prefill(
+        qp, cache_a, jnp.asarray(toks), jnp.zeros((1,), jnp.int32),
+        jnp.full((1,), 8, jnp.int32),
+    )
+
+    cache_b = init_kv_cache(cfg, 1, dtype=jnp.bfloat16)
+    for p in range(8):
+        logits_b, cache_b = step(
+            qp, cache_b, jnp.asarray(toks[:, p]), jnp.full((1,), p, jnp.int32)
+        )
+    assert_close(logits_a[:, 7], logits_b, atol=0.15, rtol=0.05)

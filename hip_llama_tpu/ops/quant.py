@@ -74,20 +74,30 @@ def q8_matmul_xla(x: jax.Array, qt: QTensor) -> jax.Array:
     return jnp.einsum("bgn,gn->bn", partial, qt.s).astype(x.dtype)
 
 
-def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int):
+def _q8_kernel(
+    x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
+    dequant_mode: str = "reshape",
+):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = q_ref[:].astype(jnp.float32)  # (BK, BN)
-    bk, bn = w.shape
     # scales arrive pre-blocked as (K//BK, n_groups, N) so the BlockSpec's
     # middle dim equals the array dim (always a legal tile, any n_groups)
     s = s_ref[0]  # (n_groups, BN)
-    w = w.reshape(n_groups, gs, bn) * s[:, None, :]
-    w = w.reshape(bk, bn).astype(jnp.bfloat16)
+    if dequant_mode == "repeat":
+        # expand scales across each group's sublanes (no relayout of the
+        # big weight tile — the reshape variant physically re-tiles it twice)
+        w = q_ref[:].astype(jnp.bfloat16)  # (BK, BN)
+        s_rep = pltpu.repeat(s.astype(jnp.bfloat16), gs, axis=0)  # (BK, BN)
+        w = w * s_rep
+    else:
+        w = q_ref[:].astype(jnp.float32)  # (BK, BN)
+        bk, bn = w.shape
+        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+        w = w.reshape(bk, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
@@ -97,7 +107,10 @@ def _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, l
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "dequant_mode"),
+)
 def q8_matmul(
     x: jax.Array,
     qt: QTensor,
@@ -106,6 +119,7 @@ def q8_matmul(
     block_k: int = 1024,
     interpret: bool | None = None,
     out_dtype=None,
+    dequant_mode: str = "reshape",
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
 
@@ -144,7 +158,8 @@ def q8_matmul(
 
     return pl.pallas_call(
         functools.partial(
-            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[1] - 1
+            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
+            dequant_mode=dequant_mode,
         ),
         grid=grid,
         in_specs=[

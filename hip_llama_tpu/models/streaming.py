@@ -1,0 +1,183 @@
+"""Host-offload execution: weight streaming (models bigger than HBM) and
+KV host-swap (contexts bigger than HBM).
+
+TPU re-design of the reference's two offload paths:
+- N16 `thaDNN_s_forward_70B` (thaDNN.cpp:83-189): per-layer weights live in
+  pinned host RAM and are copied H2D layer-by-layer per token
+  (models.cpp:511-692 keeps ONE layer of weights + KV on device).
+- N18 `..._layer_swap` (thaDNN.cpp:291-427): the KV tail beyond the device
+  window streams host<->device around attention on a dedicated copy stream.
+
+Here, host residency = numpy views over the checkpoint mmap (zero-copy from
+disk cache) and the copy stream = JAX async dispatch: the H2D transfer for
+layer l+1 is issued while layer l computes, so transfer and compute overlap
+exactly like the reference's calc/copy streams (thaBLAS.hpp:23-24). The
+per-layer compute is ONE jitted function reused across layers (identical
+shapes => one compile).
+
+This is the capacity escape hatch for single chips; the first-choice design
+for big models is sharding across an ICI mesh (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.io.checkpoint import LlamaWeights
+from hip_llama_tpu.models.llama import attention_decode_xla, rmsnorm, rope
+
+
+@dataclasses.dataclass
+class HostLayer:
+    """One layer's weights as host (numpy / mmap view) arrays, already in
+    matmul orientation (in, out)."""
+
+    rms_att: np.ndarray
+    wq: np.ndarray
+    wk: np.ndarray
+    wv: np.ndarray
+    wo: np.ndarray
+    rms_ffn: np.ndarray
+    w1: np.ndarray
+    w2: np.ndarray
+    w3: np.ndarray
+
+    def tree(self):
+        return (
+            self.rms_att, self.wq, self.wk, self.wv, self.wo,
+            self.rms_ffn, self.w1, self.w2, self.w3,
+        )
+
+
+@dataclasses.dataclass
+class HostParams:
+    layers: list[HostLayer]
+    tok_emb: Any  # device (V, D) — needed every step
+    rms_final: Any
+    wcls: Any  # device (D, V)
+
+
+def host_params_from_weights(w: LlamaWeights, dtype=jnp.bfloat16) -> HostParams:
+    """Split checkpoint weights into per-layer host views + device-resident
+    top-level tensors (embedding/classifier stay on device: they're touched
+    every step and are small relative to the layer stack)."""
+
+    def t(x):  # (out, in) -> (in, out), keep as numpy (host)
+        return np.ascontiguousarray(np.swapaxes(np.asarray(x), -1, -2))
+
+    layers = [
+        HostLayer(
+            rms_att=np.asarray(w.rms_att[l]),
+            wq=t(w.wq[l]), wk=t(w.wk[l]), wv=t(w.wv[l]), wo=t(w.wo[l]),
+            rms_ffn=np.asarray(w.rms_ffn[l]),
+            w1=t(w.w1[l]), w2=t(w.w2[l]), w3=t(w.w3[l]),
+        )
+        for l in range(w.wq.shape[0])
+    ]
+    return HostParams(
+        layers=layers,
+        tok_emb=jnp.asarray(w.tok_emb, dtype),
+        rms_final=jnp.asarray(w.rms_final, jnp.float32),
+        wcls=jnp.asarray(np.asarray(w.wcls).T, dtype),
+    )
+
+
+def make_streaming_decode_step(cfg: ModelConfig, dtype=jnp.bfloat16, kv_host: bool = False):
+    """Returns step(host_params, cache, tokens (B,), pos (B,)) ->
+    (logits (B, V) np, cache).
+
+    cache: KVCache on device, or (k_host, v_host) numpy (B, L, KVH, S, HS)
+    when kv_host=True (the 70B mode: device holds one layer of KV at a time,
+    models.cpp:715-744)."""
+    c = cfg
+
+    @jax.jit
+    def embed(tok_emb, tokens):
+        return tok_emb[tokens].astype(dtype)
+
+    @jax.jit
+    def layer_fn(x, wl, k_layer, v_layer, pos):
+        rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = wl
+        b = x.shape[0]
+        xb = rmsnorm(x, rms_a, c.norm_eps)
+        q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
+        k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
+        v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
+        q = rope(q, pos)
+        k = rope(k, pos)
+        att = attention_decode_xla(
+            q, k_layer[:, None], v_layer[:, None], jnp.int32(0), pos, k, v
+        ).reshape(b, c.dim)
+        x = x + att @ wo
+        xb = rmsnorm(x, rms_f, c.norm_eps)
+        h = jax.nn.silu(xb @ w1) * (xb @ w3)
+        x = x + h @ w2
+        # write the current row into the layer cache
+        bidx = jnp.arange(b)
+        k_layer = k_layer.at[bidx, :, pos].set(k.astype(k_layer.dtype))
+        v_layer = v_layer.at[bidx, :, pos].set(v.astype(v_layer.dtype))
+        return x, k_layer, v_layer
+
+    @jax.jit
+    def head_fn(x, rms_final, wcls):
+        x = rmsnorm(x, rms_final, c.norm_eps)
+        return (x @ wcls).astype(jnp.float32)
+
+    def put_layer(hl: HostLayer):
+        # async H2D of one layer's weights (the reference's 9-tensor copy,
+        # thaDNN.cpp:123-131)
+        return tuple(
+            jax.device_put(a).astype(dtype if a.ndim > 1 else jnp.float32)
+            for a in hl.tree()
+        )
+
+    def step(hp: HostParams, cache, tokens, pos):
+        x = embed(hp.tok_emb, jnp.asarray(tokens))
+        pos_d = jnp.asarray(pos)
+        n_layers = len(hp.layers)
+        next_w = put_layer(hp.layers[0])  # prefetch layer 0
+        if kv_host:
+            k_host, v_host = cache
+            for l in range(n_layers):
+                wl = next_w
+                k_l = jax.device_put(k_host[:, l])
+                v_l = jax.device_put(v_host[:, l])
+                if l + 1 < n_layers:
+                    next_w = put_layer(hp.layers[l + 1])  # overlap H2D
+                x, k_l, v_l = layer_fn(x, wl, k_l, v_l, pos_d)
+                k_host[:, l] = np.asarray(k_l)  # D2H writeback (thaDNN.cpp:176-177)
+                v_host[:, l] = np.asarray(v_l)
+            logits = head_fn(x, hp.rms_final, hp.wcls)
+            return np.asarray(logits), (k_host, v_host)
+        else:
+            new_k, new_v = [], []
+            for l in range(n_layers):
+                wl = next_w
+                if l + 1 < n_layers:
+                    next_w = put_layer(hp.layers[l + 1])
+                x, k_l, v_l = layer_fn(
+                    x, wl, cache.k[:, l], cache.v[:, l], pos_d
+                )
+                new_k.append(k_l)
+                new_v.append(v_l)
+            logits = head_fn(x, hp.rms_final, hp.wcls)
+            from hip_llama_tpu.models.llama import KVCache
+
+            cache = KVCache(
+                jnp.stack(new_k, axis=1), jnp.stack(new_v, axis=1)
+            )
+            return np.asarray(logits), cache
+
+    return step
+
+
+def init_host_kv(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype=np.float32):
+    s = seq_len or cfg.seq_len
+    shape = (batch, cfg.n_layers, cfg.n_kv_heads, s, cfg.head_size)
+    return np.zeros(shape, dtype), np.zeros(shape, dtype)

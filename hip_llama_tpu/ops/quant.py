@@ -17,7 +17,14 @@ the reference's fused dequant+int8-matmul inner loop.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
+
+# model-level tuning knobs (micro-benchmarks are unreliable through the
+# tunneled device transport; sweep these via bench.py instead)
+_ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q8_BLOCK_N", "512"))
+_ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q8_BLOCK_K", "1024"))
+_ENV_MODE = os.environ.get("HIPLLAMA_Q8_MODE", "reshape")
 
 import jax
 import jax.numpy as jnp
@@ -115,11 +122,11 @@ def q8_matmul(
     x: jax.Array,
     qt: QTensor,
     *,
-    block_n: int = 512,
-    block_k: int = 1024,
+    block_n: int = _ENV_BLOCK_N,
+    block_k: int = _ENV_BLOCK_K,
     interpret: bool | None = None,
     out_dtype=None,
-    dequant_mode: str = "reshape",
+    dequant_mode: str = _ENV_MODE,
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
 

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Analytical roofline report for a decode/prefill step.
+
+The TPU replacement for the reference's rocprof roofline workflow
+(scripts/profile/rocprof_roofline.txt, plot_roofline_hierarchical.py,
+GUIDELINE.md): instead of hardware counters, derive each op's FLOPs and HBM
+bytes from the model config and report arithmetic intensity vs the chip's
+ridge point, plus the step-level speed-of-light token rate.
+
+Usage: python tools/roofline.py [--model 7b] [--batch 8] [--window 512]
+       [--dtype int8|bfloat16|float32] [--measured-tok-s N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hip_llama_tpu.config import ModelConfig
+
+CHIPS = {
+    # name: (HBM GB/s, bf16 TFLOP/s, int8 TOPS)
+    "v5e": (819e9, 197e12, 394e12),
+}
+
+
+def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
+           chip: str = "v5e", measured_tok_s: float | None = None):
+    bw, flops_bf16, _ = CHIPS[chip]
+    c = cfg
+    rows = []
+
+    def op(name, flops, bytes_):
+        rows.append((name, flops, bytes_))
+
+    L = c.n_layers
+    # per-step (all layers), decode
+    op("qkv+o proj", 2 * b * c.dim * (2 * c.dim + 2 * c.kv_dim) * L,
+       (c.dim * (2 * c.dim + 2 * c.kv_dim)) * L * wbytes_per)
+    op("ffn w1/w2/w3", 2 * b * 3 * c.dim * c.hidden_dim * L,
+       3 * c.dim * c.hidden_dim * L * wbytes_per)
+    op("attention", 4 * b * c.n_heads * window * c.head_size * L,
+       2 * b * c.n_kv_heads * window * c.head_size * L * cache_bytes)
+    op("classifier", 2 * b * c.dim * c.vocab_size, c.dim * c.vocab_size * wbytes_per)
+    op("embed+norms", 0, b * c.dim * 4 * (2 * L + 1))
+
+    ridge = flops_bf16 / bw
+    print(f"chip {chip}: HBM {bw/1e9:.0f} GB/s, bf16 {flops_bf16/1e12:.0f} TF/s, "
+          f"ridge AI = {ridge:.0f} flop/byte")
+    print(f"{'op':14s} {'GFLOP':>9s} {'MB':>9s} {'AI':>7s} {'bound':>8s} {'SoL us':>8s}")
+    tot_f = tot_b = 0.0
+    for name, f, by in rows:
+        ai = f / by if by else float("inf")
+        bound = "compute" if ai > ridge else "memory"
+        sol = max(f / flops_bf16, by / bw)
+        print(f"{name:14s} {f/1e9:9.2f} {by/1e6:9.1f} {ai:7.1f} {bound:>8s} {sol*1e6:8.1f}")
+        tot_f += f
+        tot_b += by
+    sol_step = max(tot_f / flops_bf16, tot_b / bw)
+    sol_tok = b / sol_step
+    print(f"{'TOTAL':14s} {tot_f/1e9:9.2f} {tot_b/1e6:9.1f} {tot_f/tot_b:7.1f} "
+          f"{'memory' if tot_f/tot_b < ridge else 'compute':>8s} {sol_step*1e6:8.1f}")
+    print(f"speed-of-light: {sol_tok:.1f} tok/s at batch {b}, window {window}")
+    if measured_tok_s:
+        print(f"measured: {measured_tok_s:.1f} tok/s = {measured_tok_s/sol_tok*100:.1f}% of roofline")
+    return sol_tok
+
+
+CONFIGS = {
+    "7b": ModelConfig(dim=4096, hidden_dim=11008, n_layers=32, n_heads=32,
+                      n_kv_heads=32, vocab_size=32000, seq_len=2048),
+    "13b": ModelConfig(dim=5120, hidden_dim=13824, n_layers=40, n_heads=40,
+                       n_kv_heads=40, vocab_size=32000, seq_len=2048),
+    "110m": ModelConfig(dim=768, hidden_dim=2048, n_layers=12, n_heads=12,
+                        n_kv_heads=12, vocab_size=32000, seq_len=1024),
+}
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=list(CONFIGS))
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--dtype", default="int8", choices=["int8", "bfloat16", "float32"])
+    ap.add_argument("--cache-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--measured-tok-s", type=float, default=None)
+    a = ap.parse_args()
+    wb = {"int8": 1.0625, "bfloat16": 2, "float32": 4}[a.dtype]  # int8 + f32 scales/64
+    cb = {"bfloat16": 2, "float32": 4}[a.cache_dtype]
+    report(CONFIGS[a.model], a.batch, a.window, wb, cb, measured_tok_s=a.measured_tok_s)

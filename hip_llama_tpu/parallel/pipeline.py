@@ -210,7 +210,7 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             P(),
         ),
         out_specs=(P(), P(None, "pp"), P(None, "pp")),
-        check_rep=False,
+        check_vma=False,
     )
 
     def step(staged_params, cache: KVCache, tokens, pos):

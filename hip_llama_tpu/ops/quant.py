@@ -94,20 +94,43 @@ def _q8_kernel(
     # scales arrive pre-blocked as (K//BK, n_groups, N) so the BlockSpec's
     # middle dim equals the array dim (always a legal tile, any n_groups)
     s = s_ref[0]  # (n_groups, BN)
-    if dequant_mode == "repeat":
+    if dequant_mode == "group_dot":
+        # scale AFTER the matmul: the weight tile costs ONE VPU pass
+        # (int8->bf16); per-group partial dots run batched on the MXU and
+        # the rescale touches only (n_groups, B, BN) — ~gs x less VPU work
+        # than scaling the whole tile. Exactly runq's grouped accumulation
+        # order (runq.c:332-337) with bf16 activations.
+        w = q_ref[:].astype(jnp.bfloat16)  # (BK, BN) — 1 VPU pass
+        bk, bn = w.shape
+        b = x_ref.shape[0]
+        w3 = w.reshape(n_groups, gs, bn)  # sublane-split: layout-free
+        x3 = (
+            x_ref[:].astype(jnp.bfloat16).reshape(b, n_groups, gs)
+            .transpose(1, 0, 2)
+        )  # small relayout (B x BK only)
+        partial = jax.lax.dot_general(
+            x3, w3,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (n_groups, B, BN)
+        acc_ref[:] += jnp.sum(partial * s[:, None, :], axis=0)
+    elif dequant_mode == "repeat":
         # expand scales across each group's sublanes (no relayout of the
         # big weight tile — the reshape variant physically re-tiles it twice)
         w = q_ref[:].astype(jnp.bfloat16)  # (BK, BN)
         s_rep = pltpu.repeat(s.astype(jnp.bfloat16), gs, axis=0)  # (BK, BN)
         w = w * s_rep
+        acc_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        )
     else:
         w = q_ref[:].astype(jnp.float32)  # (BK, BN)
         bk, bn = w.shape
         w = w.reshape(n_groups, gs, bn) * s[:, None, :]
         w = w.reshape(bk, bn).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
-    )
+        acc_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        )
 
     @pl.when(j == last_j)
     def _():

@@ -8,9 +8,12 @@ prefix for non-empty text, post-BOS leading-space strip on decode.
 
 from __future__ import annotations
 
+import os
 import re
 
 from hip_llama_tpu.io.tokenizer_io import read_tokenizer_bin
+
+_USE_NATIVE = os.environ.get("HIPLLAMA_NATIVE_TOKENIZER", "1") != "0"
 
 BOS_ID = 1
 EOS_ID = 2
@@ -38,6 +41,15 @@ class Tokenizer:
                 self._lookup[piece] = i
         # byte-value decode table for <0xXX> tokens (llama.cpp:58-65)
         self._byte_pieces = [bytes([i]) for i in range(256)]
+        # native (C++) encode fast path; parity locked by tests/test_native.py
+        self._native = None
+        if _USE_NATIVE:
+            try:
+                from hip_llama_tpu.native import NativeTokenizer
+
+                self._native = NativeTokenizer(vocab, scores)
+            except Exception:
+                self._native = None
 
     @classmethod
     def from_file(cls, path: str, vocab_size: int) -> "Tokenizer":
@@ -51,6 +63,11 @@ class Tokenizer:
             data = text.encode("utf-8")
         else:
             data = text
+        if self._native is not None:
+            try:
+                return self._native.encode(data, bos, eos)
+            except Exception:
+                pass
         tokens: list[int] = []
         if bos:
             tokens.append(BOS_ID)

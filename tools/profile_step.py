@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Capture a JAX profiler trace of N decode steps and print the top ops by
+device time (the TPU counterpart of the reference's rocprof --stats run,
+scripts/profile/GUIDELINE.md:1)."""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--quant", default=None, choices=[None, "q8"])
+    ap.add_argument("--attn", default="pallas")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--outdir", default="/tmp/jaxtrace")
+    args = ap.parse_args()
+
+    from bench import CONFIGS, rand_params_on_device, rand_qparams_on_device
+    from hip_llama_tpu.models import init_kv_cache, make_decode_step
+
+    cfg = CONFIGS[args.model]
+    if args.quant == "q8":
+        params = rand_qparams_on_device(cfg)
+    else:
+        params = rand_params_on_device(cfg, jnp.bfloat16)
+    cache = init_kv_cache(cfg, args.batch, dtype=jnp.bfloat16, seq_len=args.window)
+    step = jax.jit(
+        make_decode_step(cfg, attn_impl=args.attn, precision="default"),
+        donate_argnums=(1,),
+    )
+    toks = jnp.zeros((args.batch,), jnp.int32)
+    pos0 = args.window // 2
+    logits, cache = step(params, cache, toks, jnp.full((args.batch,), pos0, jnp.int32))
+    np.asarray(logits)
+
+    jax.profiler.start_trace(args.outdir)
+    for i in range(args.steps):
+        logits, cache = step(
+            params, cache, toks, jnp.full((args.batch,), pos0 + 1 + i, jnp.int32)
+        )
+    np.asarray(logits)
+    jax.profiler.stop_trace()
+
+    # parse the trace: sum device-op durations by name
+    traces = sorted(
+        glob.glob(os.path.join(args.outdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not traces:
+        print("no trace files found under", args.outdir)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    # device lanes: pid names containing "TPU" / "/device:"
+    dev_pids = set()
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            if "TPU" in name or "Chip" in name or "device" in name.lower():
+                dev_pids.add(ev["pid"])
+    tot = defaultdict(float)
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+            tot[ev.get("name", "?")] += ev.get("dur", 0)
+    items = sorted(tot.items(), key=lambda kv: -kv[1])
+    total = sum(tot.values())
+    print(f"total device-op time: {total/1e3:.2f} ms over {args.steps} steps")
+    for name, dur in items[:25]:
+        print(f"{dur/1e3:9.2f} ms  {dur/total*100:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()

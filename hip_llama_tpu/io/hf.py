@@ -1,0 +1,175 @@
+"""Import Llama checkpoints from HuggingFace / Meta formats.
+
+Parity with the reference's export-side loaders (train/export.py:356-491:
+load_meta_model / load_hf_model feeding model_export). Output is
+`LlamaWeights` in the file orientation (2-D tensors (out, in)), so the
+result plugs into params_from_weights / write_v0/v1/v2 directly.
+
+Key transform: HF stores q_proj/k_proj with rows PERMUTED for its
+half-rotation RoPE; the llama2.c family (and this framework, models/llama.py
+rope()) uses the original Meta interleaved-pair convention, so the inverse
+permutation is applied here (the same `permute_reverse` the reference's
+exporter applies, export.py:422-437).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.io.checkpoint import LlamaWeights
+
+
+def _unpermute(w: np.ndarray, n_heads: int, dim1: int, dim2: int) -> np.ndarray:
+    """Inverse of HF's rotary row permutation: HF groups each head's rows as
+    [evens..., odds...]; Meta/llama2.c interleaves (e0, o0, e1, o1, ...)."""
+    return (
+        w.reshape(n_heads, 2, dim1 // n_heads // 2, dim2)
+        .swapaxes(1, 2)
+        .reshape(dim1, dim2)
+    )
+
+
+def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
+    """Load a local HF-format Llama directory (config.json + safetensors or
+    pytorch_model*.bin shards) into LlamaWeights."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hc = json.load(f)
+    cfg = ModelConfig(
+        dim=hc["hidden_size"],
+        hidden_dim=hc["intermediate_size"],
+        n_layers=hc["num_hidden_layers"],
+        n_heads=hc["num_attention_heads"],
+        n_kv_heads=hc.get("num_key_value_heads", hc["num_attention_heads"]),
+        vocab_size=hc["vocab_size"],
+        seq_len=hc.get("max_position_embeddings", 2048),
+        shared_classifier=bool(hc.get("tie_word_embeddings", False)),
+        norm_eps=hc.get("rms_norm_eps", 1e-5),
+    )
+
+    tensors: dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors import safe_open  # available via transformers dep
+
+        for fn in st_files:
+            with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+                for k in f.keys():
+                    tensors[k] = f.get_tensor(k)
+    else:
+        import torch
+
+        for fn in sorted(
+            f for f in os.listdir(model_dir)
+            if f.startswith("pytorch_model") and f.endswith(".bin")
+        ):
+            sd = torch.load(
+                os.path.join(model_dir, fn), map_location="cpu", weights_only=True
+            )
+            for k, v in sd.items():
+                tensors[k] = v.float().numpy()
+    if not tensors:
+        raise FileNotFoundError(f"no weight files in {model_dir}")
+
+    def t(name):
+        return np.asarray(tensors[name], np.float32)
+
+    L = cfg.n_layers
+    hd = cfg.head_size
+
+    def layer(fmt):
+        return np.stack([t(fmt.format(l)) for l in range(L)])
+
+    wq = np.stack([
+        _unpermute(t(f"model.layers.{l}.self_attn.q_proj.weight"),
+                   cfg.n_heads, cfg.dim, cfg.dim)
+        for l in range(L)
+    ])
+    wk = np.stack([
+        _unpermute(t(f"model.layers.{l}.self_attn.k_proj.weight"),
+                   cfg.n_kv_heads, cfg.n_kv_heads * hd, cfg.dim)
+        for l in range(L)
+    ])
+
+    tok_emb = t("model.embed_tokens.weight")
+    wcls = (
+        tok_emb
+        if cfg.shared_classifier or "lm_head.weight" not in tensors
+        else t("lm_head.weight")
+    )
+    return cfg, LlamaWeights(
+        tok_emb=tok_emb,
+        rms_att=layer("model.layers.{}.input_layernorm.weight"),
+        wq=wq,
+        wk=wk,
+        wv=layer("model.layers.{}.self_attn.v_proj.weight"),
+        wo=layer("model.layers.{}.self_attn.o_proj.weight"),
+        rms_ffn=layer("model.layers.{}.post_attention_layernorm.weight"),
+        w1=layer("model.layers.{}.mlp.gate_proj.weight"),
+        w2=layer("model.layers.{}.mlp.down_proj.weight"),
+        w3=layer("model.layers.{}.mlp.up_proj.weight"),
+        rms_final=t("model.norm.weight"),
+        wcls=wcls,
+    )
+
+
+def load_meta_llama(ckpt_dir: str) -> tuple[ModelConfig, LlamaWeights]:
+    """Load Meta's original release format (params.json + consolidated.*.pth),
+    concatenating model-parallel shards (export.py:356-420 behavior)."""
+    import torch
+
+    with open(os.path.join(ckpt_dir, "params.json")) as f:
+        p = json.load(f)
+    shards = sorted(
+        f for f in os.listdir(ckpt_dir)
+        if f.startswith("consolidated.") and f.endswith(".pth")
+    )
+    states = [
+        torch.load(os.path.join(ckpt_dir, s), map_location="cpu", weights_only=True)
+        for s in shards
+    ]
+
+    def cat(name, dim):
+        ts = [st[name].float() for st in states]
+        return (ts[0] if len(ts) == 1 else torch.cat(ts, dim=dim)).numpy()
+
+    n_heads = p["n_heads"]
+    n_kv_heads = p.get("n_kv_heads", n_heads)
+    dim = p["dim"]
+    tok_emb = cat("tok_embeddings.weight", 1)
+    w1_0 = cat("layers.0.feed_forward.w1.weight", 0)
+    L = p["n_layers"]
+    cfg = ModelConfig(
+        dim=dim,
+        hidden_dim=w1_0.shape[0],
+        n_layers=L,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        vocab_size=tok_emb.shape[0],
+        seq_len=2048,
+        shared_classifier=False,
+        norm_eps=p.get("norm_eps", 1e-5),
+    )
+
+    def layer(fmt, dim_):
+        return np.stack([cat(fmt.format(l), dim_) for l in range(L)])
+
+    return cfg, LlamaWeights(
+        tok_emb=tok_emb,
+        rms_att=layer("layers.{}.attention_norm.weight", 0),
+        wq=layer("layers.{}.attention.wq.weight", 0),
+        wk=layer("layers.{}.attention.wk.weight", 0),
+        wv=layer("layers.{}.attention.wv.weight", 0),
+        wo=layer("layers.{}.attention.wo.weight", 1),
+        rms_ffn=layer("layers.{}.ffn_norm.weight", 0),
+        w1=layer("layers.{}.feed_forward.w1.weight", 0),
+        w2=layer("layers.{}.feed_forward.w2.weight", 1),
+        w3=layer("layers.{}.feed_forward.w3.weight", 0),
+        rms_final=cat("norm.weight", 0),
+        wcls=cat("output.weight", 0),
+    )

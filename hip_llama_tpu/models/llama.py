@@ -120,11 +120,14 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Arr
     """Write one new KV row per slot for ALL layers at once: rows (L, B, KVH,
     HS) into cache (B, L, KVH, S, HS) at (b, :, :, pos[b]).
 
-    Done OUTSIDE the layer scan with one dynamic_update_slice per slot
-    (static Python loop over the fixed batch) — a windowed in-place write,
-    not a scatter. TPU scatters from vmapped updates inside the loop cost
-    ~120 us each (~7.5 ms/step at 7B); this costs ~none. The analog of the
-    reference's fused KV-scatter GEMV addressing (thaBLAS.cpp:191-228)."""
+    Done OUTSIDE the layer scan, via the in-place Pallas DMA writer on TPU
+    (ops/cache.py — the XLA dynamic-update-slice chain materialized
+    whole-cache copies, ~5 ms/step at 7B). The analog of the reference's
+    fused KV-scatter GEMV addressing (thaBLAS.cpp:191-228)."""
+    if jax.default_backend() != "cpu":
+        from hip_llama_tpu.ops.cache import kv_write_rows
+
+        return kv_write_rows(cache, rows, pos)
     b = cache.shape[0]
     upd = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
     for i in range(b):

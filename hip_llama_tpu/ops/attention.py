@@ -42,15 +42,15 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _decode_kernel(
     layer_ref,  # (1,) int32 scalar-prefetch: layer index
     pos_ref,  # (B,) int32 scalar-prefetch: per-slot position
-    q_ref,  # (1, 1, M, HS)
-    k_ref,  # (1, 1, 1, BK, HS) block of the full K cache
+    q_ref,  # (1, G, M, HS) — G kv-heads per grid step
+    k_ref,  # (1, 1, G, BK, HS) block of the full K cache
     v_ref,
-    kc_ref,  # (1, 1, 1, HS) current token K
+    kc_ref,  # (1, G, 1, HS) current token K
     vc_ref,
-    o_ref,  # (1, 1, M, HS)
-    m_scr,  # (M, 128) f32
-    l_scr,  # (M, 128) f32
-    acc_scr,  # (M, HS) f32
+    o_ref,  # (1, G, M, HS)
+    m_scr,  # (G, M, 128) f32
+    l_scr,  # (G, M, 128) f32
+    acc_scr,  # (G, M, HS) f32
     *,
     block_k: int,
     n_blocks: int,
@@ -68,55 +68,59 @@ def _decode_kernel(
 
     @pl.when(i * block_k < pos)
     def _block():
-        k = k_ref[0, 0, 0]  # (BK, HS)
-        q = q_ref[0, 0].astype(k.dtype)  # (M, HS) — match cache dtype for MXU
+        k = k_ref[0, 0]  # (G, BK, HS)
+        q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
         s = (
             jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
             )
             * scale
-        )  # (M, BK)
-        t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        )  # (G, M, BK)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
         s = jnp.where(t_idx < pos, s, MASK_VALUE)
 
-        m_prev = m_scr[:, :1]  # (M, 1), all lanes equal
-        l_prev = l_scr[:, :1]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_scr[:, :, :1]  # (G, M, 1), all lanes equal
+        l_prev = l_scr[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)  # (M, BK)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_next)  # (G, M, BK)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0, 0, 0]  # (BK, HS)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        v = v_ref[0, 0]  # (G, BK, HS)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(i == n_blocks - 1)
     def _final():
         # fold in the current token (always valid: history is 0..pos-1,
         # this token sits at `pos`), then normalize and store.
-        q = q_ref[0, 0]  # (M, HS)
-        kc = kc_ref[0, 0].astype(q.dtype)  # (1, HS)
-        vc = vc_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0]  # (G, M, HS)
+        kc = kc_ref[0].astype(q.dtype)  # (G, 1, HS)
+        vc = vc_ref[0].astype(jnp.float32)
         s_cur = (
             jax.lax.dot_general(
-                q, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
             )
             * scale
-        )  # (M, 1)
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
+        )  # (G, M, 1)
+        m_prev = m_scr[:, :, :1]
+        l_prev = l_scr[:, :, :1]
         m_next = jnp.maximum(m_prev, s_cur)
         alpha = jnp.exp(m_prev - m_next)
-        p_cur = jnp.exp(s_cur - m_next)  # (M, 1)
+        p_cur = jnp.exp(s_cur - m_next)  # (G, M, 1)
         l_next = alpha * l_prev + p_cur
-        acc = acc_scr[:] * alpha + jax.lax.dot(
-            p_cur, vc, preferred_element_type=jnp.float32
+        acc = acc_scr[:] * alpha + jax.lax.dot_general(
+            p_cur, vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
-        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
 
 def _decode_kernel_paged(layer_ref, pos_ref, pt_ref, *rest, **kw):
@@ -322,9 +326,19 @@ def attention_decode_pallas(
         from hip_llama_tpu.models.llama import attention_decode_xla
 
         return attention_decode_xla(q, k_cache, v_cache, layer, pos, k_cur, v_cur)
-    bk = block_k or _pick_block_k(s)
+    bk = block_k or _pick_block_k(s, target=1024)
     n_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
+    # batch KV heads per grid step so each step streams >=~512 KB (grid-step
+    # overhead swamps tiny tiles at kv_mul=1: 7B MHA had 512 steps/layer)
+    g_blk = 1
+    target_bytes = 512 * 1024
+    while (
+        g_blk < kvh
+        and kvh % (g_blk * 2) == 0
+        and g_blk * bk * hs * k_cache.dtype.itemsize < target_bytes
+    ):
+        g_blk *= 2
 
     qs = q.reshape(b, kvh, kv_mul, hs)
     kc4 = k_cur.reshape(b, kvh, 1, hs)
@@ -345,19 +359,19 @@ def attention_decode_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, kvh, n_blocks),
+        grid=(b, kvh // g_blk, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, kv_mul, hs), q_map),
-            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, hs), cur_map),
-            pl.BlockSpec((1, 1, 1, hs), cur_map),
+            pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
+            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
+            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
+            pl.BlockSpec((1, g_blk, 1, hs), cur_map),
+            pl.BlockSpec((1, g_blk, 1, hs), cur_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+        out_specs=pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
         scratch_shapes=[
-            pltpu.VMEM((kv_mul, 128), jnp.float32),
-            pltpu.VMEM((kv_mul, 128), jnp.float32),
-            pltpu.VMEM((kv_mul, hs), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, hs), jnp.float32),
         ],
     )
 
@@ -440,9 +454,9 @@ def attention_decode_paged(
         ],
         out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
         scratch_shapes=[
-            pltpu.VMEM((kv_mul, 128), jnp.float32),
-            pltpu.VMEM((kv_mul, 128), jnp.float32),
-            pltpu.VMEM((kv_mul, hs), jnp.float32),
+            pltpu.VMEM((1, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((1, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((1, kv_mul, hs), jnp.float32),
         ],
     )
     kernel = functools.partial(

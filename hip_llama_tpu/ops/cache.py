@@ -1,0 +1,98 @@
+"""In-place KV cache row writer.
+
+Writes one token's K/V rows (all layers, all heads) per slot into the cache
+at each slot's position — the hot-path cache update of every decode step.
+
+Done as a Pallas kernel with `input_output_aliases` + explicit DMAs so the
+update is GUARANTEED in-place: the XLA dynamic-update-slice chain this
+replaces materialized whole-cache copies (~5 ms/step at 7B — measured with
+tools/profile_step.py), the TPU equivalent of the reference's fused
+KV-scatter addressing in its QKV GEMV (thaBLAS.cpp:191-228).
+
+TPU DMAs require slices aligned to the buffer tiling, so a single position
+row can't be DMA'd directly; instead each slot read-modify-writes a small
+tile-aligned window around `pos`: window -> VMEM, vector-select the new row
+in, window -> HBM. Traffic is W rows per slot (~100 KB/step at 7B) instead
+of the whole cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sublane_window(dtype) -> int:
+    # max sublane tile Mosaic may pick: 8 * (4 / itemsize)
+    return max(8, (8 * 4) // jnp.dtype(dtype).itemsize)
+
+
+def _kv_write_kernel(
+    pos_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems, *, batch, window, s
+):
+    del cache_in_ref  # aliased with cache_out
+    for b in range(batch):
+        pos = pos_ref[b]
+        start = pl.multiple_of(
+            jnp.minimum((pos // window) * window, s - window), window
+        )
+        off = pos - start
+        ld = pltpu.make_async_copy(
+            cache_out_ref.at[b, :, :, pl.ds(start, window), :],
+            scratch.at[b % 2],
+            sems.at[b % 2],
+        )
+        ld.start()
+        ld.wait()
+        win = scratch[b % 2]  # (L, KVH, W, HS)
+        sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+        new = rows_ref[b][:, :, None, :]  # (L, KVH, 1, HS)
+        scratch[b % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
+        st = pltpu.make_async_copy(
+            scratch.at[b % 2],
+            cache_out_ref.at[b, :, :, pl.ds(start, window), :],
+            sems.at[b % 2],
+        )
+        st.start()
+        st.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def kv_write_rows(
+    cache: jax.Array,  # (B, L, KVH, S, HS) — donated, updated in place
+    rows: jax.Array,  # (L, B, KVH, HS) — this step's K (or V) rows
+    pos: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n_layers, kvh, s, hs = cache.shape
+    w = min(_sublane_window(cache.dtype), s)
+    rows4 = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (B, L, KVH, HS)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cache
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_layers, kvh, w, hs), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kv_write_kernel, batch=b, window=w, s=s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},  # cache input (after pos, rows) -> output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pos, rows4, cache)

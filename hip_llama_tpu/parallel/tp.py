@@ -1,0 +1,154 @@
+"""Explicit-SPMD tensor-parallel decode/prefill via shard_map.
+
+Complements parallel/sharding.py (pjit auto-partitioning): Pallas kernels —
+the fused Q8_0 matmul and the flash attention kernels — cannot be
+auto-partitioned by XLA, so the tensor-parallel int8 path runs the whole
+step as manual SPMD: every device executes the SAME step code on its LOCAL
+weight/KV shards (the `_mm` dispatch is oblivious to sharding), with exactly
+two psums per layer (after Wo and after W2, the Megatron pattern) and one
+all-gather for the vocab-sharded logits.
+
+Sharding layout (same as sharding.py):
+- wq/wk/wv, w1/w3: output dim on "tp" (column-parallel, no comms in)
+- wo, w2: input dim on "tp" (row-parallel, psum after)
+- KV cache: kv-head dim on "tp"; attention is fully local (GQA co-location)
+- wcls: vocab on "tp"; logits all-gathered
+- batch optionally on "dp" (replica groups, zero comms at inference)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hip_llama_tpu.config import ModelConfig
+from hip_llama_tpu.models.llama import (
+    KVCache,
+    _act_dtype,
+    _embed,
+    _mm,
+    _write_kv_rows,
+    rmsnorm,
+    rope,
+)
+from hip_llama_tpu.models.params import LlamaParams, QuantLlamaParams
+from hip_llama_tpu.ops.quant import QTensor
+
+
+def _param_specs(params) -> object:
+    """PartitionSpec pytree for dense or quantized params."""
+    col = P(None, None, "tp")  # (L, K, N): shard N
+    row = P(None, "tp", None)  # (L, K, N): shard K
+    if isinstance(params, QuantLlamaParams):
+        def qspec(spec):
+            return QTensor(q=spec, s=spec)  # q and s shard identically
+
+        return QuantLlamaParams(
+            tok_emb_q=P(), tok_emb_s=P(), rms_att=P(),
+            wq=qspec(col), wk=qspec(col), wv=qspec(col), wo=qspec(row),
+            rms_ffn=P(), w1=qspec(col), w2=qspec(row), w3=qspec(col),
+            rms_final=P(), wcls=QTensor(q=P(None, "tp"), s=P(None, "tp")),
+        )
+    return LlamaParams(
+        tok_emb=P(), rms_att=P(),
+        wq=col, wk=col, wv=col, wo=row,
+        rms_ffn=P(), w1=col, w2=row, w3=col,
+        rms_final=P(), wcls=P(None, "tp"),
+    )
+
+
+def tp_shardings(params, mesh: Mesh):
+    """NamedShardings to place params/cache for the shard_map TP step."""
+    specs = _param_specs(params)
+    p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+    cache_sh = KVCache(
+        k=NamedSharding(mesh, P("dp", None, "tp", None, None)),
+        v=NamedSharding(mesh, P("dp", None, "tp", None, None)),
+    )
+    return p_sh, cache_sh
+
+
+def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
+                        attn_impl: str = "pallas", precision: str = "default"):
+    """Returns step(params, cache, tokens (B,), pos (B,)) -> (logits, cache).
+
+    `params_like` (dense LlamaParams or QuantLlamaParams) fixes the pytree
+    structure for the in_specs. tp must divide n_kv_heads, hidden_dim, dim,
+    vocab; dp must divide batch.
+    """
+    c = cfg
+    tp = mesh.shape["tp"]
+    assert c.n_kv_heads % tp == 0 and c.vocab_size % tp == 0
+    p_specs = _param_specs(params_like)
+
+    def spmd(params, k_cache, v_cache, tokens, pos):
+        # local shapes: heads/tp, hidden/tp on the sharded dims
+        x = _embed(params, tokens, _act_dtype(params))
+        b = x.shape[0]
+        n_heads_l = c.n_heads // tp
+        n_kv_l = c.n_kv_heads // tp
+
+        layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
+            params.rms_att, params.wq, params.wk, params.wv, params.wo,
+            params.rms_ffn, params.w1, params.w2, params.w3,
+        )
+
+        def layer(carry, xs):
+            x = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = _mm(xb, wq).reshape(b, n_heads_l, c.head_size)
+            k = _mm(xb, wk).reshape(b, n_kv_l, c.head_size)
+            v = _mm(xb, wv).reshape(b, n_kv_l, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+            if attn_impl == "pallas":
+                from hip_llama_tpu.ops.attention import attention_decode_pallas
+
+                att = attention_decode_pallas(q, k_cache, v_cache, l, pos, k, v)
+            else:
+                from hip_llama_tpu.models.llama import attention_decode_xla
+
+                att = attention_decode_xla(q, k_cache, v_cache, l, pos, k, v)
+            att = att.reshape(b, n_heads_l * c.head_size)
+            # row-parallel Wo: local partial + psum (the Megatron all-reduce)
+            x = x + lax.psum(_mm(att, wo), "tp")
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + lax.psum(_mm(h, w2), "tp")
+            return x, (k, v)
+
+        x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
+        new_k = _write_kv_rows(k_cache, k_rows, pos)
+        new_v = _write_kv_rows(v_cache, v_rows, pos)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits_l = _mm(x, params.wcls).astype(jnp.float32)  # (B, V/tp)
+        logits = lax.all_gather(logits_l, "tp", axis=1, tiled=True)
+        return logits, new_k, new_v
+
+    f = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(
+            p_specs,
+            P("dp", None, "tp", None, None),
+            P("dp", None, "tp", None, None),
+            P("dp"),
+            P("dp"),
+        ),
+        out_specs=(P("dp"), P("dp", None, "tp", None, None),
+                   P("dp", None, "tp", None, None)),
+        check_vma=False,
+    )
+
+    def step(params, cache: KVCache, tokens, pos):
+        with jax.default_matmul_precision(precision):
+            logits, k, v = f(params, cache.k, cache.v, tokens, pos)
+        return logits, KVCache(k, v)
+
+    return step

@@ -1,0 +1,75 @@
+"""HF checkpoint import + architecture oracle: our JAX forward must match
+transformers' LlamaForCausalLM logits on the same weights (validates the
+RoPE convention / GQA / norm placement end to end — the strongest available
+independent oracle; the reference used its CPU engine the same way,
+SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from conftest import assert_close
+from hip_llama_tpu.io.hf import load_hf_llama
+from hip_llama_tpu.models import init_kv_cache, make_decode_step, params_from_weights
+from hip_llama_tpu.train.model import make_train_forward
+
+
+@pytest.fixture(scope="module")
+def hf_dir(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        hidden_size=64,
+        intermediate_size=172,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg)
+    d = tmp_path_factory.mktemp("hf_llama")
+    model.save_pretrained(d, safe_serialization=False)
+    return str(d), model
+
+
+def test_hf_import_matches_transformers(hf_dir):
+    path, hf_model = hf_dir
+    cfg, w = load_hf_llama(path)
+    assert cfg.dim == 64 and cfg.n_kv_heads == 2 and not cfg.shared_classifier
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.vocab_size, (2, 10)).astype(np.int64)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(toks)).logits.float().numpy()
+
+    params = params_from_weights(w, dtype=jnp.float32)
+    fwd = jax.jit(make_train_forward(cfg, precision="highest"))
+    got = np.asarray(fwd(params, jnp.asarray(toks, jnp.int32)))
+    assert_close(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_hf_import_decode_path(hf_dir):
+    """Step-by-step decode on imported weights matches HF's full forward."""
+    path, hf_model = hf_dir
+    cfg, w = load_hf_llama(path)
+    params = params_from_weights(w, dtype=jnp.float32)
+    step = jax.jit(make_decode_step(cfg))
+    cache = init_kv_cache(cfg, 1)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int64)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(toks)).logits.float().numpy()
+    for p in range(8):
+        logits, cache = step(
+            params, cache, jnp.asarray(toks[:, p], jnp.int32),
+            jnp.full((1,), p, jnp.int32),
+        )
+        assert_close(np.asarray(logits), want[:, p], atol=2e-3, rtol=2e-3,
+                     msg=f"pos {p}")

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Checkpoint converter CLI — parity with the reference's exporter
+(train/export.py:492-567 argument contract: version selects the output
+format; input may be a llama2.c .bin, a HF model dir, or a Meta ckpt dir).
+
+Usage:
+  python tools/export.py out.bin --version 0|1|2 \
+      [--checkpoint model.bin | --hf hf_dir | --meta meta_dir] \
+      [--group-size 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from hip_llama_tpu.io.checkpoint import (
+    LlamaWeights,
+    load_checkpoint,
+    write_v0,
+    write_v1,
+    write_v2,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("filepath", help="output .bin")
+    ap.add_argument("--version", type=int, default=0, choices=[0, 1, 2])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="input llama2.c .bin (v0/v1/v2)")
+    src.add_argument("--hf", help="input HuggingFace model dir")
+    src.add_argument("--meta", help="input Meta llama ckpt dir")
+    ap.add_argument("--group-size", type=int, default=64)
+    args = ap.parse_args()
+
+    if args.checkpoint:
+        cfg, w = load_checkpoint(args.checkpoint)
+        if not isinstance(w, LlamaWeights):
+            from hip_llama_tpu.io.checkpoint import QuantWeights  # noqa: F401
+            from hip_llama_tpu.models.params import params_from_quant_dequant
+
+            # dequantize a v2 input back to dense for re-export
+            import numpy as np
+
+            p = params_from_quant_dequant(cfg, w)
+            w = LlamaWeights(
+                tok_emb=np.asarray(p.tok_emb),
+                rms_att=np.asarray(p.rms_att),
+                wq=np.swapaxes(np.asarray(p.wq), 1, 2),
+                wk=np.swapaxes(np.asarray(p.wk), 1, 2),
+                wv=np.swapaxes(np.asarray(p.wv), 1, 2),
+                wo=np.swapaxes(np.asarray(p.wo), 1, 2),
+                rms_ffn=np.asarray(p.rms_ffn),
+                w1=np.swapaxes(np.asarray(p.w1), 1, 2),
+                w2=np.swapaxes(np.asarray(p.w2), 1, 2),
+                w3=np.swapaxes(np.asarray(p.w3), 1, 2),
+                rms_final=np.asarray(p.rms_final),
+                wcls=np.asarray(p.wcls).T,
+            )
+    elif args.hf:
+        from hip_llama_tpu.io.hf import load_hf_llama
+
+        cfg, w = load_hf_llama(args.hf)
+    else:
+        from hip_llama_tpu.io.hf import load_meta_llama
+
+        cfg, w = load_meta_llama(args.meta)
+
+    if args.version == 0:
+        write_v0(args.filepath, cfg, w)
+    elif args.version == 1:
+        write_v1(args.filepath, cfg, w)
+    else:
+        err = write_v2(args.filepath, cfg, w, group_size=args.group_size)
+        print(f"max quantization group error: {err:.6f}")
+    print(f"wrote {args.filepath} (version {args.version})")
+
+
+if __name__ == "__main__":
+    main()

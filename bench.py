@@ -119,9 +119,14 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--attn", default="xla", choices=["xla", "pallas"])
-    ap.add_argument("--quant", default=None, choices=[None, "q8"])
+    ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument(
+        "--quant", default="q8", choices=["none", "q8"],
+        help="default q8: the north-star metric is 7B INT8 decode (BASELINE.md)",
+    )
     args = ap.parse_args()
+    if args.quant == "none":
+        args.quant = None
 
     cfg = CONFIGS[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -21,6 +21,7 @@ src/thaDNN.cpp:13-81):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -75,6 +76,35 @@ def _mm(x: jax.Array, w) -> jax.Array:
         y = q8_matmul(x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype)
         return y.reshape(*lead, y.shape[-1])
     return x @ w
+
+
+_LAYERED_Q8 = os.environ.get("HIPLLAMA_LAYERED_Q8", "0") == "1"
+
+
+def _mm_layer(x: jax.Array, w, l: jax.Array) -> jax.Array:
+    """Layer-selecting matmul for use INSIDE the layer scan.
+
+    Default: slice the layer and use the 2-D kernels — XLA's per-layer
+    operand copies for the pallas path overlap well enough that this is the
+    fastest measured config (292 tok/s at 7B int8). HIPLLAMA_LAYERED_Q8=1
+    instead routes the layer index into the q8 kernel's BlockSpec index map
+    (zero-copy but worse kernel pipelining: 226 tok/s measured)."""
+    if isinstance(w, QTensor):
+        if _LAYERED_Q8:
+            from hip_llama_tpu.ops.quant import q8_matmul_layered
+
+            lead = x.shape[:-1]
+            y = q8_matmul_layered(
+                x.reshape(-1, x.shape[-1]), w, l, out_dtype=x.dtype
+            )
+            return y.reshape(*lead, y.shape[-1])
+        wl = QTensor(
+            q=lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
+            s=lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False),
+        )
+        return _mm(x, wl)
+    wl = lax.dynamic_index_in_dim(w, l, 0, keepdims=False)
+    return x @ wl
 
 
 def _embed(params, tokens: jax.Array, act_dtype) -> jax.Array:
@@ -225,6 +255,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         x = _embed(params, tokens, _act_dtype(params))  # (B, D) gather
         b = x.shape[0]
 
+        # weights ride in the scan xs: the scan's per-iteration slicing is
+        # double-buffered by XLA (measured faster than both explicit
+        # dynamic_index and the layered-kernel zero-copy variant)
         layer_xs = (
             jnp.arange(c.n_layers, dtype=jnp.int32),
             params.rms_att,

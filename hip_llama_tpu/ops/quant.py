@@ -81,6 +81,12 @@ def q8_matmul_xla(x: jax.Array, qt: QTensor) -> jax.Array:
     return jnp.einsum("bgn,gn->bn", partial, qt.s).astype(x.dtype)
 
 
+def _q8_kernel_layered(layer_ref, *rest, **kw):
+    # the layer index is consumed by the BlockSpec index maps only
+    del layer_ref
+    _q8_kernel(*rest, **kw)
+
+
 def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
     dequant_mode: str = "reshape",
@@ -91,16 +97,17 @@ def _q8_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # scales arrive pre-blocked as (K//BK, n_groups, N) so the BlockSpec's
-    # middle dim equals the array dim (always a legal tile, any n_groups)
-    s = s_ref[0]  # (n_groups, BN)
+    # scales arrive pre-blocked as (..., K//BK, n_groups, N) so the
+    # BlockSpec's group dim equals the array dim (legal tile, any n_groups);
+    # collapse any leading layer/block singleton dims (free reshapes)
+    s = s_ref[...].reshape(n_groups, s_ref.shape[-1])  # (n_groups, BN)
     if dequant_mode == "group_dot":
         # scale AFTER the matmul: the weight tile costs ONE VPU pass
         # (int8->bf16); per-group partial dots run batched on the MXU and
         # the rescale touches only (n_groups, B, BN) — ~gs x less VPU work
         # than scaling the whole tile. Exactly runq's grouped accumulation
         # order (runq.c:332-337) with bf16 activations.
-        w = q_ref[:].astype(jnp.bfloat16)  # (BK, BN) — 1 VPU pass
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.bfloat16)  # (BK, BN) — 1 VPU pass
         bk, bn = w.shape
         b = x_ref.shape[0]
         w3 = w.reshape(n_groups, gs, bn)  # sublane-split: layout-free
@@ -117,14 +124,14 @@ def _q8_kernel(
     elif dequant_mode == "repeat":
         # expand scales across each group's sublanes (no relayout of the
         # big weight tile — the reshape variant physically re-tiles it twice)
-        w = q_ref[:].astype(jnp.bfloat16)  # (BK, BN)
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.bfloat16)  # (BK, BN)
         s_rep = pltpu.repeat(s.astype(jnp.bfloat16), gs, axis=0)  # (BK, BN)
         w = w * s_rep
         acc_ref[:] += jnp.dot(
             x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
         )
     else:
-        w = q_ref[:].astype(jnp.float32)  # (BK, BN)
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)  # (BK, BN)
         bk, bn = w.shape
         w = w.reshape(n_groups, gs, bn) * s[:, None, :]
         w = w.reshape(bk, bn).astype(jnp.bfloat16)
@@ -212,3 +219,80 @@ def q8_matmul(
         ),
         interpret=interpret,
     )(x, qt.q, s_blocked)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "dequant_mode"),
+)
+def q8_matmul_layered(
+    x: jax.Array,
+    qt: QTensor,  # STACKED: q (L, K, N), s (L, K//gs, N)
+    layer: jax.Array,  # () int32
+    *,
+    block_n: int = _ENV_BLOCK_N,
+    block_k: int = _ENV_BLOCK_K,
+    interpret: bool | None = None,
+    out_dtype=None,
+    dequant_mode: str = _ENV_MODE,
+) -> jax.Array:
+    """x (B, K) @ dequant(q[layer]) -> (B, N), selecting the layer via a
+    scalar-prefetched BlockSpec index — used inside the layer scan so XLA
+    never materializes a per-layer copy of the int8 weights (a dynamic-slice
+    feeding a pallas_call operand is a real copy: ~8.9 ms/step at 7B,
+    measured with tools/profile_step.py)."""
+    b, k = x.shape
+    n_layers, kq, n = qt.q.shape
+    assert k == kq, (x.shape, qt.q.shape)
+    gs = qt.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    while block_k > gs and (k % block_k or block_k % gs):
+        block_k //= 2
+    if k % block_k or block_k % gs:
+        block_k = gs if k % gs == 0 else k
+    while block_n > 128 and n % block_n:
+        block_n //= 2
+    if n % block_n:
+        block_n = n
+    ok_x = block_k % 128 == 0 or block_k == k
+    ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
+    if not (ok_x and ok_w) and not interpret:
+        ql = jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(qt.s, layer, 0, keepdims=False)
+        return q8_matmul_xla(x, QTensor(q=ql, s=sl)).astype(out_dtype)
+    n_groups = block_k // gs
+    grid = (n // block_n, k // block_k)
+    s_blocked = qt.s.reshape(n_layers, k // block_k, n_groups, n)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, block_k), lambda i, j, lr: (0, j)),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, lr: (lr[0], j, i)),
+            pl.BlockSpec((1, 1, n_groups, block_n), lambda i, j, lr: (lr[0], j, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda i, j, lr: (0, i)),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _q8_kernel_layered, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
+            dequant_mode=dequant_mode,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n + (k // gs) * n * 4 + b * k * 2 + b * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_arr, x, qt.q, s_blocked)

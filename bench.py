@@ -124,7 +124,11 @@ def main():
         "--quant", default="q8", choices=["none", "q8"],
         help="default q8: the north-star metric is 7B INT8 decode (BASELINE.md)",
     )
+    ap.add_argument("--no-unroll", action="store_true",
+                    help="use the scan path instead of unrolled per-layer "
+                         "weight buffers (q8; unrolled measured 386 vs 307 tok/s)")
     args = ap.parse_args()
+    args.unroll = not args.no_unroll
     if args.quant == "none":
         args.quant = None
 
@@ -133,7 +137,11 @@ def main():
     b, window = args.batch, args.window
 
     if args.quant == "q8":
+        from hip_llama_tpu.models.params import unstack_quant_params
+
         params = rand_qparams_on_device(cfg)
+        if args.unroll:
+            params = unstack_quant_params(params)
         dtype = jnp.bfloat16  # activations / cache
     else:
         params = rand_params_on_device(cfg, dtype)

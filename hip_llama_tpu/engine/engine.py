@@ -67,6 +67,9 @@ class InferenceEngine:
         paged: bool = False,
         page_size: int = 128,
         num_pages: int | None = None,
+        custom_step=None,
+        custom_prefill=None,
+        cache_sharding=None,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -103,6 +106,18 @@ class InferenceEngine:
             pprefill = make_paged_prefill(cfg, precision=precision)
             self._paged_step = jax.jit(pstep, donate_argnums=(1,))
             self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,))
+
+        self._cache_sharding = cache_sharding
+        if custom_step is not None:
+            # externally built step (e.g. the shard_map TP step for int8,
+            # parallel/tp.py); prefill falls back to force-feeding via the
+            # step when no custom prefill is given
+            self._step = jax.jit(custom_step, donate_argnums=(1,))
+            if custom_prefill is not None:
+                self._prefill = jax.jit(custom_prefill, donate_argnums=(1,))
+            else:
+                self.use_prefill = False
+            return
 
         step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
         prefill = make_prefill(cfg, attn_impl=attn_impl, precision=precision)
@@ -141,7 +156,9 @@ class InferenceEngine:
             dtype=self.cache_dtype,
             seq_len=self.max_seq_len,
         )
-        if self.shardings is not None:
+        if self._cache_sharding is not None:
+            cache = jax.device_put(cache, self._cache_sharding)
+        elif self.shardings is not None:
             cache = jax.device_put(cache, self.shardings.cache)
         return cache
 

@@ -255,6 +255,35 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         x = _embed(params, tokens, _act_dtype(params))  # (B, D) gather
         b = x.shape[0]
 
+        if isinstance(params.wq, (tuple, list)) and not isinstance(params.wq, QTensor):
+            # UNROLLED layer loop: per-layer weight buffers, no slicing
+            # (see params.unstack_quant_params) — each pallas matmul reads
+            # its own resident buffer, zero per-step weight copies.
+            k_list, v_list = [], []
+            for l in range(c.n_layers):
+                xb = rmsnorm(x, params.rms_att[l], c.norm_eps)
+                q = _mm(xb, params.wq[l]).reshape(b, c.n_heads, c.head_size)
+                k = _mm(xb, params.wk[l]).reshape(b, c.n_kv_heads, c.head_size)
+                v = _mm(xb, params.wv[l]).reshape(b, c.n_kv_heads, c.head_size)
+                q = rope(q, pos)
+                k = rope(k, pos)
+                att_out = attn(
+                    q, cache.k, cache.v, jnp.int32(l), pos, k, v
+                ).reshape(b, c.dim)
+                x = x + _mm(att_out, params.wo[l])
+                xb = rmsnorm(x, params.rms_ffn[l], c.norm_eps)
+                h = jax.nn.silu(_mm(xb, params.w1[l])) * _mm(xb, params.w3[l])
+                x = x + _mm(h, params.w2[l])
+                k_list.append(k)
+                v_list.append(v)
+            k_rows = jnp.stack(k_list)
+            v_rows = jnp.stack(v_list)
+            new_k = _write_kv_rows(cache.k, k_rows, pos)
+            new_v = _write_kv_rows(cache.v, v_rows, pos)
+            x = rmsnorm(x, params.rms_final, c.norm_eps)
+            logits = _mm(x, params.wcls).astype(jnp.float32)
+            return logits, KVCache(new_k, new_v)
+
         # weights ride in the scan xs: the scan's per-iteration slicing is
         # double-buffered by XLA (measured faster than both explicit
         # dynamic_index and the layered-kernel zero-copy variant)
@@ -340,6 +369,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid_len[:, None]
         )  # (B, T)
 
+        unrolled = isinstance(params.wq, (tuple, list)) and not isinstance(
+            params.wq, QTensor
+        )
         layer_xs = (
             jnp.arange(c.n_layers, dtype=jnp.int32),
             params.rms_att,
@@ -351,11 +383,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             params.w1,
             params.w2,
             params.w3,
-        )
+        ) if not unrolled else None
 
-        def layer(carry, xs):
-            x, kcache, vcache = carry
-            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
+        def layer_body(x, kcache, vcache, l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3):
             xb = rmsnorm(x, rms_a, c.norm_eps)
             q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
             k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
@@ -408,9 +438,22 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
             x = x + _mm(h, w2)
-            return (x, kcache, vcache), None
+            return x, kcache, vcache
 
-        (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
+        if unrolled:
+            x_c, kc_c, vc_c = x, cache.k, cache.v
+            for l in range(c.n_layers):
+                x_c, kc_c, vc_c = layer_body(
+                    x_c, kc_c, vc_c, jnp.int32(l), params.rms_att[l],
+                    params.wq[l], params.wk[l], params.wv[l], params.wo[l],
+                    params.rms_ffn[l], params.w1[l], params.w2[l], params.w3[l],
+                )
+            x, new_k, new_v = x_c, kc_c, vc_c
+        else:
+            def layer(carry, xs):
+                return layer_body(*carry, *xs), None
+
+            (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = _mm(x, params.wcls).astype(jnp.float32)
         return logits, KVCache(new_k, new_v)

@@ -119,6 +119,28 @@ def _qt_stack(tensors, out_dim: int, in_dim: int, gs: int) -> QTensor:
     )
 
 
+def unstack_quant_params(qp: QuantLlamaParams) -> QuantLlamaParams:
+    """Convert stacked (L, K, N) weight QTensors into per-layer tuples of
+    2-D QTensors (each layer its own buffer).
+
+    Inside the decode step this selects the 'unrolled' layer loop: every
+    pallas matmul reads its weight buffer directly, with NO per-layer
+    dynamic-slice (a sliced operand feeding a pallas_call is a real copy —
+    the scan path re-reads+writes the full weight set every step)."""
+
+    def unstack(t: QTensor):
+        n_layers = t.q.shape[0]
+        return tuple(
+            QTensor(q=t.q[l], s=t.s[l]) for l in range(n_layers)
+        )
+
+    return qp._replace(
+        wq=unstack(qp.wq), wk=unstack(qp.wk), wv=unstack(qp.wv),
+        wo=unstack(qp.wo), w1=unstack(qp.w1), w2=unstack(qp.w2),
+        w3=unstack(qp.w3),
+    )
+
+
 def qparams_from_quant_weights(cfg: ModelConfig, qw: QuantWeights) -> QuantLlamaParams:
     """Load a v2 Q8_0 checkpoint straight into the fused-int8 path."""
     gs = cfg.group_size

@@ -143,6 +143,12 @@ def main(argv: list[str]) -> int:
         from hip_llama_tpu.models.params import qparams_from_quant_weights
 
         params = qparams_from_quant_weights(cfg, weights)
+    if hasattr(params, "tok_emb_q") and tp <= 1:
+        # unrolled per-layer weight buffers: no per-step weight-slice copies
+        # feeding the pallas matmuls (386 vs 307 tok/s at 7B)
+        from hip_llama_tpu.models.params import unstack_quant_params
+
+        params = unstack_quant_params(params)
     print(
         f"---------Model Information----------\n"
         f"dim: {cfg.dim}\nhidden_dim: {cfg.hidden_dim}\nn_layers: {cfg.n_layers}\n"
@@ -156,10 +162,22 @@ def main(argv: list[str]) -> int:
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
 
     shardings = None
-    if tp > 1 and not isinstance(params, LlamaWeights) and hasattr(params, "tok_emb_q"):
-        print("--tp with the Q8_0 path is not wired yet; running single-chip", file=sys.stderr)
-        tp = 1
-    if tp > 1:
+    custom_step = cache_sharding = None
+    is_quant = hasattr(params, "tok_emb_q")
+    if tp > 1 and is_quant:
+        # int8 + TP: the fused kernels aren't pjit-auto-partitionable, so
+        # run the explicit-SPMD shard_map step (parallel/tp.py)
+        from hip_llama_tpu.parallel import make_mesh
+        from hip_llama_tpu.parallel.tp import make_tp_decode_step, tp_shardings
+
+        mesh = make_mesh(tp=tp)
+        p_sh, cache_sharding = tp_shardings(params, mesh)
+        params = jax.device_put(params, p_sh)
+        custom_step = make_tp_decode_step(
+            cfg, mesh, params, attn_impl=attn_impl,
+            precision="highest" if dtype == jnp.float32 else "default",
+        )
+    elif tp > 1:
         from hip_llama_tpu.parallel import make_mesh, make_shardings, shard_params
 
         mesh = make_mesh(tp=tp)
@@ -177,6 +195,8 @@ def main(argv: list[str]) -> int:
         shardings=shardings,
         paged=paged,
         page_size=page_size,
+        custom_step=custom_step,
+        cache_sharding=cache_sharding,
     )
 
     if mode == "generate":

@@ -148,3 +148,23 @@ def test_q8_prefill_matches_stepwise(q8_cfg, q8_weights):
             qp, cache_b, jnp.asarray(toks[:, p]), jnp.full((1,), p, jnp.int32)
         )
     assert_close(logits_a[:, 7], logits_b, atol=0.15, rtol=0.05)
+
+
+def test_q8_unrolled_matches_scan(q8_cfg, q8_weights):
+    """Unrolled per-layer-buffer path == scan path (bf16 reassociation
+    tolerance — different program structures reassociate differently)."""
+    from hip_llama_tpu.models.params import unstack_quant_params
+
+    cfg = q8_cfg
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    qpu = unstack_quant_params(qp)
+    step = jax.jit(make_decode_step(cfg, precision="default"))
+    c1 = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    c2 = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for p in range(3):
+        t = jnp.asarray(rng.integers(0, cfg.vocab_size, (2,)), jnp.int32)
+        pos = jnp.full((2,), p, jnp.int32)
+        l1, c1 = step(qp, c1, t, pos)
+        l2, c2 = step(qpu, c2, t, pos)
+        assert_close(l2, l1, atol=0.05, rtol=0.02, msg=f"step {p}")

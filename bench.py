@@ -31,6 +31,10 @@ CONFIGS = {
         dim=4096, hidden_dim=11008, n_layers=32, n_heads=32, n_kv_heads=32,
         vocab_size=32000, seq_len=2048,
     ),
+    "13b": ModelConfig(
+        dim=5120, hidden_dim=13824, n_layers=40, n_heads=40, n_kv_heads=40,
+        vocab_size=32000, seq_len=2048,
+    ),
     "110m": ModelConfig(
         dim=768, hidden_dim=2048, n_layers=12, n_heads=12, n_kv_heads=12,
         vocab_size=32000, seq_len=1024,

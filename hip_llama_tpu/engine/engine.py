@@ -309,16 +309,24 @@ class InferenceEngine:
         steps: int | None = None,
         samplers: list[Sampler] | None = None,
         verbose: bool = False,
+        stats: dict | None = None,
     ) -> int:
         """Continuous-batching over a request list; fills
         `requests.generations` in place and returns the generated-token count
-        (the reference's gen_cnt, llama.cpp:1062)."""
+        (the reference's gen_cnt, llama.cpp:1062).
+
+        `stats`, if given, is filled with serving metrics: total wall time,
+        tok/s, and per-request TTFT p50/p95/max (the reference printed only
+        the aggregate tok/s, llama.cpp:1614-1615)."""
         cfg = self.cfg
         b = self.batch_size
         steps = steps or self.max_seq_len
         if samplers is None:
             # per-request fixed-seed samplers (llama.cpp:897-900)
             samplers = [request_sampler(cfg.vocab_size) for _ in requests.prompts]
+        t_start = time.perf_counter()
+        assign_time = [0.0] * requests.num_reqs
+        ttft = [None] * requests.num_reqs
 
         cache = self.new_cache(batch=b)
         bm = self.new_block_manager(batch=b)
@@ -339,6 +347,7 @@ class InferenceEngine:
                 if req_id[s] == -1:
                     if next_idx < requests.num_reqs:
                         req_id[s] = next_idx
+                        assign_time[next_idx] = time.perf_counter()
                         next_idx += 1
                         toks = self.tokenizer.encode(
                             requests.prompts[req_id[s]], bos=True, eos=False
@@ -387,6 +396,8 @@ class InferenceEngine:
                     nxt = prompt_toks[s][pos[s] + 1]
                 else:
                     nxt = samplers[req_id[s]].sample(logits_h[s])
+                    if ttft[req_id[s]] is None:
+                        ttft[req_id[s]] = time.perf_counter() - assign_time[req_id[s]]
                 pos[s] += 1
                 if nxt == BOS_ID or nxt == EOS_ID:
                     done[s] = True
@@ -413,4 +424,15 @@ class InferenceEngine:
                     if bm is not None:
                         bm.free_slot(s)
 
+        if stats is not None:
+            elapsed = time.perf_counter() - t_start
+            tt = sorted(t for t in ttft if t is not None)
+            stats.update(
+                total_tokens=gen_cnt,
+                elapsed_s=elapsed,
+                tok_per_s=gen_cnt / elapsed if elapsed > 0 else 0.0,
+                ttft_p50_s=tt[len(tt) // 2] if tt else None,
+                ttft_p95_s=tt[min(len(tt) - 1, int(len(tt) * 0.95))] if tt else None,
+                ttft_max_s=tt[-1] if tt else None,
+            )
         return gen_cnt

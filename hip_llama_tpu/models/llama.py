@@ -259,12 +259,23 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             # UNROLLED layer loop: per-layer weight buffers, no slicing
             # (see params.unstack_quant_params) — each pallas matmul reads
             # its own resident buffer, zero per-step weight copies.
+            fused = len(params.wk) == 0  # QKV / W1W3 concatenated along N
             k_list, v_list = [], []
             for l in range(c.n_layers):
                 xb = rmsnorm(x, params.rms_att[l], c.norm_eps)
-                q = _mm(xb, params.wq[l]).reshape(b, c.n_heads, c.head_size)
-                k = _mm(xb, params.wk[l]).reshape(b, c.n_kv_heads, c.head_size)
-                v = _mm(xb, params.wv[l]).reshape(b, c.n_kv_heads, c.head_size)
+                if fused:
+                    qkv = _mm(xb, params.wq[l])
+                    q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
+                    k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
+                        b, c.n_kv_heads, c.head_size
+                    )
+                    v = qkv[:, c.dim + c.kv_dim :].reshape(
+                        b, c.n_kv_heads, c.head_size
+                    )
+                else:
+                    q = _mm(xb, params.wq[l]).reshape(b, c.n_heads, c.head_size)
+                    k = _mm(xb, params.wk[l]).reshape(b, c.n_kv_heads, c.head_size)
+                    v = _mm(xb, params.wv[l]).reshape(b, c.n_kv_heads, c.head_size)
                 q = rope(q, pos)
                 k = rope(k, pos)
                 att_out = attn(
@@ -272,7 +283,11 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 ).reshape(b, c.dim)
                 x = x + _mm(att_out, params.wo[l])
                 xb = rmsnorm(x, params.rms_ffn[l], c.norm_eps)
-                h = jax.nn.silu(_mm(xb, params.w1[l])) * _mm(xb, params.w3[l])
+                if fused:
+                    h13 = _mm(xb, params.w1[l])
+                    h = jax.nn.silu(h13[:, : c.hidden_dim]) * h13[:, c.hidden_dim :]
+                else:
+                    h = jax.nn.silu(_mm(xb, params.w1[l])) * _mm(xb, params.w3[l])
                 x = x + _mm(h, params.w2[l])
                 k_list.append(k)
                 v_list.append(v)
@@ -387,9 +402,19 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
         def layer_body(x, kcache, vcache, l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3):
             xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
-            k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
-            v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
+            if wk is None:  # fused QKV (wq holds the concatenated weight)
+                qkv = _mm(xb, wq)
+                q = qkv[..., : c.dim].reshape(b, t, c.n_heads, c.head_size)
+                k = qkv[..., c.dim : c.dim + c.kv_dim].reshape(
+                    b, t, c.n_kv_heads, c.head_size
+                )
+                v = qkv[..., c.dim + c.kv_dim :].reshape(
+                    b, t, c.n_kv_heads, c.head_size
+                )
+            else:
+                q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
+                k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
+                v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
 
@@ -436,17 +461,28 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
             x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            if w3 is None:  # fused W1/W3 (w1 holds the concatenated weight)
+                h13 = _mm(xb, w1)
+                h = jax.nn.silu(h13[..., : c.hidden_dim]) * h13[..., c.hidden_dim :]
+            else:
+                h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
             x = x + _mm(h, w2)
             return x, kcache, vcache
 
         if unrolled:
+            fused = len(params.wk) == 0
             x_c, kc_c, vc_c = x, cache.k, cache.v
             for l in range(c.n_layers):
                 x_c, kc_c, vc_c = layer_body(
                     x_c, kc_c, vc_c, jnp.int32(l), params.rms_att[l],
-                    params.wq[l], params.wk[l], params.wv[l], params.wo[l],
-                    params.rms_ffn[l], params.w1[l], params.w2[l], params.w3[l],
+                    params.wq[l],
+                    None if fused else params.wk[l],
+                    None if fused else params.wv[l],
+                    params.wo[l],
+                    params.rms_ffn[l],
+                    params.w1[l],
+                    params.w2[l],
+                    None if fused else params.w3[l],
                 )
             x, new_k, new_v = x_c, kc_c, vc_c
         else:

@@ -119,14 +119,19 @@ def _qt_stack(tensors, out_dim: int, in_dim: int, gs: int) -> QTensor:
     )
 
 
-def unstack_quant_params(qp: QuantLlamaParams) -> QuantLlamaParams:
+def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaParams:
     """Convert stacked (L, K, N) weight QTensors into per-layer tuples of
     2-D QTensors (each layer its own buffer).
 
     Inside the decode step this selects the 'unrolled' layer loop: every
     pallas matmul reads its weight buffer directly, with NO per-layer
     dynamic-slice (a sliced operand feeding a pallas_call is a real copy —
-    the scan path re-reads+writes the full weight set every step)."""
+    the scan path re-reads+writes the full weight set every step).
+
+    With fuse=True, Q/K/V concatenate along N into one matmul per layer and
+    W1/W3 likewise (7 -> 4 kernel launches per layer; groups run along K so
+    the quantization is bit-identical). The step splits the outputs. Fused
+    weights are stored in `wq` / `w1`; `wk`/`wv`/`w3` become empty tuples."""
 
     def unstack(t: QTensor):
         n_layers = t.q.shape[0]
@@ -134,10 +139,28 @@ def unstack_quant_params(qp: QuantLlamaParams) -> QuantLlamaParams:
             QTensor(q=t.q[l], s=t.s[l]) for l in range(n_layers)
         )
 
+    if not fuse:
+        return qp._replace(
+            wq=unstack(qp.wq), wk=unstack(qp.wk), wv=unstack(qp.wv),
+            wo=unstack(qp.wo), w1=unstack(qp.w1), w2=unstack(qp.w2),
+            w3=unstack(qp.w3),
+        )
+
+    n_layers = qp.wq.q.shape[0]
+
+    def cat(*ts: QTensor, l: int) -> QTensor:
+        return QTensor(
+            q=jnp.concatenate([t.q[l] for t in ts], axis=-1),
+            s=jnp.concatenate([t.s[l] for t in ts], axis=-1),
+        )
+
+    wqkv = tuple(cat(qp.wq, qp.wk, qp.wv, l=l) for l in range(n_layers))
+    w13 = tuple(cat(qp.w1, qp.w3, l=l) for l in range(n_layers))
     return qp._replace(
-        wq=unstack(qp.wq), wk=unstack(qp.wk), wv=unstack(qp.wv),
-        wo=unstack(qp.wo), w1=unstack(qp.w1), w2=unstack(qp.w2),
-        w3=unstack(qp.w3),
+        wq=wqkv, wk=(), wv=(),
+        wo=unstack(qp.wo),
+        w1=w13, w3=(),
+        w2=unstack(qp.w2),
     )
 
 

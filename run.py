@@ -215,13 +215,23 @@ def main(argv: list[str]) -> int:
             error_usage()
         requests = read_inputfile(input_filename)
         start = time.perf_counter()
-        num_gen_tokens = engine.serve(requests, steps=cfg.seq_len, verbose=True)
+        stats: dict = {}
+        num_gen_tokens = engine.serve(
+            requests, steps=cfg.seq_len, verbose=True, stats=stats
+        )
         end = time.perf_counter()
         print(f"Total achieved token: {num_gen_tokens}")
         print(
             f"elapsed time(s): {end-start:.6f}, "
             f"achieved throughput(tok/s): {num_gen_tokens/(end-start):.6f}"
         )
+        if stats.get("ttft_p50_s") is not None:
+            print(
+                f"ttft p50: {stats['ttft_p50_s']*1000:.1f} ms, "
+                f"p95: {stats['ttft_p95_s']*1000:.1f} ms, "
+                f"max: {stats['ttft_max_s']*1000:.1f} ms",
+                file=sys.stderr,
+            )
         write_outputfile(output_filename, requests)
     else:
         print(f"unknown mode: {mode}", file=sys.stderr)

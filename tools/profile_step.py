@@ -35,7 +35,9 @@ def main():
 
     cfg = CONFIGS[args.model]
     if args.quant == "q8":
-        params = rand_qparams_on_device(cfg)
+        from hip_llama_tpu.models.params import unstack_quant_params
+
+        params = unstack_quant_params(rand_qparams_on_device(cfg))
     else:
         params = rand_params_on_device(cfg, jnp.bfloat16)
     cache = init_kv_cache(cfg, args.batch, dtype=jnp.bfloat16, seq_len=args.window)

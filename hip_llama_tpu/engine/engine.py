@@ -70,6 +70,10 @@ class InferenceEngine:
         custom_step=None,
         custom_prefill=None,
         cache_sharding=None,
+        device_sampling: bool = False,
+        ds_temperature: float = 0.0,
+        ds_topp: float = 0.9,
+        ds_seed: int = 0,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -108,6 +112,21 @@ class InferenceEngine:
             self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,))
 
         self._cache_sharding = cache_sharding
+        self._sstep = None
+        if device_sampling:
+            # sampling on device: the host fetches 4 bytes/slot instead of
+            # the (B, V) logits. Greedy == host argmax; stochastic uses the
+            # JAX PRNG (not the reference RNG stream — disable for parity
+            # runs against golden corpora).
+            from hip_llama_tpu.models.llama import make_sampling_decode_step
+
+            sstep = make_sampling_decode_step(
+                cfg, attn_impl=attn_impl, precision=precision,
+                temperature=ds_temperature, topp=ds_topp,
+            )
+            self._sstep = jax.jit(sstep, donate_argnums=(1,))
+            self._ds_key = jax.random.PRNGKey(ds_seed)
+            self._ds_ctr = 0
         if custom_step is not None:
             # externally built step (e.g. the shard_map TP step for int8,
             # parallel/tp.py); prefill falls back to force-feeding via the
@@ -270,13 +289,27 @@ class InferenceEngine:
         while pos < steps:
             if bm is not None:
                 bm.append_token(0, pos)
-            logits, cache = self._do_step(
-                cache, jnp.array([token]), jnp.array([pos], jnp.int32), bm=bm, b=1
-            )
+            if self._sstep is not None and bm is None:
+                self._ds_ctr += 1
+                key = jax.random.fold_in(self._ds_key, self._ds_ctr)
+                nxt_dev, cache = self._sstep(
+                    self.params, cache, jnp.array([token]),
+                    jnp.array([pos], jnp.int32), key,
+                )
+                logits = None
+            else:
+                logits, cache = self._do_step(
+                    cache, jnp.array([token]), jnp.array([pos], jnp.int32),
+                    bm=bm, b=1,
+                )
             if pos < len(prompt_tokens) - 1:
                 nxt = prompt_tokens[pos + 1]
             else:
-                nxt = sampler.sample(np.asarray(logits[0]))
+                nxt = (
+                    int(np.asarray(nxt_dev)[0])
+                    if logits is None
+                    else sampler.sample(np.asarray(logits[0]))
+                )
                 if ttft is None:
                     ttft = time.perf_counter() - t0
             pos += 1
@@ -382,10 +415,19 @@ class InferenceEngine:
                 for s in range(b):
                     if req_id[s] != -1:
                         bm.append_token(s, int(pos[s]))
-            logits, cache = self._do_step(
-                cache, jnp.asarray(token), jnp.asarray(pos), bm=bm, b=b
-            )
-            logits_h = np.asarray(logits)
+            if self._sstep is not None and bm is None:
+                self._ds_ctr += 1
+                key = jax.random.fold_in(self._ds_key, self._ds_ctr)
+                nxt_dev, cache = self._sstep(
+                    self.params, cache, jnp.asarray(token), jnp.asarray(pos), key
+                )
+                nxt_h = np.asarray(nxt_dev)
+                logits_h = None
+            else:
+                logits, cache = self._do_step(
+                    cache, jnp.asarray(token), jnp.asarray(pos), bm=bm, b=b
+                )
+                logits_h = np.asarray(logits)
 
             # advance state machines (llama.cpp:1027-1049)
             done = [False] * b
@@ -395,7 +437,11 @@ class InferenceEngine:
                 if pos[s] < len(prompt_toks[s]) - 1:
                     nxt = prompt_toks[s][pos[s] + 1]
                 else:
-                    nxt = samplers[req_id[s]].sample(logits_h[s])
+                    nxt = (
+                        int(nxt_h[s])
+                        if logits_h is None
+                        else samplers[req_id[s]].sample(logits_h[s])
+                    )
                     if ttft[req_id[s]] is None:
                         ttft[req_id[s]] = time.perf_counter() - assign_time[req_id[s]]
                 pos[s] += 1

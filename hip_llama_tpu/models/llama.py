@@ -499,3 +499,51 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             return prefill_inner(params, cache, tokens, start, valid_len)
 
     return prefill
+
+
+# ---------------------------------------------------------------------------
+# on-device sampling
+
+
+def make_sampling_decode_step(
+    cfg: ModelConfig,
+    attn_impl: str = "xla",
+    precision: str = "highest",
+    temperature: float = 0.0,
+    topp: float = 0.9,
+):
+    """Decode step that samples ON DEVICE and returns (next_token (B,) int32,
+    logits fp32, cache).
+
+    The host then fetches 4 bytes/slot instead of the full (B, V) logits —
+    the reference pays a pinned-host logits transfer every token
+    (thaDNN.cpp:75-76). Greedy (temperature=0) is bit-equivalent to the host
+    sampler's argmax; stochastic sampling uses JAX's PRNG (jax.random.
+    categorical over the top-p nucleus), NOT the reference's xorshift64*
+    stream — use host sampling for golden-output parity runs."""
+    step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
+
+    def sample_logits(logits: jax.Array, key: jax.Array) -> jax.Array:
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / jnp.float32(temperature)
+        if 0.0 < topp < 1.0:
+            # nucleus filter: keep the smallest prefix of the sorted probs
+            # whose mass exceeds topp (llama.cpp:309-350 semantics)
+            probs = jax.nn.softmax(scaled, axis=-1)
+            sorted_p = jnp.sort(probs, axis=-1)[..., ::-1]
+            csum = jnp.cumsum(sorted_p, axis=-1)
+            # threshold prob: smallest kept probability
+            keep = csum - sorted_p < topp
+            thresh = jnp.min(
+                jnp.where(keep, sorted_p, jnp.inf), axis=-1, keepdims=True
+            )
+            scaled = jnp.where(probs >= thresh, scaled, -jnp.inf)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    def sstep(params, cache: KVCache, tokens, pos, key):
+        logits, cache = step(params, cache, tokens, pos)
+        nxt = sample_logits(logits, key)
+        return nxt, cache
+
+    return sstep

@@ -27,6 +27,10 @@ Extra (framework-specific, double-dash):
   --dequant                  force a v2 checkpoint through the dense path
   --paged [page_size]        paged KV cache (block-table allocator; HBM
                              scales with tokens in flight, not slots x seq)
+  --device-sampling          sample on the TPU (4 bytes/slot fetched per
+                             step instead of the full logits; greedy is
+                             bit-equal to host argmax, stochastic uses the
+                             JAX PRNG, not the reference RNG stream)
 """
 
 from __future__ import annotations
@@ -65,6 +69,7 @@ def main(argv: list[str]) -> int:
     dtype_name, attn_impl, use_prefill, tp = "bfloat16", "xla", True, 1
     quant, dequant = None, False
     paged, page_size = False, 128
+    device_sampling = False
 
     i = 2
     while i < len(argv):
@@ -82,6 +87,10 @@ def main(argv: list[str]) -> int:
             if i + 1 < len(argv) and argv[i + 1].isdigit():
                 page_size = int(argv[i + 1])
                 i += 1
+            i += 1
+            continue
+        if a == "--device-sampling":
+            device_sampling = True
             i += 1
             continue
         if i + 1 >= len(argv) or not a.startswith("-"):
@@ -197,6 +206,10 @@ def main(argv: list[str]) -> int:
         page_size=page_size,
         custom_step=custom_step,
         cache_sharding=cache_sharding,
+        device_sampling=device_sampling,
+        ds_temperature=temperature,
+        ds_topp=topp,
+        ds_seed=rng_seed,
     )
 
     if mode == "generate":

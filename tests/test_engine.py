@@ -97,3 +97,40 @@ def test_request_file_roundtrip(tmp_path):
     out = tmp_path / "out.txt"
     write_outputfile(str(out), reqs)
     assert out.read_text() == "3\na\n\nb\n\nc\n\n"
+
+
+def test_device_sampling_greedy_matches_host(tiny_cfg, tiny_weights, toy_tokenizer):
+    """On-device greedy sampling must produce the same text as the host
+    argmax sampler (bit-equivalent path; 4 bytes/slot fetched per step)."""
+    from hip_llama_tpu.engine import InferenceEngine
+    from hip_llama_tpu.models import params_from_weights
+    from hip_llama_tpu.sampler import Sampler
+
+    params = params_from_weights(tiny_weights)
+    eng_h = InferenceEngine(tiny_cfg, params, toy_tokenizer, batch_size=1)
+    eng_d = InferenceEngine(
+        tiny_cfg, params, toy_tokenizer, batch_size=1, device_sampling=True
+    )
+    a = eng_h.generate("hello", steps=24, sampler=Sampler(tiny_cfg.vocab_size, 0.0))
+    b = eng_d.generate("hello", steps=24)
+    assert a.text == b.text
+
+
+def test_device_sampling_stochastic_valid(tiny_cfg, tiny_weights, toy_tokenizer):
+    from hip_llama_tpu.engine import InferenceEngine
+    from hip_llama_tpu.models import params_from_weights
+
+    params = params_from_weights(tiny_weights)
+    eng = InferenceEngine(
+        tiny_cfg, params, toy_tokenizer, batch_size=1,
+        device_sampling=True, ds_temperature=1.0, ds_topp=0.9, ds_seed=7,
+    )
+    r1 = eng.generate("hello", steps=16)
+    assert all(0 <= t < tiny_cfg.vocab_size for t in r1.token_ids)
+    # different seed -> (almost surely) different sample stream
+    eng2 = InferenceEngine(
+        tiny_cfg, params, toy_tokenizer, batch_size=1,
+        device_sampling=True, ds_temperature=1.0, ds_topp=0.9, ds_seed=8,
+    )
+    r2 = eng2.generate("hello", steps=16)
+    assert isinstance(r2.text, str)

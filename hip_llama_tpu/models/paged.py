@@ -60,7 +60,12 @@ def _write_kv_rows_paged(
     pos: jax.Array,  # (B,)
 ) -> jax.Array:
     """Write one token row per slot into its physical page at the in-page
-    offset, all layers at once (the paged analog of llama._write_kv_rows)."""
+    offset, all layers at once (the paged analog of llama._write_kv_rows;
+    in-place DMA on TPU via ops/cache.py)."""
+    if jax.default_backend() != "cpu":
+        from hip_llama_tpu.ops.cache import kv_write_rows_paged
+
+        return kv_write_rows_paged(pages, rows, page_table, pos)
     ps = pages.shape[3]
     b = rows.shape[1]
     upd = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)

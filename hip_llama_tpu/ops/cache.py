@@ -96,3 +96,82 @@ def kv_write_rows(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pos, rows4, cache)
+
+
+# ---------------------------------------------------------------------------
+# paged variant
+
+
+def _kv_write_kernel_paged(
+    pos_ref, pt_ref, rows_ref, pages_in_ref, pages_out_ref, scratch, sems,
+    *, batch, window, ps,
+):
+    del pages_in_ref  # aliased with pages_out
+    for b in range(batch):
+        pos = pos_ref[b]
+        page = pt_ref[b, pos // ps]
+        off_in_page = pos % ps
+        start = pl.multiple_of(
+            jnp.minimum((off_in_page // window) * window, ps - window), window
+        )
+        off = off_in_page - start
+        ld = pltpu.make_async_copy(
+            pages_out_ref.at[:, :, page, pl.ds(start, window), :],
+            scratch.at[b % 2],
+            sems.at[b % 2],
+        )
+        ld.start()
+        ld.wait()
+        win = scratch[b % 2]  # (L, KVH, W, HS)
+        sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+        new = rows_ref[b][:, :, None, :]
+        scratch[b % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
+        st = pltpu.make_async_copy(
+            scratch.at[b % 2],
+            pages_out_ref.at[:, :, page, pl.ds(start, window), :],
+            sems.at[b % 2],
+        )
+        st.start()
+        st.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def kv_write_rows_paged(
+    pages: jax.Array,  # (L, KVH, P, PS, HS) — donated, updated in place
+    rows: jax.Array,  # (L, B, KVH, HS)
+    page_table: jax.Array,  # (B, MAX_PAGES) int32
+    pos: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged in-place row writer (the device half of BlockManager): same
+    aligned-window RMW as kv_write_rows, but the window lives inside the
+    slot's physical page."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_layers, kvh, p, ps, hs = pages.shape
+    b = rows.shape[1]
+    w = min(_sublane_window(pages.dtype), ps)
+    rows4 = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pages
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_layers, kvh, w, hs), pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kv_write_kernel_paged, batch=b, window=w, ps=ps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        input_output_aliases={3: 0},  # pages input (after pos, pt, rows)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pos, page_table, rows4, pages)

@@ -379,12 +379,26 @@ class InferenceEngine:
             for s in range(b):
                 if req_id[s] == -1:
                     if next_idx < requests.num_reqs:
+                        toks = self.tokenizer.encode(
+                            requests.prompts[next_idx], bos=True, eos=False
+                        )
+                        if bm is not None:
+                            # admission control: don't admit a request whose
+                            # prompt can't get pages; it waits for a retire
+                            # (the reference would abort — BatchManager had
+                            # no free path at all)
+                            need = -(-(len(toks) + 1) // self.page_size)
+                            if bm.num_free < need:
+                                n_active = sum(1 for r in req_id if r != -1)
+                                if n_active == 0:
+                                    raise RuntimeError(
+                                        f"prompt needs {need} KV pages but the "
+                                        f"pool has {bm.num_free} free in total"
+                                    )
+                                continue
                         req_id[s] = next_idx
                         assign_time[next_idx] = time.perf_counter()
                         next_idx += 1
-                        toks = self.tokenizer.encode(
-                            requests.prompts[req_id[s]], bos=True, eos=False
-                        )
                         prompt_toks[s] = toks
                         gen_bytes[s] = bytearray()
                         token[s] = toks[0]

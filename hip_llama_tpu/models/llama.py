@@ -154,7 +154,9 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Arr
     (ops/cache.py — the XLA dynamic-update-slice chain materialized
     whole-cache copies, ~5 ms/step at 7B). The analog of the reference's
     fused KV-scatter GEMV addressing (thaBLAS.cpp:191-228)."""
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and cache.shape[-1] % 128 == 0:
+        # head_size must fill whole lanes for the DMA (7B/13B/70B: HS=128);
+        # smaller heads take the XLA path (their caches are small anyway)
         from hip_llama_tpu.ops.cache import kv_write_rows
 
         return kv_write_rows(cache, rows, pos)

@@ -62,7 +62,7 @@ def _write_kv_rows_paged(
     """Write one token row per slot into its physical page at the in-page
     offset, all layers at once (the paged analog of llama._write_kv_rows;
     in-place DMA on TPU via ops/cache.py)."""
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and pages.shape[-1] % 128 == 0:
         from hip_llama_tpu.ops.cache import kv_write_rows_paged
 
         return kv_write_rows_paged(pages, rows, page_table, pos)

@@ -184,3 +184,26 @@ def test_engine_paged_matches_contiguous(toy_tokenizer):
     a = run(False)
     b = run(True)
     assert a == b
+
+
+def test_engine_paged_admission_control(toy_tokenizer):
+    """When the page pool can't fit a new prompt, the request waits for a
+    retirement instead of crashing (the reference's BatchManager had no free
+    path at all)."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(seq_len=64)
+    w = random_weights(cfg, seed=9)
+    params = params_from_weights(w)
+    # pool: 4 pages of 16 = 64 positions total for 2 slots x 24 steps
+    eng = InferenceEngine(
+        cfg, params, toy_tokenizer, batch_size=2,
+        paged=True, page_size=16, num_pages=4,
+    )
+    prompts = ["hello", " hello hello", "he", "hello hello"]
+    reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+    samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+    n = eng.serve(reqs, steps=20, samplers=samplers)
+    assert n > 0
+    assert all(g for g in reqs.generations)  # every request completed

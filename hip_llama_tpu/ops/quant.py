@@ -121,6 +121,16 @@ def _q8_kernel(
             preferred_element_type=jnp.float32,
         )  # (n_groups, B, BN)
         acc_ref[:] += jnp.sum(partial * s[:, None, :], axis=0)
+    elif dequant_mode == "bf16":
+        # 2 VPU passes instead of 3: int8->bf16 is exact (int8 fits the
+        # bf16 mantissa); the only extra error is the bf16 rounding of the
+        # SCALE (~2^-9 relative), far below the Q8_0 quantization noise.
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.bfloat16)
+        bk, bn = w.shape
+        w = (w.reshape(n_groups, gs, bn) * s.astype(jnp.bfloat16)[:, None, :]).reshape(bk, bn)
+        acc_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        )
     elif dequant_mode == "repeat":
         # expand scales across each group's sublanes (no relayout of the
         # big weight tile — the reshape variant physically re-tiles it twice)

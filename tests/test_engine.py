@@ -134,3 +134,27 @@ def test_device_sampling_stochastic_valid(tiny_cfg, tiny_weights, toy_tokenizer)
     )
     r2 = eng2.generate("hello", steps=16)
     assert isinstance(r2.text, str)
+
+
+def test_chat_mode_scripted(tiny_cfg, tiny_weights, toy_tokenizer):
+    """Chat loop drives turns end-to-end with scripted input (the reference
+    declares chat but ships it disabled, llama.cpp:1578-1580)."""
+    from hip_llama_tpu.chat import chat
+    from hip_llama_tpu.engine import InferenceEngine
+    from hip_llama_tpu.models import params_from_weights
+
+    params = params_from_weights(tiny_weights)
+    eng = InferenceEngine(tiny_cfg, params, toy_tokenizer, batch_size=1)
+    inputs = iter(["hello there", "hello again", "bye"])
+    outputs = []
+
+    def fake_input(prompt=""):
+        return next(inputs)
+
+    def fake_print(*args, **kw):
+        outputs.append(" ".join(str(a) for a in args))
+
+    chat(eng, None, "be brief", steps=48, temperature=0.0, topp=0.9, seed=1,
+         input_fn=fake_input, output_fn=fake_print)
+    text = "".join(outputs)
+    assert "Assistant:" in text

@@ -37,3 +37,39 @@ def test_sp_decode_matches_single(sp):
         ls, cache_sp = step_sp(params, cache_sp, toks, pos)
         assert_close(ls, l1, atol=1e-4, rtol=1e-3, msg=f"pos {p}")
     assert_close(np.asarray(cache_sp.k), np.asarray(cache_1.k), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ring_train_forward_matches_single(sp):
+    """Ring-attention context-parallel training forward == single-device
+    training forward, including gradient flow."""
+    from hip_llama_tpu.parallel.ring import make_ring_train_forward
+    from hip_llama_tpu.train.model import cross_entropy_loss, make_train_forward
+
+    cfg = tiny_config(n_layers=2, seq_len=32, vocab_size=128)
+    w = random_weights(cfg, seed=11)
+    params = params_from_weights(w)
+    mesh = Mesh(np.array(jax.devices()[:sp]), axis_names=("sp",))
+
+    fwd_ring = jax.jit(make_ring_train_forward(cfg, mesh, precision="highest"))
+    fwd_1 = jax.jit(make_train_forward(cfg, remat=False, precision="highest"))
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+    lr = fwd_ring(params, toks)
+    l1 = fwd_1(params, toks)
+    assert_close(lr, l1, atol=1e-4, rtol=1e-3)
+
+    # gradients through the ring (ppermute is differentiable)
+    tgts = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+
+    def loss_ring(p):
+        return cross_entropy_loss(fwd_ring(p, toks), tgts)
+
+    def loss_1(p):
+        return cross_entropy_loss(fwd_1(p, toks), tgts)
+
+    g_r = jax.grad(loss_ring)(params)
+    g_1 = jax.grad(loss_1)(params)
+    assert_close(g_r.wq, g_1.wq, atol=1e-5, rtol=1e-3)
+    assert_close(g_r.tok_emb, g_1.tok_emb, atol=1e-5, rtol=1e-3)

@@ -152,3 +152,106 @@ def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
         return logits, KVCache(k, v)
 
     return step
+
+
+def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
+                    attn_impl: str = "pallas", precision: str = "default"):
+    """shard_map tensor-parallel chunked prefill: same layout as
+    make_tp_decode_step; KV chunk scatters into the local head shard and
+    attention runs fully local (GQA co-location)."""
+    c = cfg
+    tp = mesh.shape["tp"]
+    p_specs = _param_specs(params_like)
+
+    def spmd(params, k_cache, v_cache, tokens, start, valid):
+        b, t = tokens.shape
+        s = k_cache.shape[3]
+        x = _embed(params, tokens, _act_dtype(params))
+        pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        tvalid = lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid[:, None]
+        n_heads_l = c.n_heads // tp
+        n_kv_l = c.n_kv_heads // tp
+
+        layer_xs = (
+            jnp.arange(c.n_layers, dtype=jnp.int32),
+            params.rms_att, params.wq, params.wk, params.wv, params.wo,
+            params.rms_ffn, params.w1, params.w2, params.w3,
+        )
+
+        def layer(carry, xs):
+            x, kc_all, vc_all = carry
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = _mm(xb, wq).reshape(b, t, n_heads_l, c.head_size)
+            k = _mm(xb, wk).reshape(b, t, n_kv_l, c.head_size)
+            v = _mm(xb, wv).reshape(b, t, n_kv_l, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+
+            def scatter_seq(c_b, new_b, st, vmask):
+                old = lax.dynamic_slice(
+                    c_b, (l, 0, st, 0), (1, c_b.shape[1], t, c_b.shape[3])
+                )[0]
+                new_kv = jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype)
+                merged = jnp.where(vmask[None, :, None], new_kv, old)
+                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
+
+            kc_all = jax.vmap(scatter_seq)(kc_all, k, start, tvalid)
+            vc_all = jax.vmap(scatter_seq)(vc_all, v, start, tvalid)
+
+            if attn_impl == "pallas":
+                from hip_llama_tpu.ops.attention import attention_prefill_pallas
+
+                att = attention_prefill_pallas(q, kc_all, vc_all, l, start, valid)
+            else:
+                kc = lax.dynamic_index_in_dim(kc_all, l, 1, keepdims=False)
+                vc = lax.dynamic_index_in_dim(vc_all, l, 1, keepdims=False)
+                kv_mul = n_heads_l // n_kv_l
+                qs = q.reshape(b, t, n_kv_l, kv_mul, c.head_size)
+                scores = jnp.einsum(
+                    "btgmd,bgsd->btgms", qs, kc,
+                    preferred_element_type=jnp.float32,
+                ) / jnp.sqrt(jnp.float32(c.head_size))
+                s_idx = lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
+                mask = s_idx <= pos[:, :, None, None, None]
+                scores = jnp.where(mask, scores, -jnp.inf)
+                att_w = jax.nn.softmax(scores, axis=-1)
+                att = jnp.einsum(
+                    "btgms,bgsd->btgmd", att_w.astype(vc.dtype), vc,
+                    preferred_element_type=jnp.float32,
+                ).reshape(b, t, n_heads_l, c.head_size)
+            att = att.reshape(b, t, n_heads_l * c.head_size).astype(x.dtype)
+            x = x + lax.psum(_mm(att, wo), "tp")
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            x = x + lax.psum(_mm(h, w2), "tp")
+            return (x, kc_all, vc_all), None
+
+        (x, new_k, new_v), _ = lax.scan(layer, (x, k_cache, v_cache), layer_xs)
+        x = rmsnorm(x, params.rms_final, c.norm_eps)
+        logits_l = _mm(x, params.wcls).astype(jnp.float32)
+        logits = lax.all_gather(logits_l, "tp", axis=2, tiled=True)
+        return logits, new_k, new_v
+
+    f = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(
+            p_specs,
+            P("dp", None, "tp", None, None),
+            P("dp", None, "tp", None, None),
+            P("dp"),
+            P("dp"),
+            P("dp"),
+        ),
+        out_specs=(P("dp"), P("dp", None, "tp", None, None),
+                   P("dp", None, "tp", None, None)),
+        check_vma=False,
+    )
+
+    def prefill(params, cache: KVCache, tokens, start, valid):
+        with jax.default_matmul_precision(precision):
+            logits, k, v = f(params, cache.k, cache.v, tokens, start, valid)
+        return logits, KVCache(k, v)
+
+    return prefill

@@ -171,7 +171,7 @@ def main(argv: list[str]) -> int:
     tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
 
     shardings = None
-    custom_step = cache_sharding = None
+    custom_step = custom_prefill = cache_sharding = None
     is_quant = hasattr(params, "tok_emb_q")
     if tp > 1 and is_quant:
         # int8 + TP: the fused kernels aren't pjit-auto-partitionable, so
@@ -182,9 +182,14 @@ def main(argv: list[str]) -> int:
         mesh = make_mesh(tp=tp)
         p_sh, cache_sharding = tp_shardings(params, mesh)
         params = jax.device_put(params, p_sh)
+        prec = "highest" if dtype == jnp.float32 else "default"
         custom_step = make_tp_decode_step(
-            cfg, mesh, params, attn_impl=attn_impl,
-            precision="highest" if dtype == jnp.float32 else "default",
+            cfg, mesh, params, attn_impl=attn_impl, precision=prec
+        )
+        from hip_llama_tpu.parallel.tp import make_tp_prefill
+
+        custom_prefill = make_tp_prefill(
+            cfg, mesh, params, attn_impl=attn_impl, precision=prec
         )
     elif tp > 1:
         from hip_llama_tpu.parallel import make_mesh, make_shardings, shard_params
@@ -205,6 +210,7 @@ def main(argv: list[str]) -> int:
         paged=paged,
         page_size=page_size,
         custom_step=custom_step,
+        custom_prefill=custom_prefill,
         cache_sharding=cache_sharding,
         device_sampling=device_sampling,
         ds_temperature=temperature,

@@ -64,3 +64,45 @@ def test_tp_q8_matches_single():
         l1, cache_1 = step_1(qp, cache_1, toks, pos)
         lt, cache_tp = step_tp(qp_s, cache_tp, toks, pos)
         assert_close(lt, l1, atol=0.05, rtol=0.02, msg=f"pos {p}")
+
+
+def test_tp_prefill_matches_single():
+    from hip_llama_tpu.models import make_prefill
+    from hip_llama_tpu.parallel.tp import make_tp_prefill
+
+    cfg = tiny_config(n_layers=3, seq_len=32, hidden_dim=192)
+    w = random_weights(cfg, seed=8)
+    params = params_from_weights(w)
+    b, t = 2, 8
+    mesh = _mesh(tp=2)
+    p_sh, c_sh = tp_shardings(params, mesh)
+    params_s = jax.device_put(params, p_sh)
+
+    pre_tp = jax.jit(make_tp_prefill(cfg, mesh, params, attn_impl="xla",
+                                     precision="highest"))
+    pre_1 = jax.jit(make_prefill(cfg))
+    step_tp = jax.jit(make_tp_decode_step(cfg, mesh, params, attn_impl="xla",
+                                          precision="highest"))
+
+    rng = np.random.default_rng(2)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    start = jnp.zeros((b,), jnp.int32)
+    valid = jnp.asarray([t, t - 3], jnp.int32)
+
+    cache_tp = jax.device_put(init_kv_cache(cfg, b), c_sh)
+    cache_1 = init_kv_cache(cfg, b)
+    lt, cache_tp = pre_tp(params_s, cache_tp, toks, start, valid)
+    l1, cache_1 = pre_1(params, cache_1, toks, start, valid)
+    for s in range(b):
+        v = int(valid[s])
+        assert_close(lt[s, :v], l1[s, :v], atol=1e-4, rtol=1e-3, msg=f"slot {s}")
+
+    # prefill-then-decode consistency through the TP cache
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+    pos = jnp.asarray([t, t - 3], jnp.int32)
+    ld, _ = step_tp(params_s, cache_tp, tok, pos)
+    from hip_llama_tpu.models import make_decode_step as _mds
+
+    step_1 = jax.jit(_mds(cfg))
+    l1d, _ = step_1(params, cache_1, tok, pos)
+    assert_close(ld, l1d, atol=1e-4, rtol=1e-3)

@@ -181,3 +181,49 @@ def init_host_kv(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype
     s = seq_len or cfg.seq_len
     shape = (batch, cfg.n_layers, cfg.n_kv_heads, s, cfg.head_size)
     return np.zeros(shape, dtype), np.zeros(shape, dtype)
+
+
+def generate_streaming(
+    cfg: ModelConfig,
+    hp: HostParams,
+    tokenizer,
+    sampler,
+    prompt: str | None,
+    steps: int,
+    kv_host: bool = False,
+    dtype=jnp.bfloat16,
+    echo: bool = False,
+):
+    """Single-prompt generation through the streaming step — the engine-side
+    counterpart of the reference's test_70B scheduler (llama.cpp:1085-1278,
+    forced batch=1 at :1099)."""
+    from hip_llama_tpu.models.llama import init_kv_cache
+    from hip_llama_tpu.tokenizer import BOS_ID, printable_piece
+
+    step = make_streaming_decode_step(cfg, dtype=dtype, kv_host=kv_host)
+    if kv_host:
+        cache = init_host_kv(cfg, 1)  # host KV stays fp32 (runq keeps KV fp32)
+    else:
+        cache = init_kv_cache(cfg, 1, dtype=dtype)
+
+    prompt_tokens = tokenizer.encode(prompt or "", bos=True, eos=False)
+    token = prompt_tokens[0]
+    pos = 0
+    pieces = []
+    while pos < steps:
+        logits, cache = step(
+            hp, cache, np.asarray([token], np.int32), np.asarray([pos], np.int32)
+        )
+        if pos < len(prompt_tokens) - 1:
+            nxt = prompt_tokens[pos + 1]
+        else:
+            nxt = sampler.sample(logits[0])
+        pos += 1
+        if nxt == BOS_ID:
+            break
+        piece = printable_piece(tokenizer.decode_piece(token, nxt))
+        if echo and piece:
+            print(piece.decode("utf-8", errors="replace"), end="", flush=True)
+        pieces.append(piece)
+        token = nxt
+    return b"".join(pieces).decode("utf-8", errors="replace")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.models.llama import rmsnorm, rope
+from hip_llama_tpu.models.llama import _act_dtype, _embed, _mm, rmsnorm, rope
 from hip_llama_tpu.models.params import LlamaParams
 
 
@@ -31,9 +31,9 @@ def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "d
         rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
         b, t, _ = x.shape
         xb = rmsnorm(x, rms_a, c.norm_eps)
-        q = (xb @ wq).reshape(b, t, c.n_heads, c.head_size)
-        k = (xb @ wk).reshape(b, t, c.n_kv_heads, c.head_size)
-        v = (xb @ wv).reshape(b, t, c.n_kv_heads, c.head_size)
+        q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
+        k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
+        v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
         q = rope(q, pos)
         k = rope(k, pos)
         kv_mul = c.n_heads // c.n_kv_heads
@@ -49,18 +49,18 @@ def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "d
             "bgmqk,bkgd->bqgmd", att.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).reshape(b, t, c.dim).astype(x.dtype)
-        x = x + out @ wo
+        x = x + _mm(out, wo)
         xb = rmsnorm(x, rms_f, c.norm_eps)
-        h = jax.nn.silu(xb @ w1) * (xb @ w3)
-        return x + h @ w2
+        h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+        return x + _mm(h, w2)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
-    def forward(params: LlamaParams, tokens: jax.Array) -> jax.Array:
+    def forward(params, tokens: jax.Array) -> jax.Array:
         with jax.default_matmul_precision(precision):
             b, t = tokens.shape
-            x = params.tok_emb[tokens]
+            x = _embed(params, tokens, _act_dtype(params))
             pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
             xs = (
                 params.rms_att, params.wq, params.wk, params.wv, params.wo,
@@ -72,7 +72,7 @@ def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "d
 
             x, _ = lax.scan(body, x, xs)
             x = rmsnorm(x, params.rms_final, c.norm_eps)
-            return (x @ params.wcls).astype(jnp.float32)
+            return _mm(x, params.wcls).astype(jnp.float32)
 
     return forward
 

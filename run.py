@@ -31,6 +31,9 @@ Extra (framework-specific, double-dash):
                              step instead of the full logits; greedy is
                              bit-equal to host argmax, stochastic uses the
                              JAX PRNG, not the reference RNG stream)
+  --stream [kv]              weight streaming for models bigger than HBM
+                             (per-layer host->device, the 70B path); add
+                             'kv' to also keep the KV cache in host RAM
 """
 
 from __future__ import annotations
@@ -70,6 +73,7 @@ def main(argv: list[str]) -> int:
     quant, dequant = None, False
     paged, page_size = False, 128
     device_sampling = False
+    stream, stream_kv = False, False
 
     i = 2
     while i < len(argv):
@@ -91,6 +95,13 @@ def main(argv: list[str]) -> int:
             continue
         if a == "--device-sampling":
             device_sampling = True
+            i += 1
+            continue
+        if a == "--stream":
+            stream = True
+            if i + 1 < len(argv) and argv[i + 1] == "kv":
+                stream_kv = True
+                i += 1
             i += 1
             continue
         if i + 1 >= len(argv) or not a.startswith("-"):
@@ -139,6 +150,36 @@ def main(argv: list[str]) -> int:
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     cfg, weights = load_checkpoint(checkpoint_path)
+
+    if stream:
+        # weight-streaming path (models > HBM): weights stay host-resident
+        # numpy/mmap views, one layer on device at a time (the 70B mode)
+        if mode != "generate":
+            print("--stream supports generate mode only", file=sys.stderr)
+            return 1
+        if not isinstance(weights, LlamaWeights):
+            weights = None
+            print("--stream requires an fp32 checkpoint (v0/v1)", file=sys.stderr)
+            return 1
+        from hip_llama_tpu.models.streaming import (
+            generate_streaming,
+            host_params_from_weights,
+        )
+
+        if steps == 0 or steps > cfg.seq_len:
+            steps = cfg.seq_len
+        tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
+        hp = host_params_from_weights(weights, dtype=dtype)
+        sampler = Sampler(cfg.vocab_size, temperature, topp, rng_seed)
+        t0 = time.perf_counter()
+        generate_streaming(
+            cfg, hp, tokenizer, sampler, prompt, steps,
+            kv_host=stream_kv, dtype=dtype, echo=True,
+        )
+        print()
+        print(f"total elapsed time(s): {time.perf_counter()-t0:.6f}")
+        return 0
+
     if isinstance(weights, LlamaWeights):
         if quant == "q8":
             from hip_llama_tpu.models.params import quantize_params_q8

@@ -168,3 +168,20 @@ def test_q8_unrolled_matches_scan(q8_cfg, q8_weights):
         l1, c1 = step(qp, c1, t, pos)
         l2, c2 = step(qpu, c2, t, pos)
         assert_close(l2, l1, atol=0.05, rtol=0.02, msg=f"step {p}")
+
+
+def test_q8_perplexity_delta(q8_cfg, q8_weights, toy_tokenizer):
+    """BASELINE.md quality gate: Q8_0 weight-only perplexity within a small
+    delta of FP32 on the same text (relative bound scaled for a tiny random
+    model — real-model deltas are far smaller)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from perplexity import perplexity
+
+    cfg = q8_cfg
+    fp = params_from_weights(q8_weights, dtype=jnp.float32)
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    text = "hello hello hello " * 200
+    p_fp = perplexity(cfg, fp, toy_tokenizer, text, seq_len=32, max_batches=2)
+    p_q8 = perplexity(cfg, qp, toy_tokenizer, text, seq_len=32, max_batches=2)
+    assert abs(p_q8 - p_fp) / p_fp < 0.05, (p_fp, p_q8)

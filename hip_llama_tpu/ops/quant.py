@@ -180,16 +180,22 @@ def q8_matmul(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # shrink requested blocks to divisors of the problem (weights like
-    # hidden_dim=11008 or vocab=32000 are not 512-aligned)
-    while block_k > gs and (k % block_k or block_k % gs):
-        block_k //= 2
-    if k % block_k or block_k % gs:
-        block_k = gs if k % gs == 0 else k
     while block_n > 128 and n % block_n:
         block_n //= 2
     if n % block_n:
         block_n = n
+    # prefer ONE K block (no inner accumulator round-trips: 416 -> 456
+    # tok/s at 7B) when the weight column strip fits comfortably in VMEM
+    # and the x strip stays small (prefill calls come in with b up to B*T)
+    if k % gs == 0 and k * block_n <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+        block_k = k
+    else:
+        # shrink requested blocks to divisors of the problem (weights like
+        # hidden_dim=11008 or vocab=32000 are not 512-aligned)
+        while block_k > gs and (k % block_k or block_k % gs):
+            block_k //= 2
+        if k % block_k or block_k % gs:
+            block_k = gs if k % gs == 0 else k
     assert k % block_k == 0 and block_k % gs == 0, (k, block_k, gs)
     assert n % block_n == 0, (n, block_n)
     # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or

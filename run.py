@@ -19,7 +19,7 @@ Options (single-dash single-letter, like the reference):
   -b <int>    batch size (default 1; test mode continuous-batching slots)
 Extra (framework-specific, double-dash):
   --dtype float32|bfloat16   param/compute dtype (default bfloat16)
-  --attn xla|pallas          decode attention impl
+  --attn xla|pallas          decode attention impl (default pallas)
   --no-prefill               force-feed prompts one token/step (parity mode)
   --tp N                     tensor-parallel size over available devices
   --quant q8                 quantize fp32 weights to Q8_0 on the fly
@@ -69,7 +69,7 @@ def main(argv: list[str]) -> int:
     mode = "generate"
     system_prompt = None
     input_filename = output_filename = None
-    dtype_name, attn_impl, use_prefill, tp = "bfloat16", "xla", True, 1
+    dtype_name, attn_impl, use_prefill, tp = "bfloat16", "pallas", True, 1
     quant, dequant = None, False
     paged, page_size = False, 128
     device_sampling = False
@@ -158,7 +158,6 @@ def main(argv: list[str]) -> int:
             print("--stream supports generate mode only", file=sys.stderr)
             return 1
         if not isinstance(weights, LlamaWeights):
-            weights = None
             print("--stream requires an fp32 checkpoint (v0/v1)", file=sys.stderr)
             return 1
         from hip_llama_tpu.models.streaming import (

@@ -128,6 +128,10 @@ def main():
         "--quant", default="q8", choices=["none", "q8"],
         help="default q8: the north-star metric is 7B INT8 decode (BASELINE.md)",
     )
+    ap.add_argument(
+        "--kv", default="bf16", choices=["bf16", "int8"],
+        help="KV cache storage: int8 halves attention HBM traffic",
+    )
     ap.add_argument("--no-unroll", action="store_true",
                     help="use the scan path instead of unrolled per-layer "
                          "weight buffers (q8; unrolled measured 386 vs 307 tok/s)")
@@ -149,7 +153,9 @@ def main():
         dtype = jnp.bfloat16  # activations / cache
     else:
         params = rand_params_on_device(cfg, dtype)
-    cache = init_kv_cache(cfg, b, dtype=dtype, seq_len=window)
+    cache = init_kv_cache(
+        cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
+    )
     step = jax.jit(
         make_decode_step(cfg, attn_impl=args.attn, precision="default"),
         donate_argnums=(1,),
@@ -178,9 +184,13 @@ def main():
     # speed-of-light: stream all weights + full KV window once per step
     wbytes = param_bytes(params)
     kv_bytes = 2 * cache.k.size * cache.k.dtype.itemsize  # k + v
+    if cache.k_scale is not None:
+        kv_bytes += 2 * cache.k_scale.size * cache.k_scale.dtype.itemsize
     sol_step_s = (wbytes + kv_bytes) / HBM_BW_BYTES
     sol_tok_s = b / sol_step_s
     kind = "int8" if args.quant == "q8" else args.dtype
+    if args.kv == "int8":
+        kind += "_kv8"
     result = {
         "metric": f"decode_tok_per_s_per_chip_llama2_{args.model}_{kind}_b{b}",
         "value": round(tok_s, 2),

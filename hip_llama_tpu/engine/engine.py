@@ -74,6 +74,7 @@ class InferenceEngine:
         ds_temperature: float = 0.0,
         ds_topp: float = 0.9,
         ds_seed: int = 0,
+        kv_quant: bool = False,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -82,6 +83,9 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.cache_dtype = cache_dtype or _act_dtype(params)
+        self.kv_quant = kv_quant
+        if kv_quant and paged:
+            raise ValueError("int8 KV quantization is not supported with --paged yet")
         self.max_seq_len = max_seq_len or cfg.seq_len
         self.use_prefill = use_prefill
         self.prefill_buckets = tuple(
@@ -174,6 +178,7 @@ class InferenceEngine:
             b,
             dtype=self.cache_dtype,
             seq_len=self.max_seq_len,
+            quantized=self.kv_quant,
         )
         if self._cache_sharding is not None:
             cache = jax.device_put(cache, self._cache_sharding)

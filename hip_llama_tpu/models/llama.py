@@ -36,6 +36,11 @@ from hip_llama_tpu.ops.quant import QTensor, q8_matmul
 class KVCache(NamedTuple):
     k: jax.Array  # (B, L, KVH, S, HS)
     v: jax.Array  # (B, L, KVH, S, HS)
+    # int8 KV mode: k/v hold int8 rows and these hold one fp32 scale per
+    # cached row (B, L, KVH, S) — absmax/127 over the head dim. Halves the
+    # decode-attention HBM traffic vs bf16.
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @property
     def batch(self) -> int:
@@ -45,12 +50,27 @@ class KVCache(NamedTuple):
     def seq_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(
-    cfg: ModelConfig, batch: int, dtype=jnp.float32, seq_len: int | None = None
+    cfg: ModelConfig,
+    batch: int,
+    dtype=jnp.float32,
+    seq_len: int | None = None,
+    quantized: bool = False,
 ) -> KVCache:
     s = seq_len or cfg.seq_len
     shape = (batch, cfg.n_layers, cfg.n_kv_heads, s, cfg.head_size)
+    if quantized:
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.ones(shape[:-1], jnp.float32),
+            jnp.ones(shape[:-1], jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -169,6 +189,38 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Arr
     return cache
 
 
+def _commit_kv_rows(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array, pos):
+    """Write this step's K/V rows (L, B, KVH, HS) into the cache; int8 caches
+    quantize per row and also update the scale planes."""
+    if cache.quantized:
+        from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+        kq, ks = quantize_kv_rows(k_rows)
+        vq, vs = quantize_kv_rows(v_rows)
+        return KVCache(
+            _write_kv_rows(cache.k, kq, pos),
+            _write_kv_rows(cache.v, vq, pos),
+            _write_scale_rows(cache.k_scale, ks, pos),
+            _write_scale_rows(cache.v_scale, vs, pos),
+        )
+    return KVCache(
+        _write_kv_rows(cache.k, k_rows, pos),
+        _write_kv_rows(cache.v, v_rows, pos),
+    )
+
+
+def _write_scale_rows(sc: jax.Array, srows: jax.Array, pos: jax.Array) -> jax.Array:
+    if jax.default_backend() != "cpu":
+        from hip_llama_tpu.ops.cache import scale_write_rows
+
+        return scale_write_rows(sc, srows, pos)
+    b = sc.shape[0]
+    upd = jnp.moveaxis(srows, 1, 0)  # (B, L, KVH)
+    for i in range(b):
+        sc = lax.dynamic_update_slice(sc, upd[i][None, :, :, None], (i, 0, 0, pos[i]))
+    return sc
+
+
 def attention_decode_xla(
     q: jax.Array,  # (B, H, HS)
     k_full: jax.Array,  # (B, L, KVH, S, HS) — FULL cache (history only)
@@ -177,6 +229,8 @@ def attention_decode_xla(
     pos: jax.Array,  # (B,) int32 — current position (history is 0..pos-1)
     k_cur: jax.Array,  # (B, KVH, HS) — this token's key
     v_cur: jax.Array,  # (B, KVH, HS)
+    k_scale: jax.Array | None = None,  # (B, L, KVH, S) f32 — int8 KV mode
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Masked GQA decode attention, fp32 softmax. The XLA re-formulation of
     the reference's 3-phase MHA kernels (src/thaDNN/thaDNN_mha.cpp).
@@ -188,31 +242,52 @@ def attention_decode_xla(
     - the current token's K/V enter as explicit operands rather than being
       scattered into the cache first, so the layer loop never mutates the
       cache (in-loop TPU scatters cost ~7.5 ms/step at 7B).
+
+    int8 KV mode (k_scale/v_scale given): scales fold into the score /
+    probability columns, mirroring the Pallas kernel (ops/attention.py).
     """
     k_cache = lax.dynamic_index_in_dim(k_full, layer, 1, keepdims=False)
     v_cache = lax.dynamic_index_in_dim(v_full, layer, 1, keepdims=False)
+    quantized = k_scale is not None
+    if quantized:
+        # fp32 dequant: this is the fallback/oracle path (the Pallas kernel
+        # is the fast path; CPU's dot has no bf16 support)
+        ks = lax.dynamic_index_in_dim(k_scale, layer, 1, keepdims=False)
+        vs = lax.dynamic_index_in_dim(v_scale, layer, 1, keepdims=False)
+        k_cache = k_cache.astype(jnp.float32)
+        v_cache = v_cache.astype(jnp.float32)
     b, h, hs = q.shape
     kvh = k_cache.shape[1]
     s = k_cache.shape[2]
     kv_mul = h // kvh
     qs = q.reshape(b, kvh, kv_mul, hs)
+    if quantized:
+        qs = qs.astype(jnp.float32)
     inv_scale = 1.0 / jnp.sqrt(jnp.float32(hs))
     scores = (
         jnp.einsum("bgmd,bgsd->bgms", qs, k_cache, preferred_element_type=jnp.float32)
         * inv_scale
     )
+    if quantized:
+        scores = scores * ks[:, :, None, :]
     t = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, s), 3)
     mask = t < pos[:, None, None, None]  # strict: row `pos` comes in as k_cur
     scores = jnp.where(mask, scores, -jnp.inf)
     cur = (
-        jnp.einsum("bgmd,bgd->bgm", qs, k_cur, preferred_element_type=jnp.float32)
+        jnp.einsum("bgmd,bgd->bgm", qs, k_cur.astype(qs.dtype),
+                   preferred_element_type=jnp.float32)
         * inv_scale
     )
     all_scores = jnp.concatenate([scores, cur[..., None]], axis=-1)
     att = jax.nn.softmax(all_scores, axis=-1)
+    att_hist = att[..., :s]
+    if quantized:
+        att_hist = (att_hist * vs[:, :, None, :]).astype(v_cache.dtype)
+    else:
+        att_hist = att_hist.astype(v_cache.dtype)
     out = jnp.einsum(
         "bgms,bgsd->bgmd",
-        att[..., :s].astype(v_cache.dtype),
+        att_hist,
         v_cache,
         preferred_element_type=jnp.float32,
     )
@@ -281,7 +356,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 q = rope(q, pos)
                 k = rope(k, pos)
                 att_out = attn(
-                    q, cache.k, cache.v, jnp.int32(l), pos, k, v
+                    q, cache.k, cache.v, jnp.int32(l), pos, k, v,
+                    cache.k_scale, cache.v_scale,
                 ).reshape(b, c.dim)
                 x = x + _mm(att_out, params.wo[l])
                 xb = rmsnorm(x, params.rms_ffn[l], c.norm_eps)
@@ -295,11 +371,10 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 v_list.append(v)
             k_rows = jnp.stack(k_list)
             v_rows = jnp.stack(v_list)
-            new_k = _write_kv_rows(cache.k, k_rows, pos)
-            new_v = _write_kv_rows(cache.v, v_rows, pos)
+            new_cache = _commit_kv_rows(cache, k_rows, v_rows, pos)
             x = rmsnorm(x, params.rms_final, c.norm_eps)
             logits = _mm(x, params.wcls).astype(jnp.float32)
-            return logits, KVCache(new_k, new_v)
+            return logits, new_cache
 
         # weights ride in the scan xs: the scan's per-iteration slicing is
         # double-buffered by XLA (measured faster than both explicit
@@ -328,7 +403,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             k = rope(k, pos)
             # cache is read-only inside the loop; the current row rides along
             # as explicit attention operands and is written once after the scan
-            att_out = attn(q, cache.k, cache.v, l, pos, k, v).reshape(b, c.dim)
+            att_out = attn(
+                q, cache.k, cache.v, l, pos, k, v, cache.k_scale, cache.v_scale
+            ).reshape(b, c.dim)
             x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
@@ -336,11 +413,10 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
-        new_k = _write_kv_rows(cache.k, k_rows, pos)
-        new_v = _write_kv_rows(cache.v, v_rows, pos)
+        new_cache = _commit_kv_rows(cache, k_rows, v_rows, pos)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = _mm(x, params.wcls).astype(jnp.float32)
-        return logits, KVCache(new_k, new_v)
+        return logits, new_cache
 
     def step(params, cache, tokens, pos):
         with jax.default_matmul_precision(precision):
@@ -402,7 +478,12 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             params.w3,
         ) if not unrolled else None
 
-        def layer_body(x, kcache, vcache, l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3):
+        quantized_kv = cache.quantized
+
+        def layer_body(
+            x, kcache, vcache, ks_c, vs_c,
+            l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3,
+        ):
             xb = rmsnorm(x, rms_a, c.norm_eps)
             if wk is None:  # fused QKV (wq holds the concatenated weight)
                 qkv = _mm(xb, wq)
@@ -431,14 +512,32 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 merged = jnp.where(vmask[None, :, None], new_kv, old)
                 return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
 
-            kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
-            vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
+            def scatter_scale(s_b, new_s, st, vmask):
+                # scale plane (L, KVH, S); new_s (T, KVH)
+                old = lax.dynamic_slice(s_b, (l, 0, st), (1, s_b.shape[1], t))[0]
+                merged = jnp.where(vmask[None, :], jnp.swapaxes(new_s, 0, 1), old)
+                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st))
+
+            if quantized_kv:
+                from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+                kq, ksc = quantize_kv_rows(k)  # (B,T,KVH,HS) int8, (B,T,KVH)
+                vq, vsc = quantize_kv_rows(v)
+                kcache = jax.vmap(scatter_seq)(kcache, kq, start, tvalid)
+                vcache = jax.vmap(scatter_seq)(vcache, vq, start, tvalid)
+                ks_c = jax.vmap(scatter_scale)(ks_c, ksc, start, tvalid)
+                vs_c = jax.vmap(scatter_scale)(vs_c, vsc, start, tvalid)
+            else:
+                kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
+                vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
 
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_prefill_pallas
 
                 att_out = attention_prefill_pallas(
-                    q, kcache, vcache, l, start, valid_len
+                    q, kcache, vcache, l, start, valid_len,
+                    ks_c if quantized_kv else None,
+                    vs_c if quantized_kv else None,
                 ).reshape(b, t, c.dim).astype(x.dtype)
             else:
                 kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
@@ -446,13 +545,24 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
                 kv_mul = c.n_heads // c.n_kv_heads
                 qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
+                if quantized_kv:
+                    # fp32 dequant (fallback/oracle path; see decode)
+                    kc = kc.astype(jnp.float32)
+                    vc = vc.astype(jnp.float32)
+                    qs = qs.astype(jnp.float32)
                 scores = jnp.einsum(
                     "btgmd,bgsd->btgms", qs, kc, preferred_element_type=jnp.float32
                 ) / jnp.sqrt(jnp.float32(c.head_size))
+                if quantized_kv:
+                    ks_l = lax.dynamic_index_in_dim(ks_c, l, 1, keepdims=False)
+                    scores = scores * ks_l[:, None, :, None, :]
                 s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
                 mask = s_idx <= pos[:, :, None, None, None]
                 scores = jnp.where(mask, scores, -jnp.inf)
                 att = jax.nn.softmax(scores, axis=-1)
+                if quantized_kv:
+                    vs_l = lax.dynamic_index_in_dim(vs_c, l, 1, keepdims=False)
+                    att = att * vs_l[:, None, :, None, :]
                 out = jnp.einsum(
                     "btgms,bgsd->btgmd",
                     att.astype(vc.dtype),
@@ -469,14 +579,18 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             else:
                 h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
             x = x + _mm(h, w2)
-            return x, kcache, vcache
+            return x, kcache, vcache, ks_c, vs_c
 
+        # scale planes ride through the loop as zero-size placeholders when
+        # the cache is bf16/fp32 (lax.scan carries must be arrays)
+        ks0 = cache.k_scale if quantized_kv else jnp.zeros((0,), jnp.float32)
+        vs0 = cache.v_scale if quantized_kv else jnp.zeros((0,), jnp.float32)
         if unrolled:
             fused = len(params.wk) == 0
-            x_c, kc_c, vc_c = x, cache.k, cache.v
+            x_c, kc_c, vc_c, ks_c, vs_c = x, cache.k, cache.v, ks0, vs0
             for l in range(c.n_layers):
-                x_c, kc_c, vc_c = layer_body(
-                    x_c, kc_c, vc_c, jnp.int32(l), params.rms_att[l],
+                x_c, kc_c, vc_c, ks_c, vs_c = layer_body(
+                    x_c, kc_c, vc_c, ks_c, vs_c, jnp.int32(l), params.rms_att[l],
                     params.wq[l],
                     None if fused else params.wk[l],
                     None if fused else params.wv[l],
@@ -486,14 +600,18 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                     params.w2[l],
                     None if fused else params.w3[l],
                 )
-            x, new_k, new_v = x_c, kc_c, vc_c
+            x, new_k, new_v, new_ks, new_vs = x_c, kc_c, vc_c, ks_c, vs_c
         else:
             def layer(carry, xs):
                 return layer_body(*carry, *xs), None
 
-            (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
+            (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+                layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
+            )
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = _mm(x, params.wcls).astype(jnp.float32)
+        if quantized_kv:
+            return logits, KVCache(new_k, new_v, new_ks, new_vs)
         return logits, KVCache(new_k, new_v)
 
     def prefill(params, cache, tokens, start, valid_len):

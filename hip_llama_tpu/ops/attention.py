@@ -30,6 +30,7 @@ Design (see /opt/skills/guides/boom_attention_tricks.md):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# decode-attention tuning knobs (swept on hardware via bench.py — see
+# ops/quant.py for why micro-benchmarks don't work through the tunnel)
+_ENV_DECODE_BLOCK_K = int(os.environ.get("HIPLLAMA_ATTN_BLOCK_K", "0")) or None
+_ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
+
 
 def _decode_kernel(
     layer_ref,  # (1,) int32 scalar-prefetch: layer index
@@ -45,17 +51,16 @@ def _decode_kernel(
     q_ref,  # (1, G, M, HS) — G kv-heads per grid step
     k_ref,  # (1, 1, G, BK, HS) block of the full K cache
     v_ref,
-    kc_ref,  # (1, G, 1, HS) current token K
-    vc_ref,
-    o_ref,  # (1, G, M, HS)
-    m_scr,  # (G, M, 128) f32
-    l_scr,  # (G, M, 128) f32
-    acc_scr,  # (G, M, HS) f32
-    *,
+    *rest,  # [ks_ref, vs_ref (1,1,G,BK) if quantized,] kc, vc, o, m, l, acc
     block_k: int,
     n_blocks: int,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     i = pl.program_id(2)
     pos = pos_ref[b]
@@ -68,15 +73,31 @@ def _decode_kernel(
 
     @pl.when(i * block_k < pos)
     def _block():
-        k = k_ref[0, 0]  # (G, BK, HS)
-        q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
+        if quantized:
+            # int8 KV: fold the per-row scales into the SMALL tensors —
+            # scores columns (k scales) and probability columns (v scales),
+            # both lane-aligned broadcasts — instead of dequantizing the
+            # (G, BK, HS) tiles (which would cost a relayout per tile).
+            k = k_ref[0, 0].astype(jnp.bfloat16)  # (G, BK, HS)
+            q = q_ref[0].astype(jnp.bfloat16)
+        else:
+            k = k_ref[0, 0]  # (G, BK, HS)
+            q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
+        # quantized: force DEFAULT precision — an inherited "highest" would
+        # request fp32 contraction of the bf16-converted int8 tiles, which
+        # Mosaic rejects (and int8 KV is already lossy)
+        prec = jax.lax.Precision.DEFAULT if quantized else None
         s = (
             jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             * scale
         )  # (G, M, BK)
+        if quantized:
+            # ks block is (1, G, 1, BK) — a view of the (B, L*KVH, 1, S)
+            # reshaped scale plane (block-shape legality: last-two = (1, BK))
+            s = s * ks_ref[0][:, 0, :][:, None, :]  # (G, 1, BK) lane-aligned
         t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
         s = jnp.where(t_idx < pos, s, MASK_VALUE)
 
@@ -89,10 +110,15 @@ def _decode_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0, 0]  # (G, BK, HS)
+        if quantized:
+            v = v_ref[0, 0].astype(jnp.bfloat16)  # (G, BK, HS)
+            pv = (p * vs_ref[0][:, 0, :][:, None, :]).astype(jnp.bfloat16)
+        else:
+            v = v_ref[0, 0]  # (G, BK, HS)
+            pv = p.astype(v.dtype)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            pv, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     @pl.when(i == n_blocks - 1)
@@ -148,16 +174,17 @@ def _prefill_kernel(
     q_ref,  # (1, 1, BT, M, HS)
     k_ref,  # (1, 1, 1, BK, HS)
     v_ref,
-    o_ref,  # (1, 1, BT, M, HS)
-    m_scr,  # (BT, M, 128) f32
-    l_scr,
-    acc_scr,  # (BT, M, HS) f32
-    *,
+    *rest,  # [ks_ref, vs_ref (1,1,1,BK) if quantized,] o_ref, m, l, acc
     block_t: int,
     block_k: int,
     n_k_blocks: int,
     scale: float,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     tq = pl.program_id(2)
     i = pl.program_id(3)
@@ -176,14 +203,23 @@ def _prefill_kernel(
 
     @pl.when(i * block_k <= q_pos_max)
     def _block():
-        k = k_ref[0, 0, 0]  # (BK, HS)
-        q = q_ref[0, 0].astype(k.dtype)  # (BT, M, HS)
+        if quantized:
+            k = k_ref[0, 0, 0].astype(jnp.bfloat16)  # (BK, HS)
+            q = q_ref[0, 0].astype(jnp.bfloat16)
+        else:
+            k = k_ref[0, 0, 0]  # (BK, HS)
+            q = q_ref[0, 0].astype(k.dtype)  # (BT, M, HS)
+        # see _decode_kernel: bf16 tiles must not inherit "highest" precision
+        prec = jax.lax.Precision.DEFAULT if quantized else None
         s = (
             jax.lax.dot_general(
-                q, k, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q, k, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
             )
             * scale
         )  # (BT, M, BK)
+        if quantized:
+            s = s * ks_ref[0, 0, 0].reshape(1, 1, block_k)
         t_row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + tq * block_t
         kv_col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
         # causal over the absolute positions; rows beyond `valid` are
@@ -201,10 +237,15 @@ def _prefill_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
-        v = v_ref[0, 0, 0]  # (BK, HS)
+        if quantized:
+            v = v_ref[0, 0, 0].astype(jnp.bfloat16)  # (BK, HS)
+            pv = (p * vs_ref[0, 0, 0].reshape(1, 1, block_k)).astype(jnp.bfloat16)
+        else:
+            v = v_ref[0, 0, 0]  # (BK, HS)
+            pv = p.astype(v.dtype)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            pv, v, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     @pl.when(i == n_k_blocks - 1)
@@ -229,6 +270,8 @@ def attention_prefill_pallas(
     layer: jax.Array,  # () int32
     start: jax.Array,  # (B,) int32 — chunk start position per slot
     valid: jax.Array,  # (B,) int32 — valid tokens in the chunk per slot
+    k_scale: jax.Array | None = None,  # (B, L, KVH, S) f32 — int8 KV cache
+    v_scale: jax.Array | None = None,
     *,
     block_t: int | None = None,
     block_k: int | None = None,
@@ -242,6 +285,7 @@ def attention_prefill_pallas(
     b, t, h, hs = q.shape
     _, n_layers, kvh, s, _ = k_cache.shape
     kv_mul = h // kvh
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     bt = block_t or _pick_block_t(t)
@@ -263,14 +307,32 @@ def attention_prefill_pallas(
         last_live = jnp.maximum(q_pos_max, 0) // bk
         return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
 
+    def scale_kv_map(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+        # scale plane viewed as (B, L*KVH, 1, S)
+        q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
+        last_live = jnp.maximum(q_pos_max, 0) // bk
+        return (bi, layer_ref[0] * kvh + g, 0, jnp.minimum(i, last_live))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+        pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+    ]
+    operands = [qs, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, bk), scale_kv_map),
+            pl.BlockSpec((1, 1, 1, bk), scale_kv_map),
+        ]
+        operands += [
+            k_scale.reshape(b, n_layers * kvh, 1, s),
+            v_scale.reshape(b, n_layers * kvh, 1, s),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, kvh, n_t_blocks, n_k_blocks),
-        in_specs=[
-            pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
-            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
         scratch_shapes=[
             pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
@@ -279,7 +341,8 @@ def attention_prefill_pallas(
         ],
     )
     kernel = functools.partial(
-        _prefill_kernel, block_t=bt, block_k=bk, n_k_blocks=n_k_blocks, scale=scale
+        _prefill_kernel, block_t=bt, block_k=bk, n_k_blocks=n_k_blocks, scale=scale,
+        quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -295,7 +358,7 @@ def attention_prefill_pallas(
             transcendentals=b * t * h * s,
         ),
         interpret=interpret,
-    )(start, valid, layer_arr, qs, k_cache, v_cache)
+    )(start, valid, layer_arr, *operands)
     # (B, KVH, T, M, HS) -> (B, T, H, HS)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t, h, hs)
 
@@ -311,6 +374,8 @@ def attention_decode_pallas(
     pos: jax.Array,  # (B,) int32 — history is 0..pos-1
     k_cur: jax.Array,  # (B, KVH, HS)
     v_cur: jax.Array,  # (B, KVH, HS)
+    k_scale: jax.Array | None = None,  # (B, L, KVH, S) f32 — int8 KV cache
+    v_scale: jax.Array | None = None,
     *,
     block_k: int | None = None,
     interpret: bool | None = None,
@@ -318,6 +383,7 @@ def attention_decode_pallas(
     b, h, hs = q.shape
     _, n_layers, kvh, s, _ = k_cache.shape
     kv_mul = h // kvh
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if hs < 64 and not interpret:
@@ -325,14 +391,16 @@ def attention_decode_pallas(
         # the einsum path is fine at those sizes
         from hip_llama_tpu.models.llama import attention_decode_xla
 
-        return attention_decode_xla(q, k_cache, v_cache, layer, pos, k_cur, v_cur)
-    bk = block_k or _pick_block_k(s, target=1024)
+        return attention_decode_xla(
+            q, k_cache, v_cache, layer, pos, k_cur, v_cur, k_scale, v_scale
+        )
+    bk = block_k or _ENV_DECODE_BLOCK_K or _pick_block_k(s, target=1024)
     n_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
     # batch KV heads per grid step so each step streams >=~512 KB (grid-step
     # overhead swamps tiny tiles at kv_mul=1: 7B MHA had 512 steps/layer)
     g_blk = 1
-    target_bytes = 512 * 1024
+    target_bytes = _ENV_DECODE_TARGET_KB * 1024
     while (
         g_blk < kvh
         and kvh % (g_blk * 2) == 0
@@ -357,16 +425,36 @@ def attention_decode_pallas(
     def cur_map(bi, g, i, layer_ref, pos_ref):
         return (bi, g, 0, 0)
 
+    def scale_map(bi, g, i, layer_ref, pos_ref):
+        # scale plane viewed as (B, L*KVH, 1, S); dim-1 blocks of g_blk rows
+        last_live = jnp.maximum(pos_ref[bi] - 1, 0) // bk
+        return (bi, layer_ref[0] * (kvh // g_blk) + g, 0, jnp.minimum(i, last_live))
+
+    in_specs = [
+        pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
+        pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
+        pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
+    ]
+    operands = [qs, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, g_blk, 1, bk), scale_map),
+            pl.BlockSpec((1, g_blk, 1, bk), scale_map),
+        ]
+        operands += [
+            k_scale.reshape(b, n_layers * kvh, 1, s),
+            v_scale.reshape(b, n_layers * kvh, 1, s),
+        ]
+    in_specs += [
+        pl.BlockSpec((1, g_blk, 1, hs), cur_map),
+        pl.BlockSpec((1, g_blk, 1, hs), cur_map),
+    ]
+    operands += [kc4, vc4]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, kvh // g_blk, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
-            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
-            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
-            pl.BlockSpec((1, g_blk, 1, hs), cur_map),
-            pl.BlockSpec((1, g_blk, 1, hs), cur_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
         scratch_shapes=[
             pltpu.VMEM((g_blk, kv_mul, 128), jnp.float32),
@@ -376,7 +464,8 @@ def attention_decode_pallas(
     )
 
     kernel = functools.partial(
-        _decode_kernel, block_k=bk, n_blocks=n_blocks, scale=scale
+        _decode_kernel, block_k=bk, n_blocks=n_blocks, scale=scale,
+        quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -392,7 +481,7 @@ def attention_decode_pallas(
             transcendentals=b * h * s,
         ),
         interpret=interpret,
-    )(layer_arr, pos, qs, k_cache, v_cache, kc4, vc4)
+    )(layer_arr, pos, *operands)
     return out.reshape(b, h, hs)
 
 

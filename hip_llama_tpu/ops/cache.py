@@ -99,6 +99,98 @@ def kv_write_rows(
 
 
 # ---------------------------------------------------------------------------
+# int8-KV scale row writer
+
+
+def _scale_write_kernel(
+    pos_ref, srows_ref, sc_in_ref, sc_out_ref, scratch, sems, *, batch, s
+):
+    # scale cache (B, L, KVH, S): one fp32 per cached row. `pos` indexes the
+    # LANE dim, so the RMW window is a 128-lane-aligned strip around pos.
+    del sc_in_ref  # aliased with sc_out
+    for b in range(batch):
+        pos = pos_ref[b]
+        start = pl.multiple_of(jnp.minimum((pos // 128) * 128, s - 128), 128)
+        off = pos - start
+        ld = pltpu.make_async_copy(
+            sc_out_ref.at[b, :, :, pl.ds(start, 128)],
+            scratch.at[b % 2],
+            sems.at[b % 2],
+        )
+        ld.start()
+        ld.wait()
+        win = scratch[b % 2]  # (L, KVH, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+        new = srows_ref[b][:, :, None]  # (L, KVH, 1)
+        scratch[b % 2] = jnp.where(lane == off, new, win)
+        st = pltpu.make_async_copy(
+            scratch.at[b % 2],
+            sc_out_ref.at[b, :, :, pl.ds(start, 128)],
+            sems.at[b % 2],
+        )
+        st.start()
+        st.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scale_write_rows(
+    scale_cache: jax.Array,  # (B, L, KVH, S) f32 — donated, updated in place
+    srows: jax.Array,  # (L, B, KVH) f32 — this step's per-row scales
+    pos: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """In-place per-row quantization-scale writer for the int8 KV cache —
+    the companion of kv_write_rows (~512 KB RMW traffic per slot vs a
+    whole-array XLA dynamic-update-slice chain)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n_layers, kvh, s = scale_cache.shape
+    if s % 128 or s < 128:
+        # tiny test configs: XLA per-slot update is fine at these sizes
+        upd = jnp.moveaxis(srows, 1, 0)  # (B, L, KVH)
+        out = scale_cache
+        for i in range(b):
+            out = jax.lax.dynamic_update_slice(
+                out, upd[i][None, :, :, None], (i, 0, 0, pos[i])
+            )
+        return out
+    srows3 = jnp.moveaxis(srows, 1, 0).astype(jnp.float32)  # (B, L, KVH)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # srows (B, L, KVH)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # scale cache
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_layers, kvh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scale_write_kernel, batch=b, s=s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scale_cache.shape, jnp.float32),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pos, srows3, scale_cache)
+
+
+def quantize_kv_rows(rows: jax.Array):
+    """Per-row symmetric int8 quantization of KV rows (L, B, KVH, HS):
+    scale = absmax/127 over the head dim (the Q8_0 recipe of runq.c:145-171
+    applied per cached row). Returns (int8 rows, (L, B, KVH) f32 scales)."""
+    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.round(rows.astype(jnp.float32) / scale[..., None])
+    return q.astype(jnp.int8), scale
+
+
+# ---------------------------------------------------------------------------
 # paged variant
 
 

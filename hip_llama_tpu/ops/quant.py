@@ -184,10 +184,18 @@ def q8_matmul(
         block_n //= 2
     if n % block_n:
         block_n = n
-    # prefer ONE K block (no inner accumulator round-trips: 416 -> 456
+    # prefer ONE K block (no inner accumulator round-trips: 416 -> 519
     # tok/s at 7B) when the weight column strip fits comfortably in VMEM
-    # and the x strip stays small (prefill calls come in with b up to B*T)
-    if k % gs == 0 and k * block_n <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+    # and the x strip stays small (prefill calls come in with b up to B*T).
+    # Only for the default `reshape` mode: `repeat`/`bf16` materialize an
+    # extra (BK, BN) bf16 tile on the scoped-vmem stack and bust the 16 MiB
+    # limit at (11008, 512) — observed on a real v5e.
+    if (
+        dequant_mode == "reshape"
+        and k % gs == 0
+        and k * block_n <= 8 * 2 ** 20
+        and b * k * 2 <= 2 * 2 ** 20
+    ):
         block_k = k
     else:
         # shrink requested blocks to divisors of the problem (weights like

@@ -27,6 +27,8 @@ Extra (framework-specific, double-dash):
   --dequant                  force a v2 checkpoint through the dense path
   --paged [page_size]        paged KV cache (block-table allocator; HBM
                              scales with tokens in flight, not slots x seq)
+  --kv int8                  int8 KV cache with per-row scales (halves
+                             attention HBM traffic; ~1% logit noise)
   --device-sampling          sample on the TPU (4 bytes/slot fetched per
                              step instead of the full logits; greedy is
                              bit-equal to host argmax, stochastic uses the
@@ -74,6 +76,7 @@ def main(argv: list[str]) -> int:
     paged, page_size = False, 128
     device_sampling = False
     stream, stream_kv = False, False
+    kv_quant = False
 
     i = 2
     while i < len(argv):
@@ -96,6 +99,13 @@ def main(argv: list[str]) -> int:
         if a == "--device-sampling":
             device_sampling = True
             i += 1
+            continue
+        if a == "--kv":
+            if i + 1 >= len(argv) or argv[i + 1] != "int8":
+                print("--kv supports: int8", file=sys.stderr)
+                return 1
+            kv_quant = True
+            i += 2
             continue
         if a == "--stream":
             stream = True
@@ -256,6 +266,7 @@ def main(argv: list[str]) -> int:
         ds_temperature=temperature,
         ds_topp=topp,
         ds_seed=rng_seed,
+        kv_quant=kv_quant,
     )
 
     if mode == "generate":

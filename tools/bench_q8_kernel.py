@@ -19,10 +19,12 @@ from hip_llama_tpu.ops.quant import QTensor, q8_matmul
 HBM_BW = 819e9  # v5e
 
 
-def bench_shape(b, k, n, gs=64, steps=24, variant="q8", **kw):
+def bench_shape(b, k, n, gs=64, steps=24, repeat=16, variant="q8", **kw):
     """Times a lax.scan over `steps` STACKED weights — the model's real
     pattern (fresh weight tensor per iteration => true HBM streaming, no
-    cache reuse, loop compiled once)."""
+    cache reuse, loop compiled once). The scan is repeated `repeat` times
+    inside ONE jit call via fori_loop so device time dwarfs the tunneled
+    transport's ~30 ms per-dispatch RPC latency."""
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, k), jnp.bfloat16)
     q = jax.random.randint(
@@ -31,7 +33,7 @@ def bench_shape(b, k, n, gs=64, steps=24, variant="q8", **kw):
     s = jnp.full((steps, k // gs, n), 1e-2, jnp.float32)
     wb = (q.astype(jnp.bfloat16) * 1e-2) if variant == "xla_bf16" else None
 
-    def many(x):
+    def many(x, xs):
         def body(carry, wl):
             if variant == "xla_bf16":
                 y = jnp.dot(carry, wl, preferred_element_type=jnp.float32)
@@ -42,15 +44,18 @@ def bench_shape(b, k, n, gs=64, steps=24, variant="q8", **kw):
             carry = carry.at[:, : upd.shape[1]].add(upd * 1e-6)
             return carry, ()
 
-        xs = wb if variant == "xla_bf16" else (q, s)
-        out, _ = jax.lax.scan(body, x, xs)
-        return out
+        def once(r, carry):
+            out, _ = jax.lax.scan(body, carry, xs)
+            return out
 
+        return jax.lax.fori_loop(0, repeat, once, x)
+
+    xs = wb if variant == "xla_bf16" else (q, s)
     f = jax.jit(many)
-    np.asarray(f(x))  # compile + sync
+    np.asarray(f(x, xs))  # compile + sync
     t0 = time.perf_counter()
-    np.asarray(f(x))
-    dt = (time.perf_counter() - t0) / steps
+    np.asarray(f(x, xs))
+    dt = (time.perf_counter() - t0) / (steps * repeat)
     wbytes = k * n * (2 if variant == "xla_bf16" else 1)
     bytes_moved = wbytes + (k // gs) * n * 4 + b * k * 2 + b * n * 2
     bw = bytes_moved / dt

@@ -84,6 +84,19 @@ def main():
     print(f"total device-op time: {total/1e3:.2f} ms over {args.steps} steps")
     for name, dur in items[:25]:
         print(f"{dur/1e3:9.2f} ms  {dur/total*100:5.1f}%  {name[:100]}")
+    # grouped by op family (strip the trailing .<uid>): the whole budget at
+    # a glance, with per-step and per-call averages
+    fam = defaultdict(lambda: [0.0, 0])
+    for name, dur in tot.items():
+        base = name.rsplit(".", 1)[0] if name.rsplit(".", 1)[-1].isdigit() else name
+        fam[base][0] += dur
+        fam[base][1] += 1
+    print("\n-- by op family (per step) --")
+    for base, (dur, cnt) in sorted(fam.items(), key=lambda kv: -kv[1][0]):
+        print(
+            f"{dur/1e3/args.steps:9.3f} ms/step  {dur/total*100:5.1f}%  "
+            f"x{cnt:<4d} {base[:80]}"
+        )
 
 
 if __name__ == "__main__":

@@ -395,6 +395,9 @@ def attention_decode_pallas(
             q, k_cache, v_cache, layer, pos, k_cur, v_cur, k_scale, v_scale
         )
     bk = block_k or _ENV_DECODE_BLOCK_K or _pick_block_k(s, target=1024)
+    if quantized and bk % 128 and bk != s:
+        # the (.., 1, bk) scale tile needs a lane-dim multiple of 128
+        bk = 128 if s % 128 == 0 else s
     n_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
     # batch KV heads per grid step so each step streams >=~512 KB (grid-step

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--quant", default=None, choices=[None, "q8"])
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--attn", default="pallas")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
@@ -40,7 +41,10 @@ def main():
         params = unstack_quant_params(rand_qparams_on_device(cfg))
     else:
         params = rand_params_on_device(cfg, jnp.bfloat16)
-    cache = init_kv_cache(cfg, args.batch, dtype=jnp.bfloat16, seq_len=args.window)
+    cache = init_kv_cache(
+        cfg, args.batch, dtype=jnp.bfloat16, seq_len=args.window,
+        quantized=(args.kv == "int8"),
+    )
     step = jax.jit(
         make_decode_step(cfg, attn_impl=args.attn, precision="default"),
         donate_argnums=(1,),

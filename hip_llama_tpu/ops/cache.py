@@ -35,19 +35,40 @@ def _kv_write_kernel(
     pos_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems, *, batch, window, s
 ):
     del cache_in_ref  # aliased with cache_out
-    for b in range(batch):
+
+    # double-buffered software pipeline: slot b+1's window load overlaps
+    # slot b's modify+store (slots write disjoint cache rows, so reordering
+    # is safe). The serial ld.wait->st.wait loop was ~2x slower (0.29 ->
+    # ~0.15 ms/step at 7B b=8).
+    def window_slice(b):
         pos = pos_ref[b]
         start = pl.multiple_of(
             jnp.minimum((pos // window) * window, s - window), window
         )
-        off = pos - start
+        return start, pos - start
+
+    def load(b):
+        start, _ = window_slice(b)
         ld = pltpu.make_async_copy(
             cache_out_ref.at[b, :, :, pl.ds(start, window), :],
             scratch.at[b % 2],
             sems.at[b % 2],
         )
         ld.start()
-        ld.wait()
+        return ld
+
+    pending_ld = load(0)
+    pending_st = [None, None]  # in-flight store per scratch buffer
+    for b in range(batch):
+        if b + 1 < batch:
+            if pending_st[(b + 1) % 2] is not None:
+                pending_st[(b + 1) % 2].wait()  # free that buffer first
+                pending_st[(b + 1) % 2] = None
+            nxt = load(b + 1)
+        else:
+            nxt = None
+        pending_ld.wait()
+        start, off = window_slice(b)
         win = scratch[b % 2]  # (L, KVH, W, HS)
         sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
         new = rows_ref[b][:, :, None, :]  # (L, KVH, 1, HS)
@@ -58,7 +79,11 @@ def _kv_write_kernel(
             sems.at[b % 2],
         )
         st.start()
-        st.wait()
+        pending_st[b % 2] = st
+        pending_ld = nxt
+    for st in pending_st:
+        if st is not None:
+            st.wait()  # drain before kernel exit
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
@@ -199,21 +224,42 @@ def _kv_write_kernel_paged(
     *, batch, window, ps,
 ):
     del pages_in_ref  # aliased with pages_out
-    for b in range(batch):
+
+    # same double-buffered pipeline as _kv_write_kernel. NOTE: unlike the
+    # contiguous cache, two slots share a page only if the BlockManager
+    # mis-assigned them — pages are exclusively owned, so slot windows are
+    # disjoint and the reordering is safe.
+    def window_slice(b):
         pos = pos_ref[b]
         page = pt_ref[b, pos // ps]
         off_in_page = pos % ps
         start = pl.multiple_of(
             jnp.minimum((off_in_page // window) * window, ps - window), window
         )
-        off = off_in_page - start
+        return page, start, off_in_page - start
+
+    def load(b):
+        page, start, _ = window_slice(b)
         ld = pltpu.make_async_copy(
             pages_out_ref.at[:, :, page, pl.ds(start, window), :],
             scratch.at[b % 2],
             sems.at[b % 2],
         )
         ld.start()
-        ld.wait()
+        return ld
+
+    pending_ld = load(0)
+    pending_st = [None, None]
+    for b in range(batch):
+        if b + 1 < batch:
+            if pending_st[(b + 1) % 2] is not None:
+                pending_st[(b + 1) % 2].wait()
+                pending_st[(b + 1) % 2] = None
+            nxt = load(b + 1)
+        else:
+            nxt = None
+        pending_ld.wait()
+        page, start, off = window_slice(b)
         win = scratch[b % 2]  # (L, KVH, W, HS)
         sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
         new = rows_ref[b][:, :, None, :]
@@ -224,7 +270,11 @@ def _kv_write_kernel_paged(
             sems.at[b % 2],
         )
         st.start()
-        st.wait()
+        pending_st[b % 2] = st
+        pending_ld = nxt
+    for st in pending_st:
+        if st is not None:
+            st.wait()  # drain before kernel exit
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))

@@ -49,7 +49,9 @@ def make_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
     return Mesh(grid, axis_names=("dp", "tp"))
 
 
-def make_shardings(cfg: ModelConfig, mesh: Mesh, shard_batch: bool = True) -> Shardings:
+def make_shardings(
+    cfg: ModelConfig, mesh: Mesh, shard_batch: bool = True, kv_quant: bool = False
+) -> Shardings:
     tp = mesh.shape["tp"]
     if cfg.n_kv_heads % tp != 0:
         raise ValueError(f"tp={tp} must divide n_kv_heads={cfg.n_kv_heads}")
@@ -73,10 +75,19 @@ def make_shardings(cfg: ModelConfig, mesh: Mesh, shard_batch: bool = True) -> Sh
         wcls=ns(None, "tp"),
     )
     # (B, L, KVH, S, HS): batch on dp, kv heads on tp
-    cache = KVCache(
-        k=ns(dp_axis, None, "tp", None, None),
-        v=ns(dp_axis, None, "tp", None, None),
-    )
+    if kv_quant:
+        # int8 cache: scale planes (B, L, KVH, S) shard like the cache
+        cache = KVCache(
+            k=ns(dp_axis, None, "tp", None, None),
+            v=ns(dp_axis, None, "tp", None, None),
+            k_scale=ns(dp_axis, None, "tp", None),
+            v_scale=ns(dp_axis, None, "tp", None),
+        )
+    else:
+        cache = KVCache(
+            k=ns(dp_axis, None, "tp", None, None),
+            v=ns(dp_axis, None, "tp", None, None),
+        )
     return Shardings(
         mesh=mesh,
         params=params,

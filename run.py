@@ -170,6 +170,9 @@ def main(argv: list[str]) -> int:
         if not isinstance(weights, LlamaWeights):
             print("--stream requires an fp32 checkpoint (v0/v1)", file=sys.stderr)
             return 1
+        if kv_quant:
+            print("--kv int8 is not supported with --stream yet", file=sys.stderr)
+            return 1
         from hip_llama_tpu.models.streaming import (
             generate_streaming,
             host_params_from_weights,
@@ -223,6 +226,12 @@ def main(argv: list[str]) -> int:
     shardings = None
     custom_step = custom_prefill = cache_sharding = None
     is_quant = hasattr(params, "tok_emb_q")
+    if tp > 1 and kv_quant:
+        # the shard_map TP step and the pjit cache layouts haven't been
+        # taught the int8-KV scale planes yet — fail loudly, don't decode
+        # garbage from an int8 cache read as if it were bf16
+        print("--kv int8 is not supported with --tp yet", file=sys.stderr)
+        return 1
     if tp > 1 and is_quant:
         # int8 + TP: the fused kernels aren't pjit-auto-partitionable, so
         # run the explicit-SPMD shard_map step (parallel/tp.py)

@@ -15,6 +15,7 @@ explicit target is >=90% of roofline (BASELINE.json).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -134,6 +135,13 @@ def main():
         "halves attention HBM traffic, ~+5%% tok/s at 7B b8; bf16 for the "
         "reference-parity-dtype run)",
     )
+    ap.add_argument(
+        "--loop", default="device", choices=["device", "host"],
+        help="device: whole timed window is one jitted greedy decode chain "
+        "(on-device sampling config; no per-step dispatch). host: one "
+        "dispatch per step (includes the dev tunnel's ~3 ms/step RPC "
+        "latency, which a production host does not pay)",
+    )
     ap.add_argument("--no-unroll", action="store_true",
                     help="use the scan path instead of unrolled per-layer "
                          "weight buffers (q8; unrolled measured 386 vs 307 tok/s)")
@@ -158,28 +166,56 @@ def main():
     cache = init_kv_cache(
         cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
     )
-    step = jax.jit(
-        make_decode_step(cfg, attn_impl=args.attn, precision="default"),
-        donate_argnums=(1,),
-    )
-
+    step_fn = make_decode_step(cfg, attn_impl=args.attn, precision="default")
     tokens = jnp.zeros((b,), jnp.int32)
     pos0 = window // 2  # typical mid-window decode position
-    # warmup / compile. NOTE: sync via host fetch of the logits — on the
-    # tunneled 'axon' platform block_until_ready does not actually wait.
-    for i in range(args.warmup):
-        logits, cache = step(params, cache, tokens, jnp.full((b,), pos0 + i, jnp.int32))
-    np.asarray(logits)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        logits, cache = step(
-            params, cache, tokens, jnp.full((b,), pos0 + args.warmup + i, jnp.int32)
-        )
-    # the final logits depend on every prior step through the donated cache,
-    # so fetching them serializes the whole timed chain exactly once
-    np.asarray(logits)
-    dt = time.perf_counter() - t0
+    if args.loop == "device":
+        # the whole timed window is ONE jit: a greedy on-device decode chain
+        # (argmax feeds the next step — the make_sampling_decode_step serving
+        # configuration). Removes per-step dispatch latency, which on the
+        # tunneled dev transport is ~3 ms/step of pure environment artifact;
+        # a production host dispatches in ~10 us.
+        n_steps = args.steps
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+        def chain(params, cache, tokens, pos_start, n):
+            def body(i, carry):
+                cache, tokens = carry
+                logits, cache = step_fn(
+                    params, cache, tokens, jnp.full((b,), pos_start + i, jnp.int32)
+                )
+                return (cache, jnp.argmax(logits, -1).astype(jnp.int32))
+
+            cache, tokens = jax.lax.fori_loop(0, n, body, (cache, tokens))
+            return cache, tokens
+
+        # warm up with the SAME static n so the timed call hits the cache
+        cache, out = chain(params, cache, tokens, jnp.int32(pos0), n_steps)
+        np.asarray(out)  # compile + sync
+        t0 = time.perf_counter()
+        cache, out = chain(params, cache, tokens, jnp.int32(pos0), n_steps)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+    else:
+        step = jax.jit(step_fn, donate_argnums=(1,))
+        # warmup / compile. NOTE: sync via host fetch of the logits — on the
+        # tunneled 'axon' platform block_until_ready does not actually wait.
+        for i in range(args.warmup):
+            logits, cache = step(
+                params, cache, tokens, jnp.full((b,), pos0 + i, jnp.int32)
+            )
+        np.asarray(logits)
+
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            logits, cache = step(
+                params, cache, tokens, jnp.full((b,), pos0 + args.warmup + i, jnp.int32)
+            )
+        # the final logits depend on every prior step through the donated
+        # cache, so fetching them serializes the whole timed chain once
+        np.asarray(logits)
+        dt = time.perf_counter() - t0
 
     tok_s = b * args.steps / dt
 

@@ -84,8 +84,6 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.cache_dtype = cache_dtype or _act_dtype(params)
         self.kv_quant = kv_quant
-        if kv_quant and paged:
-            raise ValueError("int8 KV quantization is not supported with --paged yet")
         self.max_seq_len = max_seq_len or cfg.seq_len
         self.use_prefill = use_prefill
         self.prefill_buckets = tuple(
@@ -171,7 +169,8 @@ class InferenceEngine:
 
             n_pages = max(self.num_pages, b)  # at least one page per slot
             return init_paged_kv_cache(
-                self.cfg, n_pages, self.page_size, dtype=self.cache_dtype
+                self.cfg, n_pages, self.page_size, dtype=self.cache_dtype,
+                quantized=self.kv_quant,
             )
         cache = init_kv_cache(
             self.cfg,

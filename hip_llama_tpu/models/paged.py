@@ -36,6 +36,9 @@ from hip_llama_tpu.ops.attention import (
 class PagedKVCache(NamedTuple):
     k: jax.Array  # (L, KVH, P, PS, HS)
     v: jax.Array  # (L, KVH, P, PS, HS)
+    # int8 KV mode (see models/llama.py KVCache): per-row fp32 scales
+    k_scale: jax.Array | None = None  # (L, KVH, P, PS)
+    v_scale: jax.Array | None = None
 
     @property
     def page_size(self) -> int:
@@ -45,11 +48,23 @@ class PagedKVCache(NamedTuple):
     def num_pages(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_paged_kv_cache(
-    cfg: ModelConfig, num_pages: int, page_size: int = 128, dtype=jnp.float32
+    cfg: ModelConfig, num_pages: int, page_size: int = 128, dtype=jnp.float32,
+    quantized: bool = False,
 ) -> PagedKVCache:
     shape = (cfg.n_layers, cfg.n_kv_heads, num_pages, page_size, cfg.head_size)
+    if quantized:
+        return PagedKVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.ones(shape[:-1], jnp.float32),
+            jnp.ones(shape[:-1], jnp.float32),
+        )
     return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -76,6 +91,47 @@ def _write_kv_rows_paged(
             pages, upd[i][:, :, None, None], (0, 0, page, off, 0)
         )
     return pages
+
+
+def _write_scale_rows_paged(
+    scale_pages: jax.Array,  # (L, KVH, P, PS)
+    srows: jax.Array,  # (L, B, KVH)
+    page_table: jax.Array,
+    pos: jax.Array,
+) -> jax.Array:
+    if jax.default_backend() != "cpu":
+        from hip_llama_tpu.ops.cache import scale_write_rows_paged
+
+        return scale_write_rows_paged(scale_pages, srows, page_table, pos)
+    ps = scale_pages.shape[3]
+    b = srows.shape[1]
+    upd = jnp.moveaxis(srows, 1, 0)  # (B, L, KVH)
+    for i in range(b):
+        page = page_table[i, pos[i] // ps]
+        scale_pages = lax.dynamic_update_slice(
+            scale_pages, upd[i][:, :, None, None], (0, 0, page, pos[i] % ps)
+        )
+    return scale_pages
+
+
+def _commit_kv_rows_paged(
+    cache: PagedKVCache, k_rows, v_rows, page_table, pos
+) -> PagedKVCache:
+    if cache.quantized:
+        from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+        kq, ks = quantize_kv_rows(k_rows)
+        vq, vs = quantize_kv_rows(v_rows)
+        return PagedKVCache(
+            _write_kv_rows_paged(cache.k, kq, page_table, pos),
+            _write_kv_rows_paged(cache.v, vq, page_table, pos),
+            _write_scale_rows_paged(cache.k_scale, ks, page_table, pos),
+            _write_scale_rows_paged(cache.v_scale, vs, page_table, pos),
+        )
+    return PagedKVCache(
+        _write_kv_rows_paged(cache.k, k_rows, page_table, pos),
+        _write_kv_rows_paged(cache.v, v_rows, page_table, pos),
+    )
 
 
 def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
@@ -109,7 +165,8 @@ def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
             q = rope(q, pos)
             k = rope(k, pos)
             att_out = attention_decode_paged(
-                q, cache.k, cache.v, page_table, l, pos, k, v
+                q, cache.k, cache.v, page_table, l, pos, k, v,
+                cache.k_scale, cache.v_scale,
             ).reshape(b, c.dim)
             x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
@@ -118,11 +175,10 @@ def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
-        new_k = _write_kv_rows_paged(cache.k, k_rows, page_table, pos)
-        new_v = _write_kv_rows_paged(cache.v, v_rows, page_table, pos)
+        new_cache = _commit_kv_rows_paged(cache, k_rows, v_rows, page_table, pos)
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = _mm(x, params.wcls).astype(jnp.float32)
-        return logits, PagedKVCache(new_k, new_v)
+        return logits, new_cache
 
     def step(params, cache, page_table, tokens, pos):
         with jax.default_matmul_precision(precision):
@@ -160,6 +216,8 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
             params.w3,
         )
 
+        quantized_kv = cache.quantized
+
         def write_chunk(pages, new, l):
             # new: (B, T, KVH, HS); one page window per slot at offset 0
             win = min(t, ps)
@@ -179,8 +237,23 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
                 )
             return pages
 
+        def write_scale_chunk(splane, new_s, l):
+            # splane (L, KVH, P, PS); new_s (B, T, KVH)
+            win = min(t, ps)
+            for i in range(b):
+                page = page_table[i, start[i] // ps]
+                old = lax.dynamic_slice(
+                    splane, (l, 0, page, 0), (1, c.n_kv_heads, 1, win)
+                )
+                new_i = jnp.swapaxes(new_s[i, :win], 0, 1)  # (KVH, T)
+                merged = jnp.where(tvalid[i, :win][None, :], new_i, old[0, :, 0])
+                splane = lax.dynamic_update_slice(
+                    splane, merged[None, :, None], (l, 0, page, 0)
+                )
+            return splane
+
         def layer(carry, xs):
-            x, kpages, vpages = carry
+            x, kpages, vpages, ks_p, vs_p = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
             q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
@@ -188,20 +261,38 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
             v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
-            kpages = write_chunk(kpages, k, l)
-            vpages = write_chunk(vpages, v, l)
+            if quantized_kv:
+                from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+                kq, ksc = quantize_kv_rows(k)
+                vq, vsc = quantize_kv_rows(v)
+                kpages = write_chunk(kpages, kq, l)
+                vpages = write_chunk(vpages, vq, l)
+                ks_p = write_scale_chunk(ks_p, ksc, l)
+                vs_p = write_scale_chunk(vs_p, vsc, l)
+            else:
+                kpages = write_chunk(kpages, k, l)
+                vpages = write_chunk(vpages, v, l)
             att_out = attention_prefill_paged(
-                q, kpages, vpages, page_table, l, start, valid
+                q, kpages, vpages, page_table, l, start, valid,
+                ks_p if quantized_kv else None,
+                vs_p if quantized_kv else None,
             ).reshape(b, t, c.dim).astype(x.dtype)
             x = x + _mm(att_out, wo)
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
             x = x + _mm(h, w2)
-            return (x, kpages, vpages), None
+            return (x, kpages, vpages, ks_p, vs_p), None
 
-        (x, new_k, new_v), _ = lax.scan(layer, (x, cache.k, cache.v), layer_xs)
+        ks0 = cache.k_scale if quantized_kv else jnp.zeros((0,), jnp.float32)
+        vs0 = cache.v_scale if quantized_kv else jnp.zeros((0,), jnp.float32)
+        (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+            layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
+        )
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits = _mm(x, params.wcls).astype(jnp.float32)
+        if quantized_kv:
+            return logits, PagedKVCache(new_k, new_v, new_ks, new_vs)
         return logits, PagedKVCache(new_k, new_v)
 
     def prefill(params, cache, page_table, tokens, start, valid):

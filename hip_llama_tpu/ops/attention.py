@@ -507,6 +507,8 @@ def attention_decode_paged(
     pos: jax.Array,  # (B,) int32
     k_cur: jax.Array,  # (B, KVH, HS)
     v_cur: jax.Array,
+    k_scale: jax.Array | None = None,  # (L, KVH, P, PS) f32 — int8 KV
+    v_scale: jax.Array | None = None,
     *,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -514,6 +516,7 @@ def attention_decode_paged(
     n_layers, kvh, p, ps, _ = k_pages.shape
     kv_mul = h // kvh
     max_pages = page_table.shape[1]
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scale = 1.0 / (hs ** 0.5)
@@ -534,16 +537,37 @@ def attention_decode_paged(
     def cur_map(bi, g, i, layer_ref, pos_ref, pt_ref):
         return (bi, g, 0, 0)
 
+    def scale_map(bi, g, i, layer_ref, pos_ref, pt_ref):
+        # scale plane viewed as (L*KVH, P, 1, PS)
+        last_live = jnp.maximum(pos_ref[bi] - 1, 0) // ps
+        page = pt_ref[bi, jnp.minimum(i, last_live)]
+        return (layer_ref[0] * kvh + g, page, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+    ]
+    operands = [qs, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, ps), scale_map),
+            pl.BlockSpec((1, 1, 1, ps), scale_map),
+        ]
+        operands += [
+            k_scale.reshape(n_layers * kvh, p, 1, ps),
+            v_scale.reshape(n_layers * kvh, p, 1, ps),
+        ]
+    in_specs += [
+        pl.BlockSpec((1, 1, 1, hs), cur_map),
+        pl.BlockSpec((1, 1, 1, hs), cur_map),
+    ]
+    operands += [kc4, vc4]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, kvh, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, kv_mul, hs), q_map),
-            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, hs), cur_map),
-            pl.BlockSpec((1, 1, 1, hs), cur_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
         scratch_shapes=[
             pltpu.VMEM((1, kv_mul, 128), jnp.float32),
@@ -552,7 +576,8 @@ def attention_decode_paged(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel_paged, block_k=ps, n_blocks=max_pages, scale=scale
+        _decode_kernel_paged, block_k=ps, n_blocks=max_pages, scale=scale,
+        quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -562,7 +587,7 @@ def attention_decode_paged(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(layer_arr, pos, page_table, qs, k_pages, v_pages, kc4, vc4)
+    )(layer_arr, pos, page_table, *operands)
     return out.reshape(b, h, hs)
 
 
@@ -575,6 +600,8 @@ def attention_prefill_paged(
     layer: jax.Array,
     start: jax.Array,  # (B,)
     valid: jax.Array,  # (B,)
+    k_scale: jax.Array | None = None,  # (L, KVH, P, PS) f32 — int8 KV
+    v_scale: jax.Array | None = None,
     *,
     block_t: int | None = None,
     interpret: bool | None = None,
@@ -583,6 +610,7 @@ def attention_prefill_paged(
     n_layers, kvh, p, ps, _ = k_pages.shape
     kv_mul = h // kvh
     max_pages = page_table.shape[1]
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     bt = block_t or _pick_block_t(t)
@@ -601,14 +629,33 @@ def attention_prefill_paged(
         page = pt_ref[bi, jnp.minimum(i, last_live)]
         return (layer_ref[0], g, page, 0, 0)
 
+    def scale_map(bi, g, tq, i, start_ref, valid_ref, layer_ref, pt_ref):
+        # scale plane viewed as (L*KVH, P, 1, PS)
+        q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
+        last_live = jnp.maximum(q_pos_max, 0) // ps
+        page = pt_ref[bi, jnp.minimum(i, last_live)]
+        return (layer_ref[0] * kvh + g, page, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+    ]
+    operands = [qs, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, ps), scale_map),
+            pl.BlockSpec((1, 1, 1, ps), scale_map),
+        ]
+        operands += [
+            k_scale.reshape(n_layers * kvh, p, 1, ps),
+            v_scale.reshape(n_layers * kvh, p, 1, ps),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, kvh, n_t_blocks, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
-            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-            pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
         scratch_shapes=[
             pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
@@ -618,7 +665,7 @@ def attention_prefill_paged(
     )
     kernel = functools.partial(
         _prefill_kernel_paged, block_t=bt, block_k=ps, n_k_blocks=max_pages,
-        scale=scale,
+        scale=scale, quantized=quantized,
     )
     out = pl.pallas_call(
         kernel,
@@ -628,5 +675,5 @@ def attention_prefill_paged(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(start, valid, layer_arr, page_table, qs, k_pages, v_pages)
+    )(start, valid, layer_arr, page_table, *operands)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t, h, hs)

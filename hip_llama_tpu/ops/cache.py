@@ -205,6 +205,79 @@ def scale_write_rows(
     )(pos, srows3, scale_cache)
 
 
+def _scale_write_kernel_paged(
+    pos_ref, pt_ref, srows_ref, sc_in_ref, sc_out_ref, scratch, sems, *, batch, ps
+):
+    # paged scale plane (L, KVH, P, PS): RMW the slot's page lane-strip
+    del sc_in_ref
+    for b in range(batch):
+        pos = pos_ref[b]
+        page = pt_ref[b, pos // ps]
+        off = pos % ps
+        ld = pltpu.make_async_copy(
+            sc_out_ref.at[:, :, page, :], scratch.at[b % 2], sems.at[b % 2]
+        )
+        ld.start()
+        ld.wait()
+        win = scratch[b % 2]  # (L, KVH, PS)
+        lane = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+        new = srows_ref[b][:, :, None]  # (L, KVH, 1)
+        scratch[b % 2] = jnp.where(lane == off, new, win)
+        st = pltpu.make_async_copy(
+            scratch.at[b % 2], sc_out_ref.at[:, :, page, :], sems.at[b % 2]
+        )
+        st.start()
+        st.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scale_write_rows_paged(
+    scale_pages: jax.Array,  # (L, KVH, P, PS) f32 — donated
+    srows: jax.Array,  # (L, B, KVH) f32
+    page_table: jax.Array,  # (B, MAX_PAGES) int32
+    pos: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged companion of scale_write_rows (int8 KV, paged cache)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_layers, kvh, p, ps = scale_pages.shape
+    b = srows.shape[1]
+    if ps % 128:
+        upd = jnp.moveaxis(srows, 1, 0)  # (B, L, KVH)
+        out = scale_pages
+        for i in range(b):
+            page = page_table[i, pos[i] // ps]
+            out = jax.lax.dynamic_update_slice(
+                out, upd[i][:, :, None, None], (0, 0, page, pos[i] % ps)
+            )
+        return out
+    srows3 = jnp.moveaxis(srows, 1, 0).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # srows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # scale pages
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_layers, kvh, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scale_write_kernel_paged, batch=b, ps=ps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scale_pages.shape, jnp.float32),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pos, page_table, srows3, scale_pages)
+
+
 def quantize_kv_rows(rows: jax.Array):
     """Per-row symmetric int8 quantization of KV rows (L, B, KVH, HS):
     scale = absmax/127 over the head dim (the Q8_0 recipe of runq.c:145-171

@@ -85,6 +85,45 @@ def test_scale_write_rows_matches_xla():
     np.testing.assert_allclose(np.asarray(got), expect, rtol=0, atol=0)
 
 
+def test_paged_int8_kv_matches_contiguous(params):
+    """Paged int8 cache must track the contiguous int8 cache: same rows,
+    same per-row scales; the paged Pallas kernels dequantize in bf16 while
+    the contiguous XLA fallback uses fp32, so allow bf16-level slack."""
+    from hip_llama_tpu.models.paged import (
+        init_paged_kv_cache,
+        make_paged_decode_step,
+        make_paged_prefill,
+    )
+
+    B, PS = 2, 128
+    step_c = make_decode_step(CFG, attn_impl="xla")
+    pre_c = make_prefill(CFG, attn_impl="xla")
+    step_p = make_paged_decode_step(CFG)
+    pre_p = make_paged_prefill(CFG)
+
+    c_cont = init_kv_cache(CFG, B, quantized=True)
+    c_page = init_paged_kv_cache(CFG, num_pages=2 * B, page_size=PS, quantized=True)
+    assert c_page.quantized and c_page.k.dtype == jnp.int8
+    # slot i owns pages [2i, 2i+1]
+    table = jnp.array([[0, 1], [2, 3]], jnp.int32)
+
+    toks = jnp.array([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    start = jnp.zeros((B,), jnp.int32)
+    valid = jnp.full((B,), 4, jnp.int32)
+    lg_c, c_cont = pre_c(params, c_cont, toks, start, valid)
+    lg_p, c_page = pre_p(params, c_page, table, toks, start, valid)
+    scale = float(jnp.max(jnp.abs(lg_c))) + 1e-9
+    assert float(jnp.max(jnp.abs(lg_c - lg_p))) / scale < 0.02
+
+    t = jnp.array([9, 10], jnp.int32)
+    for i in range(3):
+        pos = jnp.full((B,), 4 + i, jnp.int32)
+        lc, c_cont = step_c(params, c_cont, t, pos)
+        lp, c_page = step_p(params, c_page, table, t, pos)
+    scale = float(jnp.max(jnp.abs(lc))) + 1e-9
+    assert float(jnp.max(jnp.abs(lc - lp))) / scale < 0.02
+
+
 def test_engine_generates_with_int8_kv(params):
     from hip_llama_tpu.engine.engine import InferenceEngine
     from hip_llama_tpu.sampler import Sampler

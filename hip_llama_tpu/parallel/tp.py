@@ -60,37 +60,44 @@ def _param_specs(params) -> object:
     )
 
 
-def tp_shardings(params, mesh: Mesh):
+def tp_shardings(params, mesh: Mesh, kv_quant: bool = False):
     """NamedShardings to place params/cache for the shard_map TP step."""
     specs = _param_specs(params)
     p_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
-    cache_sh = KVCache(
-        k=NamedSharding(mesh, P("dp", None, "tp", None, None)),
-        v=NamedSharding(mesh, P("dp", None, "tp", None, None)),
-    )
+    kv_ns = NamedSharding(mesh, P("dp", None, "tp", None, None))
+    if kv_quant:
+        sc_ns = NamedSharding(mesh, P("dp", None, "tp", None))
+        cache_sh = KVCache(k=kv_ns, v=kv_ns, k_scale=sc_ns, v_scale=sc_ns)
+    else:
+        cache_sh = KVCache(k=kv_ns, v=kv_ns)
     return p_sh, cache_sh
 
 
 def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
-                        attn_impl: str = "pallas", precision: str = "default"):
+                        attn_impl: str = "pallas", precision: str = "default",
+                        kv_quant: bool = False):
     """Returns step(params, cache, tokens (B,), pos (B,)) -> (logits, cache).
 
     `params_like` (dense LlamaParams or QuantLlamaParams) fixes the pytree
     structure for the in_specs. tp must divide n_kv_heads, hidden_dim, dim,
-    vocab; dp must divide batch.
+    vocab; dp must divide batch. kv_quant=True runs the int8 KV cache: the
+    scale planes shard on "tp" alongside their kv heads, so dequant stays
+    fully local.
     """
     c = cfg
     tp = mesh.shape["tp"]
     assert c.n_kv_heads % tp == 0 and c.vocab_size % tp == 0
     p_specs = _param_specs(params_like)
 
-    def spmd(params, k_cache, v_cache, tokens, pos):
+    def spmd(params, k_cache, v_cache, k_scale, v_scale, tokens, pos):
         # local shapes: heads/tp, hidden/tp on the sharded dims
         x = _embed(params, tokens, _act_dtype(params))
         b = x.shape[0]
         n_heads_l = c.n_heads // tp
         n_kv_l = c.n_kv_heads // tp
+        ks = k_scale if kv_quant else None
+        vs = v_scale if kv_quant else None
 
         layer_xs = (
             jnp.arange(c.n_layers, dtype=jnp.int32),
@@ -110,11 +117,15 @@ def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_decode_pallas
 
-                att = attention_decode_pallas(q, k_cache, v_cache, l, pos, k, v)
+                att = attention_decode_pallas(
+                    q, k_cache, v_cache, l, pos, k, v, ks, vs
+                )
             else:
                 from hip_llama_tpu.models.llama import attention_decode_xla
 
-                att = attention_decode_xla(q, k_cache, v_cache, l, pos, k, v)
+                att = attention_decode_xla(
+                    q, k_cache, v_cache, l, pos, k, v, ks, vs
+                )
             att = att.reshape(b, n_heads_l * c.head_size)
             # row-parallel Wo: local partial + psum (the Megatron all-reduce)
             x = x + lax.psum(_mm(att, wo), "tp")
@@ -124,38 +135,52 @@ def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
-        new_k = _write_kv_rows(k_cache, k_rows, pos)
-        new_v = _write_kv_rows(v_cache, v_rows, pos)
+        if kv_quant:
+            from hip_llama_tpu.models.llama import _write_scale_rows
+            from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+            kq, ksr = quantize_kv_rows(k_rows)
+            vq, vsr = quantize_kv_rows(v_rows)
+            new_k = _write_kv_rows(k_cache, kq, pos)
+            new_v = _write_kv_rows(v_cache, vq, pos)
+            new_ks = _write_scale_rows(k_scale, ksr, pos)
+            new_vs = _write_scale_rows(v_scale, vsr, pos)
+        else:
+            new_k = _write_kv_rows(k_cache, k_rows, pos)
+            new_v = _write_kv_rows(v_cache, v_rows, pos)
+            new_ks, new_vs = k_scale, v_scale
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits_l = _mm(x, params.wcls).astype(jnp.float32)  # (B, V/tp)
         logits = lax.all_gather(logits_l, "tp", axis=1, tiled=True)
-        return logits, new_k, new_v
+        return logits, new_k, new_v, new_ks, new_vs
 
+    kv_spec = P("dp", None, "tp", None, None)
+    sc_spec = P("dp", None, "tp", None) if kv_quant else P()
     f = shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(
-            p_specs,
-            P("dp", None, "tp", None, None),
-            P("dp", None, "tp", None, None),
-            P("dp"),
-            P("dp"),
-        ),
-        out_specs=(P("dp"), P("dp", None, "tp", None, None),
-                   P("dp", None, "tp", None, None)),
+        in_specs=(p_specs, kv_spec, kv_spec, sc_spec, sc_spec, P("dp"), P("dp")),
+        out_specs=(P("dp"), kv_spec, kv_spec, sc_spec, sc_spec),
         check_vma=False,
     )
 
     def step(params, cache: KVCache, tokens, pos):
+        ksc = cache.k_scale if kv_quant else jnp.zeros((0,), jnp.float32)
+        vsc = cache.v_scale if kv_quant else jnp.zeros((0,), jnp.float32)
         with jax.default_matmul_precision(precision):
-            logits, k, v = f(params, cache.k, cache.v, tokens, pos)
+            logits, k, v, ks, vs = f(
+                params, cache.k, cache.v, ksc, vsc, tokens, pos
+            )
+        if kv_quant:
+            return logits, KVCache(k, v, ks, vs)
         return logits, KVCache(k, v)
 
     return step
 
 
 def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
-                    attn_impl: str = "pallas", precision: str = "default"):
+                    attn_impl: str = "pallas", precision: str = "default",
+                    kv_quant: bool = False):
     """shard_map tensor-parallel chunked prefill: same layout as
     make_tp_decode_step; KV chunk scatters into the local head shard and
     attention runs fully local (GQA co-location)."""
@@ -163,7 +188,7 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
     tp = mesh.shape["tp"]
     p_specs = _param_specs(params_like)
 
-    def spmd(params, k_cache, v_cache, tokens, start, valid):
+    def spmd(params, k_cache, v_cache, k_scale, v_scale, tokens, start, valid):
         b, t = tokens.shape
         s = k_cache.shape[3]
         x = _embed(params, tokens, _act_dtype(params))
@@ -179,7 +204,7 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
         )
 
         def layer(carry, xs):
-            x, kc_all, vc_all = carry
+            x, kc_all, vc_all, ks_all, vs_all = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
             xb = rmsnorm(x, rms_a, c.norm_eps)
             q = _mm(xb, wq).reshape(b, t, n_heads_l, c.head_size)
@@ -196,26 +221,55 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
                 merged = jnp.where(vmask[None, :, None], new_kv, old)
                 return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
 
-            kc_all = jax.vmap(scatter_seq)(kc_all, k, start, tvalid)
-            vc_all = jax.vmap(scatter_seq)(vc_all, v, start, tvalid)
+            def scatter_scale(s_b, new_s, st, vmask):
+                old = lax.dynamic_slice(s_b, (l, 0, st), (1, s_b.shape[1], t))[0]
+                merged = jnp.where(vmask[None, :], jnp.swapaxes(new_s, 0, 1), old)
+                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st))
+
+            if kv_quant:
+                from hip_llama_tpu.ops.cache import quantize_kv_rows
+
+                kq, ksc = quantize_kv_rows(k)
+                vq, vsc = quantize_kv_rows(v)
+                kc_all = jax.vmap(scatter_seq)(kc_all, kq, start, tvalid)
+                vc_all = jax.vmap(scatter_seq)(vc_all, vq, start, tvalid)
+                ks_all = jax.vmap(scatter_scale)(ks_all, ksc, start, tvalid)
+                vs_all = jax.vmap(scatter_scale)(vs_all, vsc, start, tvalid)
+            else:
+                kc_all = jax.vmap(scatter_seq)(kc_all, k, start, tvalid)
+                vc_all = jax.vmap(scatter_seq)(vc_all, v, start, tvalid)
 
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_prefill_pallas
 
-                att = attention_prefill_pallas(q, kc_all, vc_all, l, start, valid)
+                att = attention_prefill_pallas(
+                    q, kc_all, vc_all, l, start, valid,
+                    ks_all if kv_quant else None,
+                    vs_all if kv_quant else None,
+                )
             else:
                 kc = lax.dynamic_index_in_dim(kc_all, l, 1, keepdims=False)
                 vc = lax.dynamic_index_in_dim(vc_all, l, 1, keepdims=False)
                 kv_mul = n_heads_l // n_kv_l
                 qs = q.reshape(b, t, n_kv_l, kv_mul, c.head_size)
+                if kv_quant:
+                    kc = kc.astype(jnp.float32)
+                    vc = vc.astype(jnp.float32)
+                    qs = qs.astype(jnp.float32)
                 scores = jnp.einsum(
                     "btgmd,bgsd->btgms", qs, kc,
                     preferred_element_type=jnp.float32,
                 ) / jnp.sqrt(jnp.float32(c.head_size))
+                if kv_quant:
+                    ks_l = lax.dynamic_index_in_dim(ks_all, l, 1, keepdims=False)
+                    scores = scores * ks_l[:, None, :, None, :]
                 s_idx = lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
                 mask = s_idx <= pos[:, :, None, None, None]
                 scores = jnp.where(mask, scores, -jnp.inf)
                 att_w = jax.nn.softmax(scores, axis=-1)
+                if kv_quant:
+                    vs_l = lax.dynamic_index_in_dim(vs_all, l, 1, keepdims=False)
+                    att_w = att_w * vs_l[:, None, :, None, :]
                 att = jnp.einsum(
                     "btgms,bgsd->btgmd", att_w.astype(vc.dtype), vc,
                     preferred_element_type=jnp.float32,
@@ -225,33 +279,40 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
             xb = rmsnorm(x, rms_f, c.norm_eps)
             h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
             x = x + lax.psum(_mm(h, w2), "tp")
-            return (x, kc_all, vc_all), None
+            return (x, kc_all, vc_all, ks_all, vs_all), None
 
-        (x, new_k, new_v), _ = lax.scan(layer, (x, k_cache, v_cache), layer_xs)
+        ks0 = k_scale if kv_quant else jnp.zeros((0,), jnp.float32)
+        vs0 = v_scale if kv_quant else jnp.zeros((0,), jnp.float32)
+        (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
+            layer, (x, k_cache, v_cache, ks0, vs0), layer_xs
+        )
         x = rmsnorm(x, params.rms_final, c.norm_eps)
         logits_l = _mm(x, params.wcls).astype(jnp.float32)
         logits = lax.all_gather(logits_l, "tp", axis=2, tiled=True)
-        return logits, new_k, new_v
+        return logits, new_k, new_v, new_ks, new_vs
 
+    kv_spec = P("dp", None, "tp", None, None)
+    sc_spec = P("dp", None, "tp", None) if kv_quant else P()
     f = shard_map(
         spmd,
         mesh=mesh,
         in_specs=(
-            p_specs,
-            P("dp", None, "tp", None, None),
-            P("dp", None, "tp", None, None),
-            P("dp"),
-            P("dp"),
-            P("dp"),
+            p_specs, kv_spec, kv_spec, sc_spec, sc_spec,
+            P("dp"), P("dp"), P("dp"),
         ),
-        out_specs=(P("dp"), P("dp", None, "tp", None, None),
-                   P("dp", None, "tp", None, None)),
+        out_specs=(P("dp"), kv_spec, kv_spec, sc_spec, sc_spec),
         check_vma=False,
     )
 
     def prefill(params, cache: KVCache, tokens, start, valid):
+        ksc = cache.k_scale if kv_quant else jnp.zeros((0,), jnp.float32)
+        vsc = cache.v_scale if kv_quant else jnp.zeros((0,), jnp.float32)
         with jax.default_matmul_precision(precision):
-            logits, k, v = f(params, cache.k, cache.v, tokens, start, valid)
+            logits, k, v, ks, vs = f(
+                params, cache.k, cache.v, ksc, vsc, tokens, start, valid
+            )
+        if kv_quant:
+            return logits, KVCache(k, v, ks, vs)
         return logits, KVCache(k, v)
 
     return prefill

@@ -226,12 +226,6 @@ def main(argv: list[str]) -> int:
     shardings = None
     custom_step = custom_prefill = cache_sharding = None
     is_quant = hasattr(params, "tok_emb_q")
-    if tp > 1 and kv_quant:
-        # the shard_map TP step and the pjit cache layouts haven't been
-        # taught the int8-KV scale planes yet — fail loudly, don't decode
-        # garbage from an int8 cache read as if it were bf16
-        print("--kv int8 is not supported with --tp yet", file=sys.stderr)
-        return 1
     if tp > 1 and is_quant:
         # int8 + TP: the fused kernels aren't pjit-auto-partitionable, so
         # run the explicit-SPMD shard_map step (parallel/tp.py)
@@ -239,22 +233,24 @@ def main(argv: list[str]) -> int:
         from hip_llama_tpu.parallel.tp import make_tp_decode_step, tp_shardings
 
         mesh = make_mesh(tp=tp)
-        p_sh, cache_sharding = tp_shardings(params, mesh)
+        p_sh, cache_sharding = tp_shardings(params, mesh, kv_quant=kv_quant)
         params = jax.device_put(params, p_sh)
         prec = "highest" if dtype == jnp.float32 else "default"
         custom_step = make_tp_decode_step(
-            cfg, mesh, params, attn_impl=attn_impl, precision=prec
+            cfg, mesh, params, attn_impl=attn_impl, precision=prec,
+            kv_quant=kv_quant,
         )
         from hip_llama_tpu.parallel.tp import make_tp_prefill
 
         custom_prefill = make_tp_prefill(
-            cfg, mesh, params, attn_impl=attn_impl, precision=prec
+            cfg, mesh, params, attn_impl=attn_impl, precision=prec,
+            kv_quant=kv_quant,
         )
     elif tp > 1:
         from hip_llama_tpu.parallel import make_mesh, make_shardings, shard_params
 
         mesh = make_mesh(tp=tp)
-        shardings = make_shardings(cfg, mesh)
+        shardings = make_shardings(cfg, mesh, kv_quant=kv_quant)
         params = shard_params(params, shardings)
 
     engine = InferenceEngine(

@@ -106,3 +106,53 @@ def test_tp_prefill_matches_single():
     step_1 = jax.jit(_mds(cfg))
     l1d, _ = step_1(params, cache_1, tok, pos)
     assert_close(ld, l1d, atol=1e-4, rtol=1e-3)
+
+
+def test_tp_int8_kv_matches_single():
+    """TP shard_map decode with the int8 KV cache (scale planes sharded on
+    "tp") must track the single-device int8-KV engine."""
+    cfg = tiny_config(n_layers=3, seq_len=32, hidden_dim=192)
+    w = random_weights(cfg, seed=6)
+    params = params_from_weights(w)
+    b = 4
+    mesh = _mesh(tp=2)
+    p_sh, c_sh = tp_shardings(params, mesh, kv_quant=True)
+    params_s = jax.device_put(params, p_sh)
+    step_tp = jax.jit(make_tp_decode_step(cfg, mesh, params, attn_impl="xla",
+                                          precision="highest", kv_quant=True))
+    step_1 = jax.jit(make_decode_step(cfg))
+    cache_tp = jax.device_put(init_kv_cache(cfg, b, quantized=True), c_sh)
+    cache_1 = init_kv_cache(cfg, b, quantized=True)
+    assert cache_tp.quantized
+    rng = np.random.default_rng(2)
+    for p in range(3):
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+        pos = jnp.full((b,), p, jnp.int32)
+        l1, cache_1 = step_1(params, cache_1, toks, pos)
+        lt, cache_tp = step_tp(params_s, cache_tp, toks, pos)
+        assert_close(lt, l1, atol=1e-4, rtol=1e-3, msg=f"pos {p}")
+
+
+def test_tp_int8_kv_prefill_matches_single():
+    from hip_llama_tpu.models.llama import make_prefill
+    from hip_llama_tpu.parallel.tp import make_tp_prefill
+
+    cfg = tiny_config(n_layers=2, seq_len=32, hidden_dim=192)
+    w = random_weights(cfg, seed=7)
+    params = params_from_weights(w)
+    b = 2
+    mesh = _mesh(tp=2)
+    p_sh, c_sh = tp_shardings(params, mesh, kv_quant=True)
+    params_s = jax.device_put(params, p_sh)
+    pre_tp = jax.jit(make_tp_prefill(cfg, mesh, params, attn_impl="xla",
+                                     precision="highest", kv_quant=True))
+    pre_1 = jax.jit(make_prefill(cfg))
+    cache_tp = jax.device_put(init_kv_cache(cfg, b, quantized=True), c_sh)
+    cache_1 = init_kv_cache(cfg, b, quantized=True)
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 8)), jnp.int32)
+    start = jnp.zeros((b,), jnp.int32)
+    valid = jnp.array([8, 5], jnp.int32)
+    l1, cache_1 = pre_1(params, cache_1, toks, start, valid)
+    lt, cache_tp = pre_tp(params_s, cache_tp, toks, start, valid)
+    assert_close(lt, l1, atol=1e-4, rtol=1e-3)

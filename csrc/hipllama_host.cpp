@@ -242,4 +242,100 @@ int sample_token(float* logits, int n, float temperature, float topp,
   return cand[last].second;
 }
 
+// ---------------------------------------------------------------------------
+// Continuous-batching slot state machine — the scheduler half of the
+// reference's test_data_parallelism loop (llama.cpp:968-1073): per-slot
+// prompt force-feed, per-request fixed-seed sampling, BOS/EOS/length
+// retirement. The per-token host work runs here in native code; the Python
+// engine keeps orchestration (prefill batching, request IO, metrics) — the
+// same split the reference has between its C++ loop and its shell scripts.
+
+struct SchedSlot {
+  int req = -1;
+  std::vector<int> prompt;
+  int pos = 0;
+  int token = 0;
+  int max_steps = 0;
+  float temp = 1.0f, topp = 0.9f;
+  uint64_t rng = 0;
+};
+
+struct Sched {
+  int b = 0, vocab = 0;
+  std::vector<SchedSlot> slots;
+};
+
+void* sched_create(int n_slots, int vocab) {
+  Sched* s = new Sched();
+  s->b = n_slots;
+  s->vocab = vocab;
+  s->slots.resize(n_slots);
+  return s;
+}
+
+void sched_free(void* p) { delete (Sched*)p; }
+
+void sched_bind(void* p, int slot, int req, const int* prompt, int n_prompt,
+                int pos, int token, int max_steps, float temp, float topp,
+                uint64_t rng_state) {
+  SchedSlot& sl = ((Sched*)p)->slots[slot];
+  sl.req = req;
+  sl.prompt.assign(prompt, prompt + n_prompt);
+  sl.pos = pos;
+  sl.token = token;
+  sl.max_steps = max_steps;
+  sl.temp = temp;
+  sl.topp = topp;
+  sl.rng = rng_state;
+}
+
+void sched_release(void* p, int slot) { ((Sched*)p)->slots[slot].req = -1; }
+
+// One post-step advance over all slots. `logits` = the (B, vocab) f32 step
+// output (scribbled on by temperature scaling), or NULL when `sampled`
+// carries on-device-sampled tokens. Per-slot outputs: feed_tok/feed_pos for
+// the next device step; done=1 if the slot retires this step; emit_prev/
+// emit_next = the token pair whose decoded piece appends to the generation
+// (-1 = nothing). Bit-compatible with the Python loop in engine.serve.
+int sched_advance(void* p, float* logits, const int* sampled, int* feed_tok,
+                  int* feed_pos, int* done, int* emit_prev, int* emit_next,
+                  int bos_id, int eos_id) {
+  Sched* s = (Sched*)p;
+  int active = 0;
+  for (int i = 0; i < s->b; i++) {
+    SchedSlot& sl = s->slots[i];
+    done[i] = 0;
+    emit_prev[i] = -1;
+    emit_next[i] = -1;
+    if (sl.req < 0) {
+      feed_tok[i] = 0;
+      feed_pos[i] = 0;
+      continue;
+    }
+    active++;
+    int nxt;
+    int n_prompt = (int)sl.prompt.size();
+    if (sl.pos < n_prompt - 1) {
+      nxt = sl.prompt[sl.pos + 1];
+    } else if (sampled) {
+      nxt = sampled[i];
+    } else {
+      nxt = sample_token(logits + (size_t)i * s->vocab, s->vocab, sl.temp,
+                         sl.topp, &sl.rng);
+    }
+    sl.pos += 1;
+    if (nxt == bos_id || nxt == eos_id) {
+      done[i] = 1;
+    } else {
+      emit_prev[i] = sl.token;
+      emit_next[i] = nxt;
+      sl.token = nxt;
+      if (sl.pos >= sl.max_steps) done[i] = 1;
+    }
+    feed_tok[i] = sl.token;
+    feed_pos[i] = sl.pos;
+  }
+  return active;
+}
+
 }  // extern "C"

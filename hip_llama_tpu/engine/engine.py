@@ -370,6 +370,26 @@ class InferenceEngine:
         next_idx = 0
         gen_cnt = 0
 
+        # native C++ scheduler (csrc sched_*): per-token advance — sampling
+        # with the reference RNG, prompt force-feed, retirement decisions —
+        # runs in native code when the samplers expose the standard
+        # (temperature, topp, xorshift64* state) triple; the Python loop
+        # below stays as the fallback and the semantics oracle.
+        sched = None
+        if all(
+            hasattr(sp, "temperature") and hasattr(sp, "topp")
+            and hasattr(getattr(sp, "rng", None), "state")
+            for sp in samplers
+        ):
+            try:
+                from hip_llama_tpu.native import NativeScheduler, get_lib
+
+                if get_lib() is not None:
+                    sched = NativeScheduler(b, cfg.vocab_size)
+            except Exception:
+                sched = None
+        self.used_native_sched = sched is not None
+
         req_id = [-1] * b  # batch_token_id
         token = np.zeros(b, np.int32)
         pos = np.zeros(b, np.int32)
@@ -417,6 +437,13 @@ class InferenceEngine:
                                 gen_bytes[s] += printable_piece(
                                     self.tokenizer.decode_piece(a, nx)
                                 )
+                        if sched is not None:
+                            sp = samplers[req_id[s]]
+                            sched.bind(
+                                s, req_id[s], toks, int(pos[s]), int(token[s]),
+                                steps, float(sp.temperature), float(sp.topp),
+                                int(sp.rng.state),
+                            )
                         if verbose:
                             print(f"slot {s} <- request {req_id[s]}")
                     else:
@@ -449,30 +476,56 @@ class InferenceEngine:
 
             # advance state machines (llama.cpp:1027-1049)
             done = [False] * b
-            for s in range(b):
-                if req_id[s] == -1:
-                    continue
-                if pos[s] < len(prompt_toks[s]) - 1:
-                    nxt = prompt_toks[s][pos[s] + 1]
-                else:
-                    nxt = (
-                        int(nxt_h[s])
-                        if logits_h is None
-                        else samplers[req_id[s]].sample(logits_h[s])
-                    )
-                    if ttft[req_id[s]] is None:
-                        ttft[req_id[s]] = time.perf_counter() - assign_time[req_id[s]]
-                pos[s] += 1
-                if nxt == BOS_ID or nxt == EOS_ID:
-                    done[s] = True
-                else:
-                    piece = printable_piece(
-                        self.tokenizer.decode_piece(int(token[s]), nxt)
-                    )
-                    gen_bytes[s] += piece
-                    token[s] = nxt
-                    if pos[s] >= steps:
+            if sched is not None:
+                sampled_now = [
+                    req_id[s] != -1 and pos[s] >= len(prompt_toks[s]) - 1
+                    for s in range(b)
+                ]
+                feed_tok, feed_pos, done_n, eprev, enext = sched.advance(
+                    logits=logits_h, sampled=nxt_h if logits_h is None else None,
+                    bos_id=BOS_ID, eos_id=EOS_ID,
+                )
+                for s in range(b):
+                    if req_id[s] == -1:
+                        continue
+                    if sampled_now[s] and ttft[req_id[s]] is None:
+                        ttft[req_id[s]] = (
+                            time.perf_counter() - assign_time[req_id[s]]
+                        )
+                    if enext[s] >= 0:
+                        gen_bytes[s] += printable_piece(
+                            self.tokenizer.decode_piece(eprev[s], enext[s])
+                        )
+                    token[s] = feed_tok[s]
+                    pos[s] = feed_pos[s]
+                    done[s] = bool(done_n[s])
+            else:
+                for s in range(b):
+                    if req_id[s] == -1:
+                        continue
+                    if pos[s] < len(prompt_toks[s]) - 1:
+                        nxt = prompt_toks[s][pos[s] + 1]
+                    else:
+                        nxt = (
+                            int(nxt_h[s])
+                            if logits_h is None
+                            else samplers[req_id[s]].sample(logits_h[s])
+                        )
+                        if ttft[req_id[s]] is None:
+                            ttft[req_id[s]] = (
+                                time.perf_counter() - assign_time[req_id[s]]
+                            )
+                    pos[s] += 1
+                    if nxt == BOS_ID or nxt == EOS_ID:
                         done[s] = True
+                    else:
+                        piece = printable_piece(
+                            self.tokenizer.decode_piece(int(token[s]), nxt)
+                        )
+                        gen_bytes[s] += piece
+                        token[s] = nxt
+                        if pos[s] >= steps:
+                            done[s] = True
 
             # retire (llama.cpp:1052-1070)
             for s in range(b):
@@ -485,6 +538,8 @@ class InferenceEngine:
                     req_id[s] = -1
                     pos[s] = 0
                     token[s] = 0
+                    if sched is not None:
+                        sched.release(s)
                     if bm is not None:
                         bm.free_slot(s)
 

@@ -74,6 +74,24 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
             ctypes.c_float, ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.sched_create.restype = ctypes.c_void_p
+        lib.sched_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.sched_free.argtypes = [ctypes.c_void_p]
+        lib.sched_bind.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_uint64,
+        ]
+        lib.sched_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.sched_advance.restype = ctypes.c_int
+        lib.sched_advance.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -140,4 +158,70 @@ class NativeSampler:
                 ptr, arr.size, self.temperature, self.topp,
                 ctypes.byref(self._state),
             )
+        )
+
+
+class NativeScheduler:
+    """Native continuous-batching slot state machine (csrc sched_*): the
+    C++ scheduler half of the reference's test_data_parallelism loop. The
+    engine calls advance() once per decode step with the step's logits (or
+    on-device-sampled tokens); prompt force-feed, reference-RNG sampling and
+    BOS/EOS/length retirement all happen in native code."""
+
+    def __init__(self, n_slots: int, vocab_size: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.sched_create(n_slots, vocab_size)
+        self.b = n_slots
+        self.vocab = vocab_size
+        self._feed_tok = (ctypes.c_int * n_slots)()
+        self._feed_pos = (ctypes.c_int * n_slots)()
+        self._done = (ctypes.c_int * n_slots)()
+        self._eprev = (ctypes.c_int * n_slots)()
+        self._enext = (ctypes.c_int * n_slots)()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.sched_free(self._h)
+        except Exception:
+            pass
+
+    def bind(self, slot: int, req: int, prompt: list[int], pos: int,
+             token: int, max_steps: int, temperature: float, topp: float,
+             rng_state: int) -> None:
+        arr = (ctypes.c_int * len(prompt))(*prompt)
+        self._lib.sched_bind(
+            self._h, slot, req, arr, len(prompt), pos, token, max_steps,
+            temperature, topp, rng_state & (2 ** 64 - 1),
+        )
+
+    def release(self, slot: int) -> None:
+        self._lib.sched_release(self._h, slot)
+
+    def advance(self, logits=None, sampled=None, bos_id: int = 1,
+                eos_id: int = 2):
+        """logits: np.float32 (B, vocab) C-contiguous, or sampled: np.int32
+        (B,). Returns (feed_tok, feed_pos, done, emit_prev, emit_next) as
+        lists."""
+        import numpy as np
+
+        lp = sp = None
+        if sampled is not None:
+            sa = np.ascontiguousarray(sampled, np.int32)
+            sp = sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        else:
+            la = np.ascontiguousarray(logits, np.float32)
+            assert la.shape == (self.b, self.vocab), la.shape
+            lp = la.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self._lib.sched_advance(
+            self._h, lp, sp, self._feed_tok, self._feed_pos, self._done,
+            self._eprev, self._enext, bos_id, eos_id,
+        )
+        n = self.b
+        return (
+            list(self._feed_tok[:n]), list(self._feed_pos[:n]),
+            list(self._done[:n]), list(self._eprev[:n]), list(self._enext[:n]),
         )

@@ -75,6 +75,7 @@ class InferenceEngine:
         ds_topp: float = 0.9,
         ds_seed: int = 0,
         kv_quant: bool = False,
+        chunk_steps: int = 1,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -84,6 +85,25 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.cache_dtype = cache_dtype or _act_dtype(params)
         self.kv_quant = kv_quant
+        self.chunk_steps = chunk_steps
+        self._chunk = None
+        if chunk_steps > 1:
+            if paged:
+                raise ValueError(
+                    "multi-step scheduling (chunk_steps>1) requires pages to "
+                    "be pre-allocated; not supported with paged=True yet"
+                )
+            from hip_llama_tpu.models.llama import make_chunked_sampling_step
+
+            self._chunk = jax.jit(
+                make_chunked_sampling_step(
+                    cfg, chunk_steps, attn_impl=attn_impl, precision=precision,
+                    temperature=ds_temperature, topp=ds_topp,
+                ),
+                donate_argnums=(1,),
+            )
+            self._ds_key = jax.random.PRNGKey(ds_seed)
+            self._ds_ctr = 0
         self.max_seq_len = max_seq_len or cfg.seq_len
         self.use_prefill = use_prefill
         self.prefill_buckets = tuple(
@@ -456,92 +476,123 @@ class InferenceEngine:
                     cache, b, newly_assigned, {s: 0 for s in newly_assigned}, bm=bm
                 )
 
+            def advance_and_retire(logits_h, nxt_h):
+                # advance state machines (llama.cpp:1027-1049)
+                nonlocal gen_cnt
+                done = [False] * b
+                if sched is not None:
+                    sampled_now = [
+                        req_id[s] != -1 and pos[s] >= len(prompt_toks[s]) - 1
+                        for s in range(b)
+                    ]
+                    feed_tok, feed_pos, done_n, eprev, enext = sched.advance(
+                        logits=logits_h,
+                        sampled=nxt_h if logits_h is None else None,
+                        bos_id=BOS_ID, eos_id=EOS_ID,
+                    )
+                    for s in range(b):
+                        if req_id[s] == -1:
+                            continue
+                        if sampled_now[s] and ttft[req_id[s]] is None:
+                            ttft[req_id[s]] = (
+                                time.perf_counter() - assign_time[req_id[s]]
+                            )
+                        if enext[s] >= 0:
+                            gen_bytes[s] += printable_piece(
+                                self.tokenizer.decode_piece(eprev[s], enext[s])
+                            )
+                        token[s] = feed_tok[s]
+                        pos[s] = feed_pos[s]
+                        done[s] = bool(done_n[s])
+                else:
+                    for s in range(b):
+                        if req_id[s] == -1:
+                            continue
+                        if pos[s] < len(prompt_toks[s]) - 1:
+                            nxt = prompt_toks[s][pos[s] + 1]
+                        else:
+                            nxt = (
+                                int(nxt_h[s])
+                                if logits_h is None
+                                else samplers[req_id[s]].sample(logits_h[s])
+                            )
+                            if ttft[req_id[s]] is None:
+                                ttft[req_id[s]] = (
+                                    time.perf_counter() - assign_time[req_id[s]]
+                                )
+                        pos[s] += 1
+                        if nxt == BOS_ID or nxt == EOS_ID:
+                            done[s] = True
+                        else:
+                            piece = printable_piece(
+                                self.tokenizer.decode_piece(int(token[s]), nxt)
+                            )
+                            gen_bytes[s] += piece
+                            token[s] = nxt
+                            if pos[s] >= steps:
+                                done[s] = True
+
+                # retire (llama.cpp:1052-1070)
+                for s in range(b):
+                    if done[s] and req_id[s] > -1:
+                        text = gen_bytes[s].decode("utf-8", errors="replace") + "\n"
+                        requests.generations[req_id[s]] = text
+                        gen_cnt += int(pos[s]) - 1
+                        if verbose:
+                            print(f"slot {s} DONE request {req_id[s]}")
+                        req_id[s] = -1
+                        pos[s] = 0
+                        token[s] = 0
+                        if sched is not None:
+                            sched.release(s)
+                        if bm is not None:
+                            bm.free_slot(s)
+
             if bm is not None:
                 for s in range(b):
                     if req_id[s] != -1:
                         bm.append_token(s, int(pos[s]))
-            if self._sstep is not None and bm is None:
+
+            # multi-step scheduling: when every active slot is past its
+            # prompt and has >= chunk_steps of budget, decode the whole
+            # chunk in one dispatch (on-device sampling feeding itself) and
+            # run the scheduler over the returned (B, N) tokens. A slot
+            # that retires mid-chunk is released immediately, so the
+            # remaining sub-steps skip it and its post-EOS tokens are
+            # discarded along with the cache rows they wrote.
+            chunk_ok = (
+                self._chunk is not None
+                and bm is None
+                and all(
+                    req_id[s] == -1 or pos[s] >= len(prompt_toks[s]) - 1
+                    for s in range(b)
+                )
+                and max(
+                    (int(pos[s]) for s in range(b) if req_id[s] != -1),
+                    default=steps,
+                ) + self.chunk_steps <= steps
+            )
+            if chunk_ok:
+                self._ds_ctr += 1
+                key = jax.random.fold_in(self._ds_key, self._ds_ctr)
+                toks_dev, cache = self._chunk(
+                    self.params, cache, jnp.asarray(token), jnp.asarray(pos), key
+                )
+                toks_ch = np.asarray(toks_dev)  # (B, N)
+                for t in range(self.chunk_steps):
+                    advance_and_retire(None, toks_ch[:, t])
+            elif self._sstep is not None and bm is None:
                 self._ds_ctr += 1
                 key = jax.random.fold_in(self._ds_key, self._ds_ctr)
                 nxt_dev, cache = self._sstep(
                     self.params, cache, jnp.asarray(token), jnp.asarray(pos), key
                 )
-                nxt_h = np.asarray(nxt_dev)
-                logits_h = None
+                advance_and_retire(None, np.asarray(nxt_dev))
             else:
                 logits, cache = self._do_step(
                     cache, jnp.asarray(token), jnp.asarray(pos), bm=bm, b=b
                 )
-                logits_h = np.asarray(logits)
-
-            # advance state machines (llama.cpp:1027-1049)
-            done = [False] * b
-            if sched is not None:
-                sampled_now = [
-                    req_id[s] != -1 and pos[s] >= len(prompt_toks[s]) - 1
-                    for s in range(b)
-                ]
-                feed_tok, feed_pos, done_n, eprev, enext = sched.advance(
-                    logits=logits_h, sampled=nxt_h if logits_h is None else None,
-                    bos_id=BOS_ID, eos_id=EOS_ID,
-                )
-                for s in range(b):
-                    if req_id[s] == -1:
-                        continue
-                    if sampled_now[s] and ttft[req_id[s]] is None:
-                        ttft[req_id[s]] = (
-                            time.perf_counter() - assign_time[req_id[s]]
-                        )
-                    if enext[s] >= 0:
-                        gen_bytes[s] += printable_piece(
-                            self.tokenizer.decode_piece(eprev[s], enext[s])
-                        )
-                    token[s] = feed_tok[s]
-                    pos[s] = feed_pos[s]
-                    done[s] = bool(done_n[s])
-            else:
-                for s in range(b):
-                    if req_id[s] == -1:
-                        continue
-                    if pos[s] < len(prompt_toks[s]) - 1:
-                        nxt = prompt_toks[s][pos[s] + 1]
-                    else:
-                        nxt = (
-                            int(nxt_h[s])
-                            if logits_h is None
-                            else samplers[req_id[s]].sample(logits_h[s])
-                        )
-                        if ttft[req_id[s]] is None:
-                            ttft[req_id[s]] = (
-                                time.perf_counter() - assign_time[req_id[s]]
-                            )
-                    pos[s] += 1
-                    if nxt == BOS_ID or nxt == EOS_ID:
-                        done[s] = True
-                    else:
-                        piece = printable_piece(
-                            self.tokenizer.decode_piece(int(token[s]), nxt)
-                        )
-                        gen_bytes[s] += piece
-                        token[s] = nxt
-                        if pos[s] >= steps:
-                            done[s] = True
-
-            # retire (llama.cpp:1052-1070)
-            for s in range(b):
-                if done[s] and req_id[s] > -1:
-                    text = gen_bytes[s].decode("utf-8", errors="replace") + "\n"
-                    requests.generations[req_id[s]] = text
-                    gen_cnt += int(pos[s]) - 1
-                    if verbose:
-                        print(f"slot {s} DONE request {req_id[s]}")
-                    req_id[s] = -1
-                    pos[s] = 0
-                    token[s] = 0
-                    if sched is not None:
-                        sched.release(s)
-                    if bm is not None:
-                        bm.free_slot(s)
+                advance_and_retire(np.asarray(logits), None)
 
         if stats is not None:
             elapsed = time.perf_counter() - t_start

@@ -685,3 +685,43 @@ def make_sampling_decode_step(
         return nxt, cache
 
     return sstep
+
+
+def make_chunked_sampling_step(
+    cfg: ModelConfig,
+    n_steps: int,
+    attn_impl: str = "xla",
+    precision: str = "highest",
+    temperature: float = 0.0,
+    topp: float = 0.9,
+):
+    """Multi-step scheduling: decode `n_steps` tokens in ONE dispatch, each
+    step sampling on device and feeding the next (chunk(params, cache,
+    tokens, pos, key) -> (tokens (B, n_steps) int32, cache)).
+
+    The host scheduler then processes the whole chunk: a slot that emits
+    EOS mid-chunk keeps decoding garbage until the chunk ends — those
+    tokens (and the cache rows they wrote) are simply discarded when the
+    slot retires, so correctness is unaffected; the trade is a few wasted
+    slot-steps per retirement against n_steps-1 saved host dispatches.
+    Greedy (temperature=0) chunks are bit-equal to the single-step host
+    loop; stochastic chunks use the JAX PRNG (see make_sampling_decode_step).
+    The reference pays host dispatch + pinned-logits transfer every token
+    (thaDNN.cpp:75-78, llama.cpp:1017-1049)."""
+    sstep = make_sampling_decode_step(
+        cfg, attn_impl=attn_impl, precision=precision,
+        temperature=temperature, topp=topp,
+    )
+
+    def chunk(params, cache: KVCache, tokens, pos, key):
+        def body(carry, i):
+            cache, tokens, pos = carry
+            nxt, cache = sstep(params, cache, tokens, pos, jax.random.fold_in(key, i))
+            return (cache, nxt, pos + 1), nxt
+
+        (cache, _, _), toks = lax.scan(
+            body, (cache, tokens, pos), jnp.arange(n_steps)
+        )
+        return jnp.transpose(toks), cache  # (B, n_steps)
+
+    return chunk

@@ -29,6 +29,11 @@ Extra (framework-specific, double-dash):
                              scales with tokens in flight, not slots x seq)
   --kv int8                  int8 KV cache with per-row scales (halves
                              attention HBM traffic; ~1% logit noise)
+  --chunk N                  multi-step scheduling: decode N tokens per
+                             dispatch with on-device sampling (greedy is
+                             bit-equal to host argmax; stochastic uses the
+                             JAX PRNG). Slots retiring mid-chunk waste the
+                             chunk tail; saves N-1 host dispatches/chunk
   --device-sampling          sample on the TPU (4 bytes/slot fetched per
                              step instead of the full logits; greedy is
                              bit-equal to host argmax, stochastic uses the
@@ -77,6 +82,7 @@ def main(argv: list[str]) -> int:
     device_sampling = False
     stream, stream_kv = False, False
     kv_quant = False
+    chunk_steps = 1
 
     i = 2
     while i < len(argv):
@@ -105,6 +111,13 @@ def main(argv: list[str]) -> int:
                 print("--kv supports: int8", file=sys.stderr)
                 return 1
             kv_quant = True
+            i += 2
+            continue
+        if a == "--chunk":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                print("--chunk needs an int", file=sys.stderr)
+                return 1
+            chunk_steps = int(argv[i + 1])
             i += 2
             continue
         if a == "--stream":
@@ -272,6 +285,7 @@ def main(argv: list[str]) -> int:
         ds_topp=topp,
         ds_seed=rng_seed,
         kv_quant=kv_quant,
+        chunk_steps=chunk_steps,
     )
 
     if mode == "generate":

@@ -158,3 +158,42 @@ def test_chat_mode_scripted(tiny_cfg, tiny_weights, toy_tokenizer):
          input_fn=fake_input, output_fn=fake_print)
     text = "".join(outputs)
     assert "Assistant:" in text
+
+
+def test_chunked_serve_matches_single_step():
+    """Multi-step scheduling (chunk_steps=4, greedy on-device sampling) must
+    produce byte-identical generations to the per-step host-argmax loop —
+    post-EOS chunk-tail tokens are discarded, never emitted."""
+    import jax.numpy as jnp
+
+    from hip_llama_tpu.config import ModelConfig
+    from hip_llama_tpu.engine.engine import InferenceEngine
+    from hip_llama_tpu.engine.requests import Requests
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.models.params import params_from_weights
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = ModelConfig(dim=64, hidden_dim=128, n_layers=2, n_heads=2,
+                      n_kv_heads=2, vocab_size=256, seq_len=64)
+    params = params_from_weights(random_weights(cfg, seed=21))
+
+    class _Tok:
+        bos_id, eos_id = 1, 2
+        def encode(self, text, bos=True, eos=False):
+            return ([1] if bos else []) + [3 + (ord(c) % 200) for c in text]
+        def decode_piece(self, prev, tok):
+            return (chr(97 + tok % 26)).encode()
+
+    def run(chunk):
+        eng = InferenceEngine(cfg, params, _Tok(), batch_size=2,
+                              attn_impl="xla", max_seq_len=48,
+                              chunk_steps=chunk)
+        reqs = Requests(prompts=["ab", "wxyz", "m"], generations=[""] * 3)
+        samplers = [Sampler(cfg.vocab_size, 0.0, 0.9, 314028) for _ in range(3)]
+        n = eng.serve(reqs, steps=21, samplers=samplers)
+        return n, list(reqs.generations)
+
+    n1, g1 = run(chunk=1)
+    n4, g4 = run(chunk=4)
+    assert g1 == g4
+    assert n1 == n4

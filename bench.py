@@ -44,6 +44,7 @@ CONFIGS = {
 
 # v5e: 16 GB HBM @ ~819 GB/s, 197 TFLOPs bf16
 HBM_BW_BYTES = 819e9
+PEAK_FLOPS_BF16 = 197e12
 
 
 def rand_params_on_device(cfg: ModelConfig, dtype) -> LlamaParams:
@@ -136,6 +137,13 @@ def main():
         "reference-parity-dtype run)",
     )
     ap.add_argument(
+        "--mode", default="decode", choices=["decode", "ttft"],
+        help="decode: steady-state tok/s (the default metric). ttft: time "
+        "one chunked prefill of --prompt-len tokens per slot (the p50 TTFT "
+        "component of BASELINE.json; excludes compile)",
+    )
+    ap.add_argument("--prompt-len", type=int, default=512)
+    ap.add_argument(
         "--loop", default="device", choices=["device", "host"],
         help="device: whole timed window is one jitted greedy decode chain "
         "(on-device sampling config; no per-step dispatch). host: one "
@@ -166,6 +174,60 @@ def main():
     cache = init_kv_cache(
         cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
     )
+    if args.mode == "ttft":
+        # p50 TTFT = one chunked prefill of the prompt + the first decode
+        # step. The reference force-feeds prompts one token/step, so its
+        # TTFT is prompt_len * step_time (llama.cpp:1030-1033).
+        from hip_llama_tpu.models.llama import make_prefill
+
+        t = min(args.prompt_len, window - 1)
+        prefill = jax.jit(
+            make_prefill(cfg, attn_impl=args.attn, precision="default"),
+            donate_argnums=(1,),
+        )
+        step = jax.jit(
+            make_decode_step(cfg, attn_impl=args.attn, precision="default"),
+            donate_argnums=(1,),
+        )
+        toks = jnp.zeros((b, t), jnp.int32)
+        start = jnp.zeros((b,), jnp.int32)
+        valid = jnp.full((b,), t, jnp.int32)
+        t1 = jnp.zeros((b,), jnp.int32)
+        p1 = jnp.full((b,), t, jnp.int32)
+        # compile both
+        _, cache = prefill(params, cache, toks, start, valid)
+        logits, cache = step(params, cache, t1, p1)
+        np.asarray(logits)
+        reps = 5
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, cache = prefill(params, cache, toks, start, valid)
+            logits, cache = step(params, cache, t1, p1)
+            np.asarray(logits)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p50 = times[len(times) // 2]
+        kind = "int8" if args.quant == "q8" else args.dtype
+        if args.kv == "int8":
+            kind += "_kv8"
+        # prefill SoL: max(stream all weights once, matmul FLOPs at MXU peak)
+        n_params = sum(
+            x.size for x in jax.tree.leaves(params)
+            if x.dtype in (jnp.int8, jnp.float32, jnp.bfloat16) and x.ndim >= 2
+        )
+        sol = max(
+            param_bytes(params) / HBM_BW_BYTES,
+            2.0 * b * t * n_params / PEAK_FLOPS_BF16,
+        )
+        print(json.dumps({
+            "metric": f"ttft_p50_ms_llama2_{args.model}_{kind}_b{b}_prompt{t}",
+            "value": round(p50 * 1000, 2),
+            "unit": "ms",
+            "vs_baseline": round(sol / p50, 4),
+        }))
+        return
+
     step_fn = make_decode_step(cfg, attn_impl=args.attn, precision="default")
     tokens = jnp.zeros((b,), jnp.int32)
     pos0 = window // 2  # typical mid-window decode position

@@ -89,9 +89,9 @@ def _q8_kernel_layered(layer_ref, *rest, **kw):
 
 def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
-    dequant_mode: str = "reshape",
+    dequant_mode: str = "reshape", k_axis: int = 1,
 ):
-    j = pl.program_id(1)
+    j = pl.program_id(k_axis)
 
     @pl.when(j == 0)
     def _():
@@ -206,6 +206,17 @@ def q8_matmul(
             block_k = gs if k % gs == 0 else k
     assert k % block_k == 0 and block_k % gs == 0, (k, block_k, gs)
     assert n % block_n == 0, (n, block_n)
+    # large-M callers (prefill: b = batch*chunk rows) get an M-block axis so
+    # the x strip and the fp32 accumulator stay VMEM-sized
+    block_m = b
+    if b > 512:
+        block_m = 0
+        for bm in (512, 256, 128, 64, 32, 16, 8):
+            if b % bm == 0:
+                block_m = bm
+                break
+        if block_m == 0:  # awkward row count: let XLA handle the blocking
+            return q8_matmul_xla(x, qt).astype(out_dtype)
     # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or
     # equal to the full array dims. Tiny models (test configs) fail this —
     # fall back to the dense-dequant einsum, which is fine at those sizes.
@@ -214,27 +225,34 @@ def q8_matmul(
     if not (ok_x and ok_w) and not interpret:
         return q8_matmul_xla(x, qt).astype(out_dtype)
     n_groups = block_k // gs
-    grid = (n // block_n, k // block_k)
+    grid = (b // block_m, n // block_n, k // block_k)
     s_blocked = qt.s.reshape(k // block_k, n_groups, n)
 
     return pl.pallas_call(
         functools.partial(
-            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
-            dequant_mode=dequant_mode,
+            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+            dequant_mode=dequant_mode, k_axis=2,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, block_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, n_groups, block_n), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+                (block_m, block_k), lambda m, i, j: (m, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_k, block_n), lambda m, i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_groups, block_n), lambda m, i, j: (j, 0, i),
+                memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((b, block_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,

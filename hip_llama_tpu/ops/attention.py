@@ -171,15 +171,16 @@ def _prefill_kernel(
     start_ref,  # (B,) int32 scalar-prefetch: chunk start position per slot
     valid_ref,  # (B,) int32 scalar-prefetch: valid tokens in chunk per slot
     layer_ref,  # (1,) int32
-    q_ref,  # (1, 1, BT, M, HS)
-    k_ref,  # (1, 1, 1, BK, HS)
+    q_ref,  # (1, G, BT, M, HS) — G kv heads per grid step (head-batched)
+    k_ref,  # contiguous: (1, 1, G, BK, HS); paged: (1, G, 1, BK, HS)
     v_ref,
-    *rest,  # [ks_ref, vs_ref (1,1,1,BK) if quantized,] o_ref, m, l, acc
+    *rest,  # [ks_ref, vs_ref (G*BK scales) if quantized,] o_ref, m, l, acc
     block_t: int,
     block_k: int,
     n_k_blocks: int,
     scale: float,
     quantized: bool = False,
+    kv_mul: int = 1,
 ):
     if quantized:
         ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
@@ -190,6 +191,9 @@ def _prefill_kernel(
     i = pl.program_id(3)
     start = start_ref[b]
     valid = valid_ref[b]
+    hs = q_ref.shape[-1]
+    g = q_ref.shape[1]
+    rows = block_t * kv_mul  # q rows per head group
 
     @pl.when(i == 0)
     def _init():
@@ -203,24 +207,29 @@ def _prefill_kernel(
 
     @pl.when(i * block_k <= q_pos_max)
     def _block():
+        # normalize ref layouts: both contiguous and paged KV tiles reshape
+        # to (G, BK, HS); quantized scale tiles to (G, BK)
         if quantized:
-            k = k_ref[0, 0, 0].astype(jnp.bfloat16)  # (BK, HS)
-            q = q_ref[0, 0].astype(jnp.bfloat16)
+            k = k_ref[...].reshape(g, block_k, hs).astype(jnp.bfloat16)
+            q = q_ref[0].reshape(g, rows, hs).astype(jnp.bfloat16)
         else:
-            k = k_ref[0, 0, 0]  # (BK, HS)
-            q = q_ref[0, 0].astype(k.dtype)  # (BT, M, HS)
+            k = k_ref[...].reshape(g, block_k, hs)
+            q = q_ref[0].reshape(g, rows, hs).astype(k.dtype)
         # see _decode_kernel: bf16 tiles must not inherit "highest" precision
         prec = jax.lax.Precision.DEFAULT if quantized else None
         s = (
             jax.lax.dot_general(
-                q, k, (((2,), (1,)), ((), ())),
+                q, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=prec,
             )
             * scale
-        )  # (BT, M, BK)
+        )  # (G, ROWS, BK)
         if quantized:
-            s = s * ks_ref[0, 0, 0].reshape(1, 1, block_k)
-        t_row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + tq * block_t
+            s = s * ks_ref[...].reshape(g, block_k)[:, None, :]
+        t_row = (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // kv_mul
+            + tq * block_t
+        )
         kv_col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
         # causal over the absolute positions; rows beyond `valid` are
         # bystanders whose output is discarded, but mask them anyway so
@@ -238,13 +247,15 @@ def _prefill_kernel(
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
         if quantized:
-            v = v_ref[0, 0, 0].astype(jnp.bfloat16)  # (BK, HS)
-            pv = (p * vs_ref[0, 0, 0].reshape(1, 1, block_k)).astype(jnp.bfloat16)
+            v = v_ref[...].reshape(g, block_k, hs).astype(jnp.bfloat16)
+            pv = (p * vs_ref[...].reshape(g, block_k)[:, None, :]).astype(
+                jnp.bfloat16
+            )
         else:
-            v = v_ref[0, 0, 0]  # (BK, HS)
+            v = v_ref[...].reshape(g, block_k, hs)
             pv = p.astype(v.dtype)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            pv, v, (((2,), (0,)), ((), ())),
+            pv, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec,
         )
 
@@ -252,7 +263,9 @@ def _prefill_kernel(
     def _final():
         l = l_scr[:, :, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_safe).reshape(
+            g, block_t, kv_mul, hs
+        ).astype(o_ref.dtype)
 
 
 def _pick_block_t(t: int, target: int = 128) -> int:
@@ -293,6 +306,18 @@ def attention_prefill_pallas(
     n_t_blocks = t // bt
     n_k_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
+    # head-batch KV heads per grid step (same rationale as decode: un-batched
+    # MHA prefill at 7B was 8192 grid steps of 16 KB DMAs — 6.1 ms/layer,
+    # ~70x over the FLOPs roofline). Cap by scratch VMEM: G*BT*M*(2*128+HS)*4.
+    g_blk = 1
+    rows = bt * kv_mul
+    while (
+        g_blk < kvh
+        and kvh % (g_blk * 2) == 0
+        and (2 * g_blk) * rows * (2 * 128 + hs) * 4 <= 4 * 2 ** 20
+        and (2 * g_blk) * bk * hs * k_cache.dtype.itemsize <= 512 * 1024
+    ):
+        g_blk *= 2
 
     # (B, T, KVH, M, HS) -> (B, KVH, T, M, HS): head-major tiles
     qs = q.reshape(b, t, kvh, kv_mul, hs).transpose(0, 2, 1, 3, 4)
@@ -308,21 +333,23 @@ def attention_prefill_pallas(
         return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
 
     def scale_kv_map(bi, g, tq, i, start_ref, valid_ref, layer_ref):
-        # scale plane viewed as (B, L*KVH, 1, S)
+        # scale plane viewed as (B, L*KVH, 1, S); dim-1 blocks of g_blk rows
         q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
         last_live = jnp.maximum(q_pos_max, 0) // bk
-        return (bi, layer_ref[0] * kvh + g, 0, jnp.minimum(i, last_live))
+        return (
+            bi, layer_ref[0] * (kvh // g_blk) + g, 0, jnp.minimum(i, last_live)
+        )
 
     in_specs = [
-        pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
-        pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
-        pl.BlockSpec((1, 1, 1, bk, hs), kv_map),
+        pl.BlockSpec((1, g_blk, bt, kv_mul, hs), q_map),
+        pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
+        pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map),
     ]
     operands = [qs, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, bk), scale_kv_map),
-            pl.BlockSpec((1, 1, 1, bk), scale_kv_map),
+            pl.BlockSpec((1, g_blk, 1, bk), scale_kv_map),
+            pl.BlockSpec((1, g_blk, 1, bk), scale_kv_map),
         ]
         operands += [
             k_scale.reshape(b, n_layers * kvh, 1, s),
@@ -331,18 +358,18 @@ def attention_prefill_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, kvh, n_t_blocks, n_k_blocks),
+        grid=(b, kvh // g_blk, n_t_blocks, n_k_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        out_specs=pl.BlockSpec((1, g_blk, bt, kv_mul, hs), q_map),
         scratch_shapes=[
-            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((bt, kv_mul, hs), jnp.float32),
+            pltpu.VMEM((g_blk, rows, 128), jnp.float32),
+            pltpu.VMEM((g_blk, rows, 128), jnp.float32),
+            pltpu.VMEM((g_blk, rows, hs), jnp.float32),
         ],
     )
     kernel = functools.partial(
         _prefill_kernel, block_t=bt, block_k=bk, n_k_blocks=n_k_blocks, scale=scale,
-        quantized=quantized,
+        quantized=quantized, kv_mul=kv_mul,
     )
     out = pl.pallas_call(
         kernel,
@@ -616,6 +643,17 @@ def attention_prefill_paged(
     bt = block_t or _pick_block_t(t)
     n_t_blocks = t // bt
     scale = 1.0 / (hs ** 0.5)
+    # head-batch like the contiguous prefill kernel (pages are per-slot, so
+    # the same page serves every head of the group)
+    g_blk = 1
+    rows = bt * kv_mul
+    while (
+        g_blk < kvh
+        and kvh % (g_blk * 2) == 0
+        and (2 * g_blk) * rows * (2 * 128 + hs) * 4 <= 4 * 2 ** 20
+        and (2 * g_blk) * ps * hs * k_pages.dtype.itemsize <= 512 * 1024
+    ):
+        g_blk *= 2
 
     qs = q.reshape(b, t, kvh, kv_mul, hs).transpose(0, 2, 1, 3, 4)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
@@ -630,22 +668,22 @@ def attention_prefill_paged(
         return (layer_ref[0], g, page, 0, 0)
 
     def scale_map(bi, g, tq, i, start_ref, valid_ref, layer_ref, pt_ref):
-        # scale plane viewed as (L*KVH, P, 1, PS)
+        # scale plane viewed as (L*KVH, P, 1, PS); dim-0 blocks of g_blk rows
         q_pos_max = start_ref[bi] + jnp.minimum((tq + 1) * bt, valid_ref[bi]) - 1
         last_live = jnp.maximum(q_pos_max, 0) // ps
         page = pt_ref[bi, jnp.minimum(i, last_live)]
-        return (layer_ref[0] * kvh + g, page, 0, 0)
+        return (layer_ref[0] * (kvh // g_blk) + g, page, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
-        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, g_blk, bt, kv_mul, hs), q_map),
+        pl.BlockSpec((1, g_blk, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, g_blk, 1, ps, hs), kv_map),
     ]
     operands = [qs, k_pages, v_pages]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, ps), scale_map),
-            pl.BlockSpec((1, 1, 1, ps), scale_map),
+            pl.BlockSpec((g_blk, 1, 1, ps), scale_map),
+            pl.BlockSpec((g_blk, 1, 1, ps), scale_map),
         ]
         operands += [
             k_scale.reshape(n_layers * kvh, p, 1, ps),
@@ -654,18 +692,18 @@ def attention_prefill_paged(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, kvh, n_t_blocks, max_pages),
+        grid=(b, kvh // g_blk, n_t_blocks, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bt, kv_mul, hs), q_map),
+        out_specs=pl.BlockSpec((1, g_blk, bt, kv_mul, hs), q_map),
         scratch_shapes=[
-            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((bt, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((bt, kv_mul, hs), jnp.float32),
+            pltpu.VMEM((g_blk, rows, 128), jnp.float32),
+            pltpu.VMEM((g_blk, rows, 128), jnp.float32),
+            pltpu.VMEM((g_blk, rows, hs), jnp.float32),
         ],
     )
     kernel = functools.partial(
         _prefill_kernel_paged, block_t=bt, block_k=ps, n_k_blocks=max_pages,
-        scale=scale, quantized=quantized,
+        scale=scale, quantized=quantized, kv_mul=kv_mul,
     )
     out = pl.pallas_call(
         kernel,

@@ -32,14 +32,22 @@ def _sublane_window(dtype) -> int:
 
 
 def _kv_write_kernel(
-    pos_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems, *, batch, window, s
+    pos_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems,
+    *, batch, window, s, l_chunk,
 ):
     del cache_in_ref  # aliased with cache_out
+    n_layers = rows_ref.shape[1]
 
-    # double-buffered software pipeline: slot b+1's window load overlaps
-    # slot b's modify+store (slots write disjoint cache rows, so reordering
-    # is safe). The serial ld.wait->st.wait loop was ~2x slower (0.29 ->
-    # ~0.15 ms/step at 7B b=8).
+    # double-buffered software pipeline over a flattened (slot, layer-chunk)
+    # sequence: the next window's load overlaps this one's modify+store
+    # (all windows are disjoint cache regions, so reordering is safe). The
+    # serial ld.wait->st.wait loop was ~2x slower (0.29 -> ~0.15 ms/step at
+    # 7B b=8). Layer chunking keeps the scratch inside scoped VMEM for deep
+    # models (13B: L=40, KVH=40 would need a 13 MB window).
+    steps = [
+        (b, c) for b in range(batch) for c in range(n_layers // l_chunk)
+    ]
+
     def window_slice(b):
         pos = pos_ref[b]
         start = pl.multiple_of(
@@ -47,43 +55,61 @@ def _kv_write_kernel(
         )
         return start, pos - start
 
-    def load(b):
+    def load(idx):
+        b, c = steps[idx]
         start, _ = window_slice(b)
         ld = pltpu.make_async_copy(
-            cache_out_ref.at[b, :, :, pl.ds(start, window), :],
-            scratch.at[b % 2],
-            sems.at[b % 2],
+            cache_out_ref.at[
+                b, pl.ds(c * l_chunk, l_chunk), :, pl.ds(start, window), :
+            ],
+            scratch.at[idx % 2],
+            sems.at[idx % 2],
         )
         ld.start()
         return ld
 
     pending_ld = load(0)
     pending_st = [None, None]  # in-flight store per scratch buffer
-    for b in range(batch):
-        if b + 1 < batch:
-            if pending_st[(b + 1) % 2] is not None:
-                pending_st[(b + 1) % 2].wait()  # free that buffer first
-                pending_st[(b + 1) % 2] = None
-            nxt = load(b + 1)
+    for idx, (b, c) in enumerate(steps):
+        if idx + 1 < len(steps):
+            if pending_st[(idx + 1) % 2] is not None:
+                pending_st[(idx + 1) % 2].wait()  # free that buffer first
+                pending_st[(idx + 1) % 2] = None
+            nxt = load(idx + 1)
         else:
             nxt = None
         pending_ld.wait()
         start, off = window_slice(b)
-        win = scratch[b % 2]  # (L, KVH, W, HS)
+        win = scratch[idx % 2]  # (l_chunk, KVH, W, HS)
         sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
-        new = rows_ref[b][:, :, None, :]  # (L, KVH, 1, HS)
-        scratch[b % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
+        new = rows_ref[b, pl.ds(c * l_chunk, l_chunk)][:, :, None, :]
+        scratch[idx % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
         st = pltpu.make_async_copy(
-            scratch.at[b % 2],
-            cache_out_ref.at[b, :, :, pl.ds(start, window), :],
-            sems.at[b % 2],
+            scratch.at[idx % 2],
+            cache_out_ref.at[
+                b, pl.ds(c * l_chunk, l_chunk), :, pl.ds(start, window), :
+            ],
+            sems.at[idx % 2],
         )
         st.start()
-        pending_st[b % 2] = st
+        pending_st[idx % 2] = st
         pending_ld = nxt
     for st in pending_st:
         if st is not None:
             st.wait()  # drain before kernel exit
+
+
+def _pick_l_chunk(n_layers: int, kvh: int, w: int, hs: int, itemsize: int) -> int:
+    """Largest divisor of n_layers whose double-buffered window scratch
+    stays within ~6 MB of scoped VMEM."""
+    budget = 6 * 2 ** 20
+    for div in range(1, n_layers + 1):
+        if n_layers % div:
+            continue
+        lc = n_layers // div
+        if 2 * lc * kvh * w * hs * itemsize <= budget:
+            return lc
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
@@ -98,6 +124,7 @@ def kv_write_rows(
         interpret = jax.default_backend() == "cpu"
     b, n_layers, kvh, s, hs = cache.shape
     w = min(_sublane_window(cache.dtype), s)
+    l_chunk = _pick_l_chunk(n_layers, kvh, w, hs, cache.dtype.itemsize)
     rows4 = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -109,12 +136,14 @@ def kv_write_rows(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_layers, kvh, w, hs), cache.dtype),
+            pltpu.VMEM((2, l_chunk, kvh, w, hs), cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kv_write_kernel, batch=b, window=w, s=s),
+        functools.partial(
+            _kv_write_kernel, batch=b, window=w, s=s, l_chunk=l_chunk
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         input_output_aliases={2: 0},  # cache input (after pos, rows) -> output
@@ -294,14 +323,19 @@ def quantize_kv_rows(rows: jax.Array):
 
 def _kv_write_kernel_paged(
     pos_ref, pt_ref, rows_ref, pages_in_ref, pages_out_ref, scratch, sems,
-    *, batch, window, ps,
+    *, batch, window, ps, l_chunk,
 ):
     del pages_in_ref  # aliased with pages_out
+    n_layers = rows_ref.shape[1]
 
-    # same double-buffered pipeline as _kv_write_kernel. NOTE: unlike the
-    # contiguous cache, two slots share a page only if the BlockManager
-    # mis-assigned them — pages are exclusively owned, so slot windows are
-    # disjoint and the reordering is safe.
+    # same double-buffered (slot, layer-chunk) pipeline as _kv_write_kernel.
+    # NOTE: unlike the contiguous cache, two slots share a page only if the
+    # BlockManager mis-assigned them — pages are exclusively owned, so slot
+    # windows are disjoint and the reordering is safe.
+    steps = [
+        (b, c) for b in range(batch) for c in range(n_layers // l_chunk)
+    ]
+
     def window_slice(b):
         pos = pos_ref[b]
         page = pt_ref[b, pos // ps]
@@ -311,39 +345,44 @@ def _kv_write_kernel_paged(
         )
         return page, start, off_in_page - start
 
-    def load(b):
+    def load(idx):
+        b, c = steps[idx]
         page, start, _ = window_slice(b)
         ld = pltpu.make_async_copy(
-            pages_out_ref.at[:, :, page, pl.ds(start, window), :],
-            scratch.at[b % 2],
-            sems.at[b % 2],
+            pages_out_ref.at[
+                pl.ds(c * l_chunk, l_chunk), :, page, pl.ds(start, window), :
+            ],
+            scratch.at[idx % 2],
+            sems.at[idx % 2],
         )
         ld.start()
         return ld
 
     pending_ld = load(0)
     pending_st = [None, None]
-    for b in range(batch):
-        if b + 1 < batch:
-            if pending_st[(b + 1) % 2] is not None:
-                pending_st[(b + 1) % 2].wait()
-                pending_st[(b + 1) % 2] = None
-            nxt = load(b + 1)
+    for idx, (b, c) in enumerate(steps):
+        if idx + 1 < len(steps):
+            if pending_st[(idx + 1) % 2] is not None:
+                pending_st[(idx + 1) % 2].wait()
+                pending_st[(idx + 1) % 2] = None
+            nxt = load(idx + 1)
         else:
             nxt = None
         pending_ld.wait()
         page, start, off = window_slice(b)
-        win = scratch[b % 2]  # (L, KVH, W, HS)
+        win = scratch[idx % 2]  # (l_chunk, KVH, W, HS)
         sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
-        new = rows_ref[b][:, :, None, :]
-        scratch[b % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
+        new = rows_ref[b, pl.ds(c * l_chunk, l_chunk)][:, :, None, :]
+        scratch[idx % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
         st = pltpu.make_async_copy(
-            scratch.at[b % 2],
-            pages_out_ref.at[:, :, page, pl.ds(start, window), :],
-            sems.at[b % 2],
+            scratch.at[idx % 2],
+            pages_out_ref.at[
+                pl.ds(c * l_chunk, l_chunk), :, page, pl.ds(start, window), :
+            ],
+            sems.at[idx % 2],
         )
         st.start()
-        pending_st[b % 2] = st
+        pending_st[idx % 2] = st
         pending_ld = nxt
     for st in pending_st:
         if st is not None:
@@ -367,6 +406,7 @@ def kv_write_rows_paged(
     n_layers, kvh, p, ps, hs = pages.shape
     b = rows.shape[1]
     w = min(_sublane_window(pages.dtype), ps)
+    l_chunk = _pick_l_chunk(n_layers, kvh, w, hs, pages.dtype.itemsize)
     rows4 = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,12 +418,14 @@ def kv_write_rows_paged(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_layers, kvh, w, hs), pages.dtype),
+            pltpu.VMEM((2, l_chunk, kvh, w, hs), pages.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kv_write_kernel_paged, batch=b, window=w, ps=ps),
+        functools.partial(
+            _kv_write_kernel_paged, batch=b, window=w, ps=ps, l_chunk=l_chunk
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
         input_output_aliases={3: 0},  # pages input (after pos, pt, rows)

@@ -113,6 +113,46 @@ def rand_qparams_on_device(cfg: ModelConfig, group_size: int = 64):
     )
 
 
+def rand_qparams_unrolled_on_device(cfg: ModelConfig, group_size: int = 64):
+    """Random Q8_0 params generated DIRECTLY as per-layer fused buffers
+    (the unstack_quant_params layout) — never materializes the stacked
+    (L, K, N) tensors, whose coexistence with the unstacked copy doubles
+    peak HBM and OOMs 13B (~13.8 GB weights) on a 16 GB chip."""
+    from hip_llama_tpu.models.params import QuantLlamaParams
+    from hip_llama_tpu.ops.quant import QTensor
+
+    c = cfg
+    key = jax.random.PRNGKey(0)
+
+    def qt2(i, k, n):
+        q = jax.random.randint(jax.random.fold_in(key, i), (k, n), -127, 128, jnp.int8)
+        s = jnp.full((k // group_size, n), (k**-0.5) / 127.0, jnp.float32)
+        return QTensor(q=q, s=s)
+
+    wqkv, wo, w13, w2 = [], [], [], []
+    for l in range(c.n_layers):
+        base = 100 + 10 * l
+        wqkv.append(qt2(base + 0, c.dim, c.dim + 2 * c.kv_dim))
+        wo.append(qt2(base + 1, c.dim, c.dim))
+        w13.append(qt2(base + 2, c.dim, 2 * c.hidden_dim))
+        w2.append(qt2(base + 3, c.hidden_dim, c.dim))
+    emb_q = jax.random.randint(
+        jax.random.fold_in(key, 99), (c.vocab_size, c.dim), -127, 128, jnp.int8
+    )
+    emb_s = jnp.full((c.vocab_size, c.dim // group_size), 1.0 / 127.0, jnp.float32)
+    return QuantLlamaParams(
+        tok_emb_q=emb_q,
+        tok_emb_s=emb_s,
+        rms_att=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        wq=tuple(wqkv), wk=(), wv=(),
+        wo=tuple(wo),
+        rms_ffn=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        w1=tuple(w13), w2=tuple(w2), w3=(),
+        rms_final=jnp.ones((c.dim,), jnp.float32),
+        wcls=qt2(98, c.dim, c.vocab_size),
+    )
+
+
 def param_bytes(p) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
 
@@ -163,11 +203,10 @@ def main():
     b, window = args.batch, args.window
 
     if args.quant == "q8":
-        from hip_llama_tpu.models.params import unstack_quant_params
-
-        params = rand_qparams_on_device(cfg)
         if args.unroll:
-            params = unstack_quant_params(params)
+            params = rand_qparams_unrolled_on_device(cfg)
+        else:
+            params = rand_qparams_on_device(cfg)
         dtype = jnp.bfloat16  # activations / cache
     else:
         params = rand_params_on_device(cfg, dtype)

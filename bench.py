@@ -140,13 +140,14 @@ def rand_qparams_unrolled_on_device(cfg: ModelConfig, group_size: int = 64):
         jax.random.fold_in(key, 99), (c.vocab_size, c.dim), -127, 128, jnp.int8
     )
     emb_s = jnp.full((c.vocab_size, c.dim // group_size), 1.0 / 127.0, jnp.float32)
+    rms = tuple(jnp.ones((c.dim,), jnp.float32) for _ in range(c.n_layers))
     return QuantLlamaParams(
         tok_emb_q=emb_q,
         tok_emb_s=emb_s,
-        rms_att=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        rms_att=rms,
         wq=tuple(wqkv), wk=(), wv=(),
         wo=tuple(wo),
-        rms_ffn=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        rms_ffn=rms,
         w1=tuple(w13), w2=tuple(w2), w3=(),
         rms_final=jnp.ones((c.dim,), jnp.float32),
         wcls=qt2(98, c.dim, c.vocab_size),

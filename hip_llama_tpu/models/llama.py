@@ -98,6 +98,23 @@ def _mm(x: jax.Array, w) -> jax.Array:
     return x @ w
 
 
+def _mm_norm(x: jax.Array, g: jax.Array, w, eps: float) -> jax.Array:
+    """rmsnorm(x, g) @ w with the norm fused into the q8 kernel prologue.
+
+    For QTensor weights the norm weight becomes a kernel operand riding the
+    pipelined VMEM fetch — standalone per-layer norm ops each stall ~21 us
+    on an HBM->VMEM copy of the (D,) weight (1.4 ms/step at 7B, measured).
+    Dense weights keep the XLA-fused rmsnorm."""
+    if isinstance(w, QTensor):
+        lead = x.shape[:-1]
+        y = q8_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps,
+        )
+        return y.reshape(*lead, y.shape[-1])
+    return _mm(rmsnorm(x, g, eps), w)
+
+
 _LAYERED_Q8 = os.environ.get("HIPLLAMA_LAYERED_Q8", "0") == "1"
 
 
@@ -357,9 +374,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             fused = len(params.wk) == 0  # QKV / W1W3 concatenated along N
             k_list, v_list = [], []
             for l in range(c.n_layers):
-                xb = rmsnorm(x, params.rms_att[l], c.norm_eps)
+                rms_a = params.rms_att[l]
                 if fused:
-                    qkv = _mm(xb, params.wq[l])
+                    qkv = _mm_norm(x, rms_a, params.wq[l], c.norm_eps)
                     q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
                     k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
                         b, c.n_kv_heads, c.head_size
@@ -368,9 +385,15 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                         b, c.n_kv_heads, c.head_size
                     )
                 else:
-                    q = _mm(xb, params.wq[l]).reshape(b, c.n_heads, c.head_size)
-                    k = _mm(xb, params.wk[l]).reshape(b, c.n_kv_heads, c.head_size)
-                    v = _mm(xb, params.wv[l]).reshape(b, c.n_kv_heads, c.head_size)
+                    q = _mm_norm(x, rms_a, params.wq[l], c.norm_eps).reshape(
+                        b, c.n_heads, c.head_size
+                    )
+                    k = _mm_norm(x, rms_a, params.wk[l], c.norm_eps).reshape(
+                        b, c.n_kv_heads, c.head_size
+                    )
+                    v = _mm_norm(x, rms_a, params.wv[l], c.norm_eps).reshape(
+                        b, c.n_kv_heads, c.head_size
+                    )
                 q = rope(q, pos)
                 k = rope(k, pos)
                 att_out = attn(
@@ -378,20 +401,23 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                     cache.k_scale, cache.v_scale,
                 ).reshape(b, c.dim)
                 x = x + _mm(att_out, params.wo[l])
-                xb = rmsnorm(x, params.rms_ffn[l], c.norm_eps)
+                rms_f = params.rms_ffn[l]
                 if fused:
-                    h13 = _mm(xb, params.w1[l])
+                    h13 = _mm_norm(x, rms_f, params.w1[l], c.norm_eps)
                     h = jax.nn.silu(h13[:, : c.hidden_dim]) * h13[:, c.hidden_dim :]
                 else:
-                    h = jax.nn.silu(_mm(xb, params.w1[l])) * _mm(xb, params.w3[l])
+                    h = jax.nn.silu(
+                        _mm_norm(x, rms_f, params.w1[l], c.norm_eps)
+                    ) * _mm_norm(x, rms_f, params.w3[l], c.norm_eps)
                 x = x + _mm(h, params.w2[l])
                 k_list.append(k)
                 v_list.append(v)
             k_rows = jnp.stack(k_list)
             v_rows = jnp.stack(v_list)
             new_cache = _commit_kv_rows(cache, k_rows, v_rows, pos)
-            x = rmsnorm(x, params.rms_final, c.norm_eps)
-            logits = _mm(x, params.wcls).astype(jnp.float32)
+            logits = _mm_norm(
+                x, params.rms_final, params.wcls, c.norm_eps
+            ).astype(jnp.float32)
             return logits, new_cache
 
         # weights ride in the scan xs: the scan's per-iteration slicing is
@@ -413,10 +439,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         def layer(carry, xs):
             x = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
-            xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = _mm(xb, wq).reshape(b, c.n_heads, c.head_size)
-            k = _mm(xb, wk).reshape(b, c.n_kv_heads, c.head_size)
-            v = _mm(xb, wv).reshape(b, c.n_kv_heads, c.head_size)
+            q = _mm_norm(x, rms_a, wq, c.norm_eps).reshape(b, c.n_heads, c.head_size)
+            k = _mm_norm(x, rms_a, wk, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
+            v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
             q = rope(q, pos)
             k = rope(k, pos)
             # cache is read-only inside the loop; the current row rides along
@@ -425,15 +450,17 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 q, cache.k, cache.v, l, pos, k, v, cache.k_scale, cache.v_scale
             ).reshape(b, c.dim)
             x = x + _mm(att_out, wo)
-            xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+            h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
+                x, rms_f, w3, c.norm_eps
+            )
             x = x + _mm(h, w2)
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
         new_cache = _commit_kv_rows(cache, k_rows, v_rows, pos)
-        x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = _mm(x, params.wcls).astype(jnp.float32)
+        logits = _mm_norm(
+            x, params.rms_final, params.wcls, c.norm_eps
+        ).astype(jnp.float32)
         return logits, new_cache
 
     def step(params, cache, tokens, pos):
@@ -502,9 +529,8 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             x, kcache, vcache, ks_c, vs_c,
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3,
         ):
-            xb = rmsnorm(x, rms_a, c.norm_eps)
             if wk is None:  # fused QKV (wq holds the concatenated weight)
-                qkv = _mm(xb, wq)
+                qkv = _mm_norm(x, rms_a, wq, c.norm_eps)
                 q = qkv[..., : c.dim].reshape(b, t, c.n_heads, c.head_size)
                 k = qkv[..., c.dim : c.dim + c.kv_dim].reshape(
                     b, t, c.n_kv_heads, c.head_size
@@ -513,9 +539,15 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                     b, t, c.n_kv_heads, c.head_size
                 )
             else:
-                q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
-                k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
-                v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
+                q = _mm_norm(x, rms_a, wq, c.norm_eps).reshape(
+                    b, t, c.n_heads, c.head_size
+                )
+                k = _mm_norm(x, rms_a, wk, c.norm_eps).reshape(
+                    b, t, c.n_kv_heads, c.head_size
+                )
+                v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
+                    b, t, c.n_kv_heads, c.head_size
+                )
             q = rope(q, pos)
             k = rope(k, pos)
 
@@ -590,12 +622,13 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 att_out = out.reshape(b, t, c.dim).astype(x.dtype)
 
             x = x + _mm(att_out, wo)
-            xb = rmsnorm(x, rms_f, c.norm_eps)
             if w3 is None:  # fused W1/W3 (w1 holds the concatenated weight)
-                h13 = _mm(xb, w1)
+                h13 = _mm_norm(x, rms_f, w1, c.norm_eps)
                 h = jax.nn.silu(h13[..., : c.hidden_dim]) * h13[..., c.hidden_dim :]
             else:
-                h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
+                h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
+                    x, rms_f, w3, c.norm_eps
+                )
             x = x + _mm(h, w2)
             return x, kcache, vcache, ks_c, vs_c
 
@@ -626,8 +659,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
                 layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
             )
-        x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = _mm(x, params.wcls).astype(jnp.float32)
+        logits = _mm_norm(
+            x, params.rms_final, params.wcls, c.norm_eps
+        ).astype(jnp.float32)
         if quantized_kv:
             return logits, KVCache(new_k, new_v, new_ks, new_vs)
         return logits, KVCache(new_k, new_v)

@@ -131,7 +131,13 @@ def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaP
     With fuse=True, Q/K/V concatenate along N into one matmul per layer and
     W1/W3 likewise (7 -> 4 kernel launches per layer; groups run along K so
     the quantization is bit-identical). The step splits the outputs. Fused
-    weights are stored in `wq` / `w1`; `wk`/`wv`/`w3` become empty tuples."""
+    weights are stored in `wq` / `w1`; `wk`/`wv`/`w3` become empty tuples.
+
+    The norm weights also become per-layer (D,) tuples: a row sliced from
+    the stacked (L, D) array is strided in the T(8,128) tiling, so XLA
+    re-copies all ~2L+1 norm vectors to linear layouts EVERY step (~21 us
+    each on the decode critical path, 1.3 ms/step at 7B — measured with
+    tools/profile_step.py); standalone vectors are already linear."""
 
     def unstack(t: QTensor):
         n_layers = t.q.shape[0]
@@ -139,11 +145,15 @@ def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaP
             QTensor(q=t.q[l], s=t.s[l]) for l in range(n_layers)
         )
 
+    def unstack_rms(a):
+        return tuple(jnp.asarray(a[l]) for l in range(a.shape[0]))
+
     if not fuse:
         return qp._replace(
             wq=unstack(qp.wq), wk=unstack(qp.wk), wv=unstack(qp.wv),
             wo=unstack(qp.wo), w1=unstack(qp.w1), w2=unstack(qp.w2),
             w3=unstack(qp.w3),
+            rms_att=unstack_rms(qp.rms_att), rms_ffn=unstack_rms(qp.rms_ffn),
         )
 
     n_layers = qp.wq.q.shape[0]
@@ -161,6 +171,7 @@ def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaP
         wo=unstack(qp.wo),
         w1=w13, w3=(),
         w2=unstack(qp.w2),
+        rms_att=unstack_rms(qp.rms_att), rms_ffn=unstack_rms(qp.rms_ffn),
     )
 
 

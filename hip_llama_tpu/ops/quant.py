@@ -87,15 +87,35 @@ def _q8_kernel_layered(layer_ref, *rest, **kw):
     _q8_kernel(*rest, **kw)
 
 
+def _q8_kernel_norm(x_ref, q_ref, s_ref, g_ref, o_ref, acc_ref, **kw):
+    # fused-rmsnorm variant: the norm weight is the 4th operand
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
+
+
 def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
-    dequant_mode: str = "reshape", k_axis: int = 1,
+    dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None,
+    norm_eps: float = 1e-5,
 ):
     j = pl.program_id(k_axis)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if g_ref is not None:
+        # fused rmsnorm prologue (requires block_k == K: the whole row is
+        # resident). The norm weight rides the kernel's pipelined operand
+        # fetch — as a standalone XLA op, each of the ~2L+1 norm vectors
+        # cost a ~21 us HBM->VMEM copy stall per step (1.4 ms/step at 7B,
+        # tools/profile_step.py). fp32 math then cast, exactly like
+        # models/llama.py::rmsnorm (runq.c:383 keeps norms fp32 too).
+        xf = x_ref[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn = xf * jax.lax.rsqrt(ms + norm_eps) * g_ref[0, :].astype(jnp.float32)
+        x_val = xn.astype(x_ref.dtype)
+    else:
+        x_val = x_ref[:]
 
     # scales arrive pre-blocked as (..., K//BK, n_groups, N) so the
     # BlockSpec's group dim equals the array dim (legal tile, any n_groups);
@@ -112,7 +132,7 @@ def _q8_kernel(
         b = x_ref.shape[0]
         w3 = w.reshape(n_groups, gs, bn)  # sublane-split: layout-free
         x3 = (
-            x_ref[:].astype(jnp.bfloat16).reshape(b, n_groups, gs)
+            x_val.astype(jnp.bfloat16).reshape(b, n_groups, gs)
             .transpose(1, 0, 2)
         )  # small relayout (B x BK only)
         partial = jax.lax.dot_general(
@@ -129,7 +149,7 @@ def _q8_kernel(
         bk, bn = w.shape
         w = (w.reshape(n_groups, gs, bn) * s.astype(jnp.bfloat16)[:, None, :]).reshape(bk, bn)
         acc_ref[:] += jnp.dot(
-            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+            x_val.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
         )
     elif dequant_mode == "repeat":
         # expand scales across each group's sublanes (no relayout of the
@@ -138,7 +158,7 @@ def _q8_kernel(
         s_rep = pltpu.repeat(s.astype(jnp.bfloat16), gs, axis=0)  # (BK, BN)
         w = w * s_rep
         acc_ref[:] += jnp.dot(
-            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+            x_val.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
         )
     else:
         w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)  # (BK, BN)
@@ -146,7 +166,7 @@ def _q8_kernel(
         w = w.reshape(n_groups, gs, bn) * s[:, None, :]
         w = w.reshape(bk, bn).astype(jnp.bfloat16)
         acc_ref[:] += jnp.dot(
-            x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+            x_val.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
         )
 
     @pl.when(j == last_j)
@@ -154,9 +174,19 @@ def _q8_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    """Same math as models/llama.py::rmsnorm (fp32 internally)."""
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps) * g.astype(jnp.float32)).astype(x.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "dequant_mode"),
+    static_argnames=(
+        "block_n", "block_k", "interpret", "out_dtype", "dequant_mode",
+        "norm_eps",
+    ),
 )
 def q8_matmul(
     x: jax.Array,
@@ -167,6 +197,8 @@ def q8_matmul(
     interpret: bool | None = None,
     out_dtype=None,
     dequant_mode: str = _ENV_MODE,
+    norm_weight: jax.Array | None = None,
+    norm_eps: float = 1e-5,
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
 
@@ -216,6 +248,8 @@ def q8_matmul(
                 block_m = bm
                 break
         if block_m == 0:  # awkward row count: let XLA handle the blocking
+            if norm_weight is not None:
+                x = _rmsnorm_rows(x, norm_weight, norm_eps)
             return q8_matmul_xla(x, qt).astype(out_dtype)
     # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or
     # equal to the full array dims. Tiny models (test configs) fail this —
@@ -223,29 +257,50 @@ def q8_matmul(
     ok_x = block_k % 128 == 0 or block_k == k
     ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
     if not (ok_x and ok_w) and not interpret:
+        if norm_weight is not None:
+            x = _rmsnorm_rows(x, norm_weight, norm_eps)
         return q8_matmul_xla(x, qt).astype(out_dtype)
+    if norm_weight is not None and block_k != k:
+        # in-kernel rmsnorm needs the whole contraction row resident;
+        # multi-K-block shapes normalize outside (XLA fuses it)
+        x = _rmsnorm_rows(x, norm_weight, norm_eps)
+        norm_weight = None
     n_groups = block_k // gs
     grid = (b // block_m, n // block_n, k // block_k)
     s_blocked = qt.s.reshape(k // block_k, n_groups, n)
 
-    return pl.pallas_call(
-        functools.partial(
+    in_specs = [
+        pl.BlockSpec(
+            (block_m, block_k), lambda m, i, j: (m, j), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_k, block_n), lambda m, i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, n_groups, block_n), lambda m, i, j: (j, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [x, qt.q, s_blocked]
+    if norm_weight is not None:
+        kernel = functools.partial(
+            _q8_kernel_norm, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+            dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps,
+        )
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda m, i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight.reshape(1, k))
+    else:
+        kernel = functools.partial(
             _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
             dequant_mode=dequant_mode, k_axis=2,
-        ),
+        )
+    return pl.pallas_call(
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (block_m, block_k), lambda m, i, j: (m, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_k, block_n), lambda m, i, j: (j, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, n_groups, block_n), lambda m, i, j: (j, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
         ),
@@ -260,7 +315,7 @@ def q8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, qt.q, s_blocked)
+    )(*operands)
 
 
 @functools.partial(

@@ -218,9 +218,11 @@ def main(argv: list[str]) -> int:
         from hip_llama_tpu.models.params import qparams_from_quant_weights
 
         params = qparams_from_quant_weights(cfg, weights)
-    if hasattr(params, "tok_emb_q") and tp <= 1:
+    if hasattr(params, "tok_emb_q") and tp <= 1 and not paged:
         # unrolled per-layer weight buffers: no per-step weight-slice copies
-        # feeding the pallas matmuls (386 vs 307 tok/s at 7B)
+        # feeding the pallas matmuls (386 vs 307 tok/s at 7B). The paged
+        # step is a lax.scan over stacked layer weights, so it keeps the
+        # stacked layout.
         from hip_llama_tpu.models.params import unstack_quant_params
 
         params = unstack_quant_params(params)

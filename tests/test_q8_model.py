@@ -185,3 +185,19 @@ def test_q8_perplexity_delta(q8_cfg, q8_weights, toy_tokenizer):
     p_fp = perplexity(cfg, fp, toy_tokenizer, text, seq_len=32, max_batches=2)
     p_q8 = perplexity(cfg, qp, toy_tokenizer, text, seq_len=32, max_batches=2)
     assert abs(p_q8 - p_fp) / p_fp < 0.05, (p_fp, p_q8)
+
+
+def test_q8_matmul_fused_norm_matches_separate():
+    """q8_matmul(norm_weight=g) == q8_matmul(rmsnorm(x, g)) — the fused
+    rmsnorm prologue (single-K-block kernel) and both fallback branches."""
+    from hip_llama_tpu.models.llama import rmsnorm
+    from hip_llama_tpu.ops.quant import q8_matmul, q8_quantize_weights
+
+    rng = np.random.default_rng(7)
+    for b, k, n in [(8, 256, 256), (8, 128, 384), (4, 96, 64)]:
+        x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(k,)) * 0.5 + 1.0, jnp.float32)
+        qt = q8_quantize_weights(rng.normal(size=(k, n)), group_size=32)
+        fused = q8_matmul(x, qt, norm_weight=g, norm_eps=1e-5)
+        manual = q8_matmul(rmsnorm(x, g, 1e-5), qt)
+        assert_close(fused, manual, atol=0.05, rtol=0.05, msg=f"{(b, k, n)}")

@@ -154,6 +154,46 @@ def rand_qparams_unrolled_on_device(cfg: ModelConfig, group_size: int = 64):
     )
 
 
+def rand_qparams_stacked_fused_on_device(cfg: ModelConfig, group_size: int = 64):
+    """Random Q8_0 params in the STACKED-FUSED layout (models/llama.py
+    layered branch): wq = (L, D, D+2*KVD), w1 = (L, D, 2*H), single HBM
+    arrays addressed by the kernels' layer index maps."""
+    from hip_llama_tpu.models.params import QuantLlamaParams
+    from hip_llama_tpu.ops.quant import QTensor
+
+    c = cfg
+    key = jax.random.PRNGKey(0)
+
+    def qt3(i, k, n):
+        q = jax.random.randint(
+            jax.random.fold_in(key, i), (c.n_layers, k, n), -127, 128, jnp.int8
+        )
+        s = jnp.full((c.n_layers, k // group_size, n), (k**-0.5) / 127.0, jnp.float32)
+        return QTensor(q=q, s=s)
+
+    def qt2(i, k, n):
+        q = jax.random.randint(jax.random.fold_in(key, i), (k, n), -127, 128, jnp.int8)
+        s = jnp.full((k // group_size, n), (k**-0.5) / 127.0, jnp.float32)
+        return QTensor(q=q, s=s)
+
+    emb_q = jax.random.randint(
+        jax.random.fold_in(key, 99), (c.vocab_size, c.dim), -127, 128, jnp.int8
+    )
+    emb_s = jnp.full((c.vocab_size, c.dim // group_size), 1.0 / 127.0, jnp.float32)
+    return QuantLlamaParams(
+        tok_emb_q=emb_q,
+        tok_emb_s=emb_s,
+        rms_att=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        wq=qt3(0, c.dim, c.dim + 2 * c.kv_dim), wk=(), wv=(),
+        wo=qt3(1, c.dim, c.dim),
+        rms_ffn=jnp.ones((c.n_layers, c.dim), jnp.float32),
+        w1=qt3(2, c.dim, 2 * c.hidden_dim), w3=(),
+        w2=qt3(3, c.hidden_dim, c.dim),
+        rms_final=jnp.ones((c.dim,), jnp.float32),
+        wcls=qt2(98, c.dim, c.vocab_size),
+    )
+
+
 def param_bytes(p) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
 
@@ -194,6 +234,12 @@ def main():
     ap.add_argument("--no-unroll", action="store_true",
                     help="use the scan path instead of unrolled per-layer "
                          "weight buffers (q8; unrolled measured 386 vs 307 tok/s)")
+    ap.add_argument("--layout", default="unrolled",
+                    choices=["unrolled", "stacked"],
+                    help="q8 weight layout: unrolled per-layer buffers, or "
+                         "stacked (L, K, N) arrays driven by the layered "
+                         "kernels (scalar-prefetched layer index; no XLA "
+                         "VMEM weight promotion)")
     args = ap.parse_args()
     args.unroll = not args.no_unroll
     if args.quant == "none":
@@ -204,7 +250,9 @@ def main():
     b, window = args.batch, args.window
 
     if args.quant == "q8":
-        if args.unroll:
+        if args.layout == "stacked":
+            params = rand_qparams_stacked_fused_on_device(cfg)
+        elif args.unroll:
             params = rand_qparams_unrolled_on_device(cfg)
         else:
             params = rand_qparams_on_device(cfg)

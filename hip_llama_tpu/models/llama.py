@@ -367,6 +367,57 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         x = _embed(params, tokens, _act_dtype(params))  # (B, D) gather
         b = x.shape[0]
 
+        if (
+            isinstance(params.wq, QTensor)
+            and params.wq.q.ndim == 3
+            and isinstance(params.wk, tuple)
+            and len(params.wk) == 0
+        ):
+            # STACKED-FUSED layered path (params.fuse_stacked_quant_params):
+            # weights stay as single (L, K, N) HBM arrays and every matmul
+            # selects its layer via the kernel's scalar-prefetched index
+            # maps — no per-layer weight copies AND no XLA VMEM promotion
+            # of weight buffers (whose async-copy waits cost ~2.2 ms/step
+            # at 7B on the unrolled layout).
+            from hip_llama_tpu.ops.quant import q8_matmul_layered
+
+            def layer(carry, l):
+                x = carry
+                qkv = q8_matmul_layered(
+                    x, params.wq, l, out_dtype=x.dtype,
+                    norm_weight=params.rms_att, norm_eps=c.norm_eps,
+                )
+                q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
+                k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
+                    b, c.n_kv_heads, c.head_size
+                )
+                v = qkv[:, c.dim + c.kv_dim :].reshape(
+                    b, c.n_kv_heads, c.head_size
+                )
+                q = rope(q, pos)
+                k = rope(k, pos)
+                att_out = attn(
+                    q, cache.k, cache.v, l, pos, k, v,
+                    cache.k_scale, cache.v_scale,
+                ).reshape(b, c.dim)
+                x = x + q8_matmul_layered(att_out, params.wo, l, out_dtype=x.dtype)
+                h13 = q8_matmul_layered(
+                    x, params.w1, l, out_dtype=x.dtype,
+                    norm_weight=params.rms_ffn, norm_eps=c.norm_eps,
+                )
+                h = jax.nn.silu(h13[:, : c.hidden_dim]) * h13[:, c.hidden_dim :]
+                x = x + q8_matmul_layered(h, params.w2, l, out_dtype=x.dtype)
+                return x, (k, v)
+
+            x, (k_rows, v_rows) = lax.scan(
+                layer, x, jnp.arange(c.n_layers, dtype=jnp.int32)
+            )
+            new_cache = _commit_kv_rows(cache, k_rows, v_rows, pos)
+            logits = _mm_norm(
+                x, params.rms_final, params.wcls, c.norm_eps
+            ).astype(jnp.float32)
+            return logits, new_cache
+
         if isinstance(params.wq, (tuple, list)) and not isinstance(params.wq, QTensor):
             # UNROLLED layer loop: per-layer weight buffers, no slicing
             # (see params.unstack_quant_params) — each pallas matmul reads

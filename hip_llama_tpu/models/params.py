@@ -119,6 +119,28 @@ def _qt_stack(tensors, out_dim: int, in_dim: int, gs: int) -> QTensor:
     )
 
 
+def fuse_stacked_quant_params(qp: QuantLlamaParams) -> QuantLlamaParams:
+    """Concatenate Q/K/V (and W1/W3) along N while KEEPING the stacked
+    (L, K, N) layout — the layout for the layered-kernel decode path
+    (models/llama.py stacked-fused branch): weights stay single HBM arrays
+    addressed by the kernel's scalar-prefetched layer index. Groups run
+    along K, so the fused quantization is bit-identical. wk/wv/w3 become
+    empty tuples (the branch marker)."""
+
+    def cat(*ts: QTensor) -> QTensor:
+        return QTensor(
+            q=jnp.concatenate([t.q for t in ts], axis=-1),
+            s=jnp.concatenate([t.s for t in ts], axis=-1),
+        )
+
+    return qp._replace(
+        wq=cat(qp.wq, qp.wk, qp.wv), wk=(), wv=(),
+        w1=cat(qp.w1, qp.w3), w3=(),
+        rms_att=jnp.asarray(qp.rms_att, jnp.float32),
+        rms_ffn=jnp.asarray(qp.rms_ffn, jnp.float32),
+    )
+
+
 def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaParams:
     """Convert stacked (L, K, N) weight QTensors into per-layer tuples of
     2-D QTensors (each layer its own buffer).

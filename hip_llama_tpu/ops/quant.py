@@ -112,7 +112,8 @@ def _q8_kernel(
         # models/llama.py::rmsnorm (runq.c:383 keeps norms fp32 too).
         xf = x_ref[:].astype(jnp.float32)
         ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        xn = xf * jax.lax.rsqrt(ms + norm_eps) * g_ref[0, :].astype(jnp.float32)
+        g = g_ref[...].reshape(1, g_ref.shape[-1]).astype(jnp.float32)
+        xn = xf * jax.lax.rsqrt(ms + norm_eps) * g
         x_val = xn.astype(x_ref.dtype)
     else:
         x_val = x_ref[:]
@@ -318,9 +319,20 @@ def q8_matmul(
     )(*operands)
 
 
+def _q8_kernel_layered_norm(layer_ref, x_ref, q_ref, s_ref, g_ref, o_ref,
+                            acc_ref, **kw):
+    # layered + fused-rmsnorm: layer index feeds the index maps only; the
+    # norm weight is the 4th tensor operand
+    del layer_ref
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "dequant_mode"),
+    static_argnames=(
+        "block_n", "block_k", "interpret", "out_dtype", "dequant_mode",
+        "norm_eps",
+    ),
 )
 def q8_matmul_layered(
     x: jax.Array,
@@ -332,12 +344,21 @@ def q8_matmul_layered(
     interpret: bool | None = None,
     out_dtype=None,
     dequant_mode: str = _ENV_MODE,
+    norm_weight: jax.Array | None = None,  # STACKED (L, K) f32
+    norm_eps: float = 1e-5,
 ) -> jax.Array:
     """x (B, K) @ dequant(q[layer]) -> (B, N), selecting the layer via a
     scalar-prefetched BlockSpec index — used inside the layer scan so XLA
     never materializes a per-layer copy of the int8 weights (a dynamic-slice
     feeding a pallas_call operand is a real copy: ~8.9 ms/step at 7B,
-    measured with tools/profile_step.py)."""
+    measured with tools/profile_step.py). A further benefit vs the unrolled
+    per-layer buffers: XLA's memory-space assignment promotes the per-layer
+    weights into VMEM with async slice copies whose waits sit on the decode
+    critical path (~2.2 ms/step at 7B); one stacked (L, K, N) array is too
+    big to promote, so the kernel's own pipeline does all the streaming.
+
+    norm_weight: stacked per-layer rmsnorm weights, applied to x in the
+    kernel prologue (single-K-block shapes only; see q8_matmul)."""
     b, k = x.shape
     n_layers, kq, n = qt.q.shape
     assert k == kq, (x.shape, qt.q.shape)
@@ -346,41 +367,76 @@ def q8_matmul_layered(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    while block_k > gs and (k % block_k or block_k % gs):
-        block_k //= 2
-    if k % block_k or block_k % gs:
-        block_k = gs if k % gs == 0 else k
+    def norm_slice(xx):
+        if norm_weight is None:
+            return xx
+        g = jax.lax.dynamic_index_in_dim(norm_weight, layer, 0, keepdims=False)
+        return _rmsnorm_rows(xx, g, norm_eps)
+
     while block_n > 128 and n % block_n:
         block_n //= 2
     if n % block_n:
         block_n = n
+    # single-K-block fast path (see q8_matmul): no accumulator round-trips,
+    # and the whole row is resident so rmsnorm can fuse into the prologue
+    if (
+        dequant_mode == "reshape"
+        and k % gs == 0
+        and k * block_n <= 8 * 2 ** 20
+        and b * k * 2 <= 2 * 2 ** 20
+    ):
+        block_k = k
+    else:
+        while block_k > gs and (k % block_k or block_k % gs):
+            block_k //= 2
+        if k % block_k or block_k % gs:
+            block_k = gs if k % gs == 0 else k
     ok_x = block_k % 128 == 0 or block_k == k
     ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
     if not (ok_x and ok_w) and not interpret:
         ql = jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False)
         sl = jax.lax.dynamic_index_in_dim(qt.s, layer, 0, keepdims=False)
-        return q8_matmul_xla(x, QTensor(q=ql, s=sl)).astype(out_dtype)
+        return q8_matmul_xla(norm_slice(x), QTensor(q=ql, s=sl)).astype(out_dtype)
+    fuse_norm = norm_weight is not None and block_k == k
+    if norm_weight is not None and not fuse_norm:
+        x = norm_slice(x)
     n_groups = block_k // gs
     grid = (n // block_n, k // block_k)
     s_blocked = qt.s.reshape(n_layers, k // block_k, n_groups, n)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec((b, block_k), lambda i, j, lr: (0, j)),
+        pl.BlockSpec((1, block_k, block_n), lambda i, j, lr: (lr[0], j, i)),
+        pl.BlockSpec((1, 1, n_groups, block_n), lambda i, j, lr: (lr[0], j, 0, i)),
+    ]
+    operands = [x, qt.q, s_blocked]
+    if fuse_norm:
+        kernel = functools.partial(
+            _q8_kernel_layered_norm, n_groups=n_groups, gs=gs,
+            last_j=grid[1] - 1, dequant_mode=dequant_mode, norm_eps=norm_eps,
+        )
+        # (L, 1, K) view: the (1, 1, block_k) block's last-two dims equal
+        # the array dims, satisfying Mosaic tile legality for any L
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda i, j, lr: (lr[0], 0, j))
+        )
+        operands.append(norm_weight.reshape(n_layers, 1, k))
+    else:
+        kernel = functools.partial(
+            _q8_kernel_layered, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
+            dequant_mode=dequant_mode,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, block_k), lambda i, j, lr: (0, j)),
-            pl.BlockSpec((1, block_k, block_n), lambda i, j, lr: (lr[0], j, i)),
-            pl.BlockSpec((1, 1, n_groups, block_n), lambda i, j, lr: (lr[0], j, 0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b, block_n), lambda i, j, lr: (0, i)),
         scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(
-            _q8_kernel_layered, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
-            dequant_mode=dequant_mode,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -392,4 +448,4 @@ def q8_matmul_layered(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer_arr, x, qt.q, s_blocked)
+    )(layer_arr, *operands)

@@ -201,3 +201,28 @@ def test_q8_matmul_fused_norm_matches_separate():
         fused = q8_matmul(x, qt, norm_weight=g, norm_eps=1e-5)
         manual = q8_matmul(rmsnorm(x, g, 1e-5), qt)
         assert_close(fused, manual, atol=0.05, rtol=0.05, msg=f"{(b, k, n)}")
+
+
+def test_q8_stacked_fused_matches_unrolled(q8_cfg, q8_weights):
+    """The stacked-fused layered-kernel decode branch (weights as (L, K, N)
+    arrays + scalar-prefetched layer index) matches the unrolled per-layer
+    buffers bit-for-bit on CPU (same kernels modulo layer addressing)."""
+    from hip_llama_tpu.models.params import (
+        fuse_stacked_quant_params,
+        unstack_quant_params,
+    )
+
+    cfg = q8_cfg
+    qp = quantize_params_q8(cfg, q8_weights, group_size=GS)
+    pu = unstack_quant_params(qp)
+    ps = fuse_stacked_quant_params(qp)
+    step = jax.jit(make_decode_step(cfg, precision="default"))
+    cu = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    cs = init_kv_cache(cfg, 2, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for p in range(3):
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2,)), jnp.int32)
+        pos = jnp.full((2,), p, jnp.int32)
+        lu, cu = step(pu, cu, toks, pos)
+        ls, cs = step(ps, cs, toks, pos)
+        assert_close(ls, lu, atol=5e-2, rtol=5e-2, msg=f"step {p}")

@@ -29,16 +29,23 @@ def main():
     ap.add_argument("--attn", default="pallas")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
+    ap.add_argument("--layout", default="unrolled", choices=["unrolled", "stacked"])
     args = ap.parse_args()
 
-    from bench import CONFIGS, rand_params_on_device, rand_qparams_on_device
+    from bench import (
+        CONFIGS,
+        rand_params_on_device,
+        rand_qparams_on_device,
+        rand_qparams_stacked_fused_on_device,
+        rand_qparams_unrolled_on_device,
+    )
     from hip_llama_tpu.models import init_kv_cache, make_decode_step
 
     cfg = CONFIGS[args.model]
-    if args.quant == "q8":
-        from hip_llama_tpu.models.params import unstack_quant_params
-
-        params = unstack_quant_params(rand_qparams_on_device(cfg))
+    if args.quant == "q8" and args.layout == "stacked":
+        params = rand_qparams_stacked_fused_on_device(cfg)
+    elif args.quant == "q8":
+        params = rand_qparams_unrolled_on_device(cfg)
     else:
         params = rand_params_on_device(cfg, jnp.bfloat16)
     cache = init_kv_cache(

@@ -240,24 +240,26 @@ def q8_matmul(
     assert k % block_k == 0 and block_k % gs == 0, (k, block_k, gs)
     assert n % block_n == 0, (n, block_n)
     # large-M callers (prefill: b = batch*chunk rows) get an M-block axis so
-    # the x strip and the fp32 accumulator stay VMEM-sized
+    # the x strip and the fp32 accumulator stay VMEM-sized. Row counts that
+    # only admit tiny blocks get PADDED up to a 512 multiple instead: with
+    # the m axis outermost, every m block re-streams the whole weight, so
+    # e.g. 4088 rows at block_m=8 would read the weights 511x (a 511-token
+    # chunked prefill measured 6.9 s/layer-pass vs 0.6 s at 4096 rows).
     block_m = b
+    pad_m = 0
     if b > 512:
-        block_m = 0
-        for bm in (512, 256, 128, 64, 32, 16, 8):
-            if b % bm == 0:
-                block_m = bm
-                break
-        if block_m == 0:  # awkward row count: let XLA handle the blocking
-            if norm_weight is not None:
-                x = _rmsnorm_rows(x, norm_weight, norm_eps)
-            return q8_matmul_xla(x, qt).astype(out_dtype)
+        block_m = 512
+        if b % 512:
+            pad_m = 512 - b % 512
+            x = jnp.pad(x, ((0, pad_m), (0, 0)))
     # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or
     # equal to the full array dims. Tiny models (test configs) fail this —
     # fall back to the dense-dequant einsum, which is fine at those sizes.
     ok_x = block_k % 128 == 0 or block_k == k
     ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
     if not (ok_x and ok_w) and not interpret:
+        if pad_m:
+            x = x[:b]
         if norm_weight is not None:
             x = _rmsnorm_rows(x, norm_weight, norm_eps)
         return q8_matmul_xla(x, qt).astype(out_dtype)
@@ -267,7 +269,7 @@ def q8_matmul(
         x = _rmsnorm_rows(x, norm_weight, norm_eps)
         norm_weight = None
     n_groups = block_k // gs
-    grid = (b // block_m, n // block_n, k // block_k)
+    grid = ((b + pad_m) // block_m, n // block_n, k // block_k)
     s_blocked = qt.s.reshape(k // block_k, n_groups, n)
 
     in_specs = [
@@ -298,25 +300,28 @@ def q8_matmul(
             _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
             dequant_mode=dequant_mode, k_axis=2,
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b + pad_m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * k * n,
+            flops=2 * (b + pad_m) * k * n,
             bytes_accessed=k * n + (k // gs) * n * 4 + b * k * 2 + b * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*operands)
+    if pad_m:
+        out = out[:b]
+    return out
 
 
 def _q8_kernel_layered_norm(layer_ref, x_ref, q_ref, s_ref, g_ref, o_ref,

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
     ap.add_argument("--layout", default="unrolled", choices=["unrolled", "stacked"])
+    ap.add_argument("--mode", default="decode", choices=["decode", "prefill"])
+    ap.add_argument("--prompt-len", type=int, default=512)
     args = ap.parse_args()
 
     from bench import (
@@ -52,22 +54,41 @@ def main():
         cfg, args.batch, dtype=jnp.bfloat16, seq_len=args.window,
         quantized=(args.kv == "int8"),
     )
-    step = jax.jit(
-        make_decode_step(cfg, attn_impl=args.attn, precision="default"),
-        donate_argnums=(1,),
-    )
-    toks = jnp.zeros((args.batch,), jnp.int32)
-    pos0 = args.window // 2
-    logits, cache = step(params, cache, toks, jnp.full((args.batch,), pos0, jnp.int32))
-    np.asarray(logits)
+    if args.mode == "prefill":
+        from hip_llama_tpu.models.llama import make_prefill
 
-    jax.profiler.start_trace(args.outdir)
-    for i in range(args.steps):
-        logits, cache = step(
-            params, cache, toks, jnp.full((args.batch,), pos0 + 1 + i, jnp.int32)
+        t = min(args.prompt_len, args.window - 1)
+        prefill = jax.jit(
+            make_prefill(cfg, attn_impl=args.attn, precision="default"),
+            donate_argnums=(1,),
         )
-    np.asarray(logits)
-    jax.profiler.stop_trace()
+        toks2 = jnp.zeros((args.batch, t), jnp.int32)
+        start = jnp.zeros((args.batch,), jnp.int32)
+        valid = jnp.full((args.batch,), t, jnp.int32)
+        logits, cache = prefill(params, cache, toks2, start, valid)
+        np.asarray(logits)
+        jax.profiler.start_trace(args.outdir)
+        for _ in range(args.steps):
+            logits, cache = prefill(params, cache, toks2, start, valid)
+        np.asarray(logits)
+        jax.profiler.stop_trace()
+    else:
+        step = jax.jit(
+            make_decode_step(cfg, attn_impl=args.attn, precision="default"),
+            donate_argnums=(1,),
+        )
+        toks = jnp.zeros((args.batch,), jnp.int32)
+        pos0 = args.window // 2
+        logits, cache = step(params, cache, toks, jnp.full((args.batch,), pos0, jnp.int32))
+        np.asarray(logits)
+
+        jax.profiler.start_trace(args.outdir)
+        for i in range(args.steps):
+            logits, cache = step(
+                params, cache, toks, jnp.full((args.batch,), pos0 + 1 + i, jnp.int32)
+            )
+        np.asarray(logits)
+        jax.profiler.stop_trace()
 
     # parse the trace: sum device-op durations by name
     traces = sorted(

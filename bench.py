@@ -202,7 +202,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=list(CONFIGS))
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--window", type=int, default=512, help="KV window (seq_len)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="KV window (seq_len); default 512 (decode) or "
+                         "2*prompt-len (ttft: a real serving window leaves "
+                         "room to generate past the prompt)")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
@@ -247,6 +250,8 @@ def main():
 
     cfg = CONFIGS[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.window is None:
+        args.window = 2 * args.prompt_len if args.mode == "ttft" else 512
     b, window = args.batch, args.window
 
     if args.quant == "q8":

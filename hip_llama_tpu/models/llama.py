@@ -619,15 +619,44 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 merged = jnp.where(vmask[None, :], jnp.swapaxes(new_s, 0, 1), old)
                 return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st))
 
+            # chunk writers: one windowed RMW DMA per slot per layer beats
+            # the XLA merge + dynamic-update-slice scatter by ~80 ms/step
+            # at 7B b8 t511 (while + DUS chains, profile_step --mode
+            # prefill); needs lane-aligned heads and window slack in S
+            from hip_llama_tpu.ops.cache import _sublane_window
+
+            sub_w = _sublane_window(kcache.dtype)
+            pallas_w = (
+                jax.default_backend() != "cpu"
+                and c.head_size % 128 == 0
+                and s % 128 == 0
+                and s >= -(-t // sub_w) * sub_w + 2 * sub_w
+                and (not quantized_kv or s >= -(-t // 128) * 128 + 256)
+            )
             if quantized_kv:
-                from hip_llama_tpu.ops.cache import quantize_kv_rows
+                from hip_llama_tpu.ops.cache import (
+                    kv_write_chunk,
+                    quantize_kv_rows,
+                    scale_write_chunk,
+                )
 
                 kq, ksc = quantize_kv_rows(k)  # (B,T,KVH,HS) int8, (B,T,KVH)
                 vq, vsc = quantize_kv_rows(v)
-                kcache = jax.vmap(scatter_seq)(kcache, kq, start, tvalid)
-                vcache = jax.vmap(scatter_seq)(vcache, vq, start, tvalid)
-                ks_c = jax.vmap(scatter_scale)(ks_c, ksc, start, tvalid)
-                vs_c = jax.vmap(scatter_scale)(vs_c, vsc, start, tvalid)
+                if pallas_w:
+                    kcache = kv_write_chunk(kcache, kq, l, start, valid_len)
+                    vcache = kv_write_chunk(vcache, vq, l, start, valid_len)
+                    ks_c = scale_write_chunk(ks_c, ksc, l, start, valid_len)
+                    vs_c = scale_write_chunk(vs_c, vsc, l, start, valid_len)
+                else:
+                    kcache = jax.vmap(scatter_seq)(kcache, kq, start, tvalid)
+                    vcache = jax.vmap(scatter_seq)(vcache, vq, start, tvalid)
+                    ks_c = jax.vmap(scatter_scale)(ks_c, ksc, start, tvalid)
+                    vs_c = jax.vmap(scatter_scale)(vs_c, vsc, start, tvalid)
+            elif pallas_w:
+                from hip_llama_tpu.ops.cache import kv_write_chunk
+
+                kcache = kv_write_chunk(kcache, k, l, start, valid_len)
+                vcache = kv_write_chunk(vcache, v, l, start, valid_len)
             else:
                 kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
                 vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)

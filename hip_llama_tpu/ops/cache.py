@@ -432,3 +432,210 @@ def kv_write_rows_paged(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pos, page_table, rows4, pages)
+
+
+# ---------------------------------------------------------------------------
+# chunked prefill writers: T prompt rows per slot in one windowed RMW
+
+
+def _kv_write_chunk_kernel(
+    layer_ref, start_ref, valid_ref, rows_ref, cache_in_ref, cache_out_ref,
+    scratch, rows_scr, sems, *, batch, window, t, sub,
+):
+    del cache_in_ref  # aliased with cache_out
+    l = layer_ref[0]
+    s = cache_out_ref.shape[3]
+
+    # serial per-slot RMW: chunk windows are MBs, so double-buffering would
+    # double the VMEM footprint for a ~2x overlap win on a path that is
+    # ~4 ms vs the 85 ms XLA scatter chain it replaces (b8 t511 at 7B,
+    # tools/profile_step.py --mode prefill)
+    for b in range(batch):
+        v = valid_ref[b]
+
+        @pl.when(v > 0)
+        def _():
+            st = start_ref[b]
+            # S and window are both sub-multiples, so s - window is aligned
+            # and the clamp costs no extra offset; worst-case in-window
+            # offset is then < 3*sub and window = align_up(t) + 2*sub holds
+            # every rolled row without wrapping
+            ws = pl.multiple_of(
+                jnp.minimum((st // sub) * sub, s - window), sub
+            )
+            ld = pltpu.make_async_copy(
+                cache_out_ref.at[b, l, :, pl.ds(ws, window), :],
+                scratch.at[0],
+                sems.at[0],
+            )
+            ld.start()
+            # rows live in ANY/HBM space — DMA the slot's rows while the
+            # cache window load is in flight
+            ld_rows = pltpu.make_async_copy(
+                rows_ref.at[b], rows_scr.at[0], sems.at[1]
+            )
+            ld_rows.start()
+            ld.wait()
+            ld_rows.wait()
+            off = st - ws
+            # Mosaic's dynamic rotate is 32-bit-only and unaligned sublane
+            # vector loads are illegal, so the off-shift runs as an f32
+            # roll PER KV HEAD (exact for int8/bf16; bounds the transient
+            # to one (W, HS) f32 tile instead of 9.4 MB for all heads)
+            kvh = scratch.shape[1]
+            for h in range(kvh):
+                win_h = scratch[0, h]  # (W, HS)
+                rows_h = rows_scr[0, h].astype(jnp.float32)  # (T, HS)
+                padded = jnp.pad(rows_h, ((0, window - t), (0, 0)))
+                shifted = pltpu.roll(padded, off, 0)  # zeros wrap, harmless
+                j = jax.lax.broadcasted_iota(jnp.int32, win_h.shape, 0)
+                keep_new = (j >= off) & (j < off + v)
+                scratch[0, h] = jnp.where(
+                    keep_new, shifted.astype(win_h.dtype), win_h
+                )
+            st_cp = pltpu.make_async_copy(
+                scratch.at[0],
+                cache_out_ref.at[b, l, :, pl.ds(ws, window), :],
+                sems.at[0],
+            )
+            st_cp.start()
+            st_cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def kv_write_chunk(
+    cache: jax.Array,  # (B, L, KVH, S, HS) — donated, updated in place
+    rows: jax.Array,  # (B, T, KVH, HS) — this LAYER's chunk rows
+    layer: jax.Array,  # () int32
+    start: jax.Array,  # (B,) int32 — first position of the chunk per slot
+    valid: jax.Array,  # (B,) int32 — live rows per slot (0 = bystander)
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Write a prefill chunk (positions start..start+valid-1 per slot) of
+    ONE layer into the cache in place. Replaces the XLA merge +
+    dynamic-update-slice scatter, which cost ~85 ms/step at 7B b8 t511
+    (while + DUS chains over the (B, L, KVH, S, HS) cache)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n_layers, kvh, s, hs = cache.shape
+    t = rows.shape[1]
+    sub = _sublane_window(cache.dtype)
+    # window = align_up(t) + 2*sub: the end-of-cache clamp can push the
+    # in-window offset to just under 3*sub (start near S - T with t not
+    # sub-aligned), and rolled rows must never wrap. REQUIRES s % sub == 0
+    # (callers guard), so the clamp target s - w stays sub-aligned.
+    w = -(-t // sub) * sub + 2 * sub
+    assert s % sub == 0, (s, sub)
+    rows_t = jnp.swapaxes(rows, 1, 2).astype(cache.dtype)  # (B, KVH, T, HS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # layer, start, valid
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows (B, KVH, T, HS)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cache in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((1, kvh, w, hs), cache.dtype),
+            pltpu.VMEM((1, kvh, t, hs), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _kv_write_chunk_kernel, batch=b, window=w, t=t, sub=sub
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={4: 0},  # cache input (after 3 scalars, rows)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(layer_arr, start, valid, rows_t, cache)
+
+
+def _scale_write_chunk_kernel(
+    layer_ref, start_ref, valid_ref, srows_ref, sc_in_ref, sc_out_ref,
+    scratch, sems, *, batch, window, t, lane,
+):
+    del sc_in_ref
+    l = layer_ref[0]
+    s = sc_out_ref.shape[3]
+
+    for b in range(batch):
+        v = valid_ref[b]
+
+        @pl.when(v > 0)
+        def _():
+            st = start_ref[b]
+            ws = pl.multiple_of(
+                jnp.minimum((st // lane) * lane, s - window), lane
+            )
+            ld = pltpu.make_async_copy(
+                sc_out_ref.at[b, l, :, pl.ds(ws, window)],
+                scratch.at[0],
+                sems.at[0],
+            )
+            ld.start()
+            ld.wait()
+            off = st - ws
+            win = scratch[0]  # (KVH, W)
+            padded = jnp.pad(srows_ref[b], ((0, 0), (0, window - t)))  # (KVH, W)
+            shifted = pltpu.roll(padded, off, 1)
+            j = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+            keep_new = (j >= off) & (j < off + v)
+            scratch[0] = jnp.where(keep_new, shifted, win)
+            st_cp = pltpu.make_async_copy(
+                scratch.at[0],
+                sc_out_ref.at[b, l, :, pl.ds(ws, window)],
+                sems.at[0],
+            )
+            st_cp.start()
+            st_cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scale_write_chunk(
+    scale_cache: jax.Array,  # (B, L, KVH, S) f32 — donated
+    srows: jax.Array,  # (B, T, KVH) f32 — this layer's chunk scales
+    layer: jax.Array,  # () int32
+    start: jax.Array,  # (B,) int32
+    valid: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Chunk companion of scale_write_chunk for the int8 KV scale planes."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n_layers, kvh, s = scale_cache.shape
+    t = srows.shape[1]
+    w = -(-t // 128) * 128 + 256  # align_up(t, lane) + 2*lane (see above)
+    assert s % 128 == 0, s
+    srows_t = jnp.swapaxes(srows, 1, 2).astype(jnp.float32)  # (B, KVH, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # srows: ~0.5 MB at 7B b8
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((1, kvh, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _scale_write_chunk_kernel, batch=b, window=w, t=t, lane=128
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scale_cache.shape, jnp.float32),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(layer_arr, start, valid, srows_t, scale_cache)

@@ -1,0 +1,65 @@
+"""Prefill chunk writers (ops/cache.py kv_write_chunk / scale_write_chunk)
+vs a numpy reference: windowed in-place RMW must equal a row-wise scatter
+for arbitrary (start, valid) combinations, including bystanders (valid=0)
+and chunks ending at the last cache position."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hip_llama_tpu.ops.cache import kv_write_chunk, scale_write_chunk
+
+B, L, KVH, S, HS, T = 3, 2, 4, 256, 128, 96
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+def test_kv_write_chunk_matches_scatter(dtype):
+    rng = np.random.default_rng(0)
+    if dtype == jnp.int8:
+        cache0 = rng.integers(-100, 100, (B, L, KVH, S, HS)).astype(np.int8)
+        rows = rng.integers(-100, 100, (B, T, KVH, HS)).astype(np.int8)
+    else:
+        cache0 = rng.normal(size=(B, L, KVH, S, HS)).astype(np.float32)
+        rows = rng.normal(size=(B, T, KVH, HS)).astype(np.float32)
+    start = np.array([0, 37, S - T], np.int32)   # aligned, odd, end-clamped
+    valid = np.array([T, 51, 0], np.int32)       # full, partial, bystander
+    layer = 1
+
+    expect = cache0.copy().astype(np.float32)
+    for b in range(B):
+        for j in range(valid[b]):
+            expect[b, layer, :, start[b] + j, :] = rows[b, j]  # (KVH, HS)
+
+    out = kv_write_chunk(
+        jnp.asarray(cache0, dtype), jnp.asarray(rows, dtype),
+        jnp.int32(layer), jnp.asarray(start), jnp.asarray(valid),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(jnp.asarray(expect, dtype), np.float32),
+        atol=1e-2, rtol=1e-2,
+    )
+
+
+def test_scale_write_chunk_matches_scatter():
+    rng = np.random.default_rng(1)
+    s = 512  # needs T + 256 lane slack
+    sc0 = rng.normal(size=(B, L, KVH, s)).astype(np.float32)
+    srows = rng.normal(size=(B, T, KVH)).astype(np.float32)
+    start = np.array([0, 129, s - T], np.int32)
+    valid = np.array([T, 40, T], np.int32)
+    layer = 0
+
+    expect = sc0.copy()
+    for b in range(B):
+        for j in range(valid[b]):
+            expect[b, layer, :, start[b] + j] = srows[b, j]
+
+    out = scale_write_chunk(
+        jnp.asarray(sc0), jnp.asarray(srows),
+        jnp.int32(layer), jnp.asarray(start), jnp.asarray(valid),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)

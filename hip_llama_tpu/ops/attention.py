@@ -301,21 +301,25 @@ def attention_prefill_pallas(
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    bt = block_t or _pick_block_t(t)
-    bk = block_k or _pick_block_k(s)
+    bt = block_t or _pick_block_t(t, target=256)
+    bk = block_k or _pick_block_k(s, target=512)
     n_t_blocks = t // bt
     n_k_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
     # head-batch KV heads per grid step (same rationale as decode: un-batched
     # MHA prefill at 7B was 8192 grid steps of 16 KB DMAs — 6.1 ms/layer,
     # ~70x over the FLOPs roofline). Cap by scratch VMEM: G*BT*M*(2*128+HS)*4.
+    # Caps sized so a 7B b8 t512 s1024 call runs ~128 grid steps/layer, not
+    # 512 — the kernel was grid-overhead-bound (~4 us/step flat: 72 ->
+    # ~30 ms/prefill from this change alone); ~13 MB of VMEM tiles is fine
+    # on a 128 MB core (vmem_limit raised below).
     g_blk = 1
     rows = bt * kv_mul
     while (
         g_blk < kvh
         and kvh % (g_blk * 2) == 0
-        and (2 * g_blk) * rows * (2 * 128 + hs) * 4 <= 4 * 2 ** 20
-        and (2 * g_blk) * bk * hs * k_cache.dtype.itemsize <= 512 * 1024
+        and (2 * g_blk) * rows * (2 * 128 + hs) * 4 <= 8 * 2 ** 20
+        and (2 * g_blk) * bk * hs * k_cache.dtype.itemsize <= 2 * 2 ** 20
     ):
         g_blk *= 2
 
@@ -377,6 +381,7 @@ def attention_prefill_pallas(
         out_shape=jax.ShapeDtypeStruct((b, kvh, t, kv_mul, hs), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * t * h * s * hs,
@@ -711,6 +716,7 @@ def attention_prefill_paged(
         out_shape=jax.ShapeDtypeStruct((b, kvh, t, kv_mul, hs), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20,
         ),
         interpret=interpret,
     )(start, valid, layer_arr, page_table, *operands)

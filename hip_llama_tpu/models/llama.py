@@ -115,6 +115,24 @@ def _mm_norm(x: jax.Array, g: jax.Array, w, eps: float) -> jax.Array:
     return _mm(rmsnorm(x, g, eps), w)
 
 
+def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
+    """silu(rmsnorm(x, g) @ W1) * (rmsnorm(x, g) @ W3) with W1|W3 fused
+    along N — one Q8 kernel, gate product on the fp32 accumulators
+    (ops/quant.py::q8_matmul_silu); the (.., 2H) h13 intermediate and its
+    slice/convert/multiply ops never materialize."""
+    if isinstance(w13, QTensor):
+        from hip_llama_tpu.ops.quant import q8_matmul_silu
+
+        lead = x.shape[:-1]
+        y = q8_matmul_silu(
+            x.reshape(-1, x.shape[-1]), w13, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps,
+        )
+        return y.reshape(*lead, hidden)
+    h13 = _mm(rmsnorm(x, g, eps), w13)
+    return jax.nn.silu(h13[..., :hidden]) * h13[..., hidden:]
+
+
 _LAYERED_Q8 = os.environ.get("HIPLLAMA_LAYERED_Q8", "0") == "1"
 
 
@@ -454,8 +472,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 x = x + _mm(att_out, params.wo[l])
                 rms_f = params.rms_ffn[l]
                 if fused:
-                    h13 = _mm_norm(x, rms_f, params.w1[l], c.norm_eps)
-                    h = jax.nn.silu(h13[:, : c.hidden_dim]) * h13[:, c.hidden_dim :]
+                    h = _mm_norm_silu(
+                        x, rms_f, params.w1[l], c.hidden_dim, c.norm_eps
+                    )
                 else:
                     h = jax.nn.silu(
                         _mm_norm(x, rms_f, params.w1[l], c.norm_eps)
@@ -703,8 +722,7 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
             x = x + _mm(att_out, wo)
             if w3 is None:  # fused W1/W3 (w1 holds the concatenated weight)
-                h13 = _mm_norm(x, rms_f, w1, c.norm_eps)
-                h = jax.nn.silu(h13[..., : c.hidden_dim]) * h13[..., c.hidden_dim :]
+                h = _mm_norm_silu(x, rms_f, w1, c.hidden_dim, c.norm_eps)
             else:
                 h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
                     x, rms_f, w3, c.norm_eps

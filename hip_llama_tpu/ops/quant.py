@@ -175,6 +175,172 @@ def _q8_kernel(
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _q8_kernel_silu(
+    x_ref, q1_ref, s1_ref, q2_ref, s2_ref, o_ref, acc1_ref, acc2_ref,
+    *, n_groups: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
+    norm_eps: float = 1e-5,
+):
+    """Fused SwiGLU matmul: o = silu(x @ W1) * (x @ W3) with W1/W3 as two
+    column views of the concatenated (K, 2H) Q8 weight. The gate product
+    runs on the fp32 accumulators in-kernel, so the (B, 2H) h13
+    intermediate (and its slice/convert/multiply XLA ops) never exists."""
+    j = pl.program_id(k_axis)
+
+    @pl.when(j == 0)
+    def _():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    if g_ref is not None:
+        xf = x_ref[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        g = g_ref[...].reshape(1, g_ref.shape[-1]).astype(jnp.float32)
+        x_val = (xf * jax.lax.rsqrt(ms + norm_eps) * g).astype(x_ref.dtype)
+    else:
+        x_val = x_ref[:]
+    xb = x_val.astype(jnp.bfloat16)
+
+    def dq(q_ref, s_ref):
+        s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)
+        bk, bn = w.shape
+        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+        return w.reshape(bk, bn).astype(jnp.bfloat16)
+
+    acc1_ref[:] += jnp.dot(xb, dq(q1_ref, s1_ref), preferred_element_type=jnp.float32)
+    acc2_ref[:] += jnp.dot(xb, dq(q2_ref, s2_ref), preferred_element_type=jnp.float32)
+
+    @pl.when(j == last_j)
+    def _():
+        h1 = acc1_ref[:]
+        o_ref[:] = (h1 * jax.nn.sigmoid(h1) * acc2_ref[:]).astype(o_ref.dtype)
+
+
+def q8_matmul_silu(
+    x: jax.Array,
+    qt: QTensor,  # (K, 2H) concatenated W1 | W3
+    *,
+    block_n: int = _ENV_BLOCK_N,
+    block_k: int = _ENV_BLOCK_K,
+    interpret: bool | None = None,
+    out_dtype=None,
+    norm_weight: jax.Array | None = None,
+    norm_eps: float = 1e-5,
+) -> jax.Array:
+    """silu(x @ W1) * (x @ W3) -> (B, H) in one fused Q8 kernel (see
+    _q8_kernel_silu). Falls back to q8_matmul + XLA silu when the shape
+    isn't kernel-eligible (tiny/test configs)."""
+    b, k = x.shape
+    kq, n2 = qt.q.shape
+    h = n2 // 2
+    gs = qt.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        xx = _rmsnorm_rows(x, norm_weight, norm_eps) if norm_weight is not None else x
+        h13 = q8_matmul(xx, qt, block_n=block_n, block_k=block_k,
+                        interpret=interpret, out_dtype=out_dtype)
+        return (jax.nn.silu(h13[:, :h].astype(jnp.float32))
+                * h13[:, h:].astype(jnp.float32)).astype(out_dtype)
+
+    bn = block_n
+    while bn > 128 and h % bn:
+        bn //= 2
+    if h % bn:
+        return fallback()
+    # same blocking policy as q8_matmul
+    if k % gs == 0 and k * bn <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+        bk = k
+    else:
+        bk = block_k
+        while bk > gs and (k % bk or bk % gs):
+            bk //= 2
+        if k % bk or bk % gs:
+            bk = gs if k % gs == 0 else k
+    ok_x = bk % 128 == 0 or bk == k
+    ok_w = (bk % 8 == 0 or bk == k) and bn % 128 == 0
+    if not (ok_x and ok_w) and not interpret:
+        return fallback()
+    block_m = b
+    pad_m = 0
+    if b > 512:
+        block_m = 512
+        if b % 512:
+            pad_m = 512 - b % 512
+            x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    bp = b + pad_m
+    if norm_weight is not None and bk != k:
+        x = _rmsnorm_rows(x, norm_weight, norm_eps)
+        norm_weight = None
+    n_groups = bk // gs
+    n_off = h // bn  # W3 column-block offset
+    grid = (bp // block_m, h // bn, k // bk)
+    s_blocked = qt.s.reshape(k // bk, n_groups, n2)
+
+    in_specs = [
+        pl.BlockSpec((block_m, bk), lambda m, i, j: (m, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda m, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups, bn), lambda m, i, j: (j, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda m, i, j: (j, i + n_off),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups, bn), lambda m, i, j: (j, 0, i + n_off),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, qt.q, s_blocked, qt.q, s_blocked]
+    if norm_weight is not None:
+        kernel = functools.partial(
+            _q8_kernel_silu_norm, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+            norm_eps=norm_eps,
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk), lambda m, i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight.reshape(1, k))
+    else:
+        kernel = functools.partial(
+            _q8_kernel_silu, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, i, j: (m, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, bn), jnp.float32),
+            pltpu.VMEM((block_m, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * k * h,
+            bytes_accessed=k * n2 + (k // gs) * n2 * 4 + bp * k * 2 + bp * h * 4,
+            transcendentals=bp * h,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:b] if pad_m else out
+
+
+def _q8_kernel_silu_norm(x_ref, q1_ref, s1_ref, q2_ref, s2_ref, g_ref, o_ref,
+                         acc1_ref, acc2_ref, **kw):
+    _q8_kernel_silu(
+        x_ref, q1_ref, s1_ref, q2_ref, s2_ref, o_ref, acc1_ref, acc2_ref,
+        g_ref=g_ref, **kw
+    )
+
+
+q8_matmul_silu = jax.jit(
+    q8_matmul_silu,
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+)
+
+
 def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     """Same math as models/llama.py::rmsnorm (fp32 internally)."""
     xf = x.astype(jnp.float32)

@@ -226,3 +226,24 @@ def test_q8_stacked_fused_matches_unrolled(q8_cfg, q8_weights):
         lu, cu = step(pu, cu, toks, pos)
         ls, cs = step(ps, cs, toks, pos)
         assert_close(ls, lu, atol=5e-2, rtol=5e-2, msg=f"step {p}")
+
+
+def test_q8_matmul_silu_matches_separate():
+    """q8_matmul_silu == silu(h13[:, :H]) * h13[:, H:] with h13 from the
+    plain fused-norm matmul (gate product on fp32 accumulators in-kernel)."""
+    from hip_llama_tpu.ops.quant import (
+        q8_matmul,
+        q8_matmul_silu,
+        q8_quantize_weights,
+    )
+
+    rng = np.random.default_rng(11)
+    for b, k, h in [(8, 256, 384), (700, 256, 384), (4, 96, 64)]:
+        x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(k,)) * 0.3 + 1.0, jnp.float32)
+        qt = q8_quantize_weights(rng.normal(size=(k, 2 * h)), group_size=32)
+        fused = q8_matmul_silu(x, qt, norm_weight=g, norm_eps=1e-5)
+        h13 = q8_matmul(x, qt, norm_weight=g, norm_eps=1e-5).astype(jnp.float32)
+        ref = jax.nn.silu(h13[:, :h]) * h13[:, h:]
+        assert_close(fused.astype(jnp.float32), ref, atol=0.1, rtol=0.05,
+                     msg=f"{(b, k, h)}")

@@ -302,6 +302,12 @@ def attention_decode_xla(
     k_cache = lax.dynamic_index_in_dim(k_full, layer, 1, keepdims=False)
     v_cache = lax.dynamic_index_in_dim(v_full, layer, 1, keepdims=False)
     quantized = k_scale is not None
+    if not quantized and jax.default_backend() == "cpu":
+        # XLA's CPU thunk runtime has no bf16 dot: big-enough bf16 einsums
+        # lower to an unsupported DotThunk (small ones become loop fusions
+        # and slip through). fp32 on CPU is the oracle precision anyway.
+        k_cache = k_cache.astype(jnp.float32)
+        v_cache = v_cache.astype(jnp.float32)
     if quantized:
         # fp32 dequant: this is the fallback/oracle path (the Pallas kernel
         # is the fast path; CPU's dot has no bf16 support)
@@ -599,7 +605,8 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             x, kcache, vcache, ks_c, vs_c,
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3,
         ):
-            if wk is None:  # fused QKV (wq holds the concatenated weight)
+            fused_qkv = wk is None or (isinstance(wk, tuple) and len(wk) == 0)
+            if fused_qkv:  # fused QKV (wq holds the concatenated weight)
                 qkv = _mm_norm(x, rms_a, wq, c.norm_eps)
                 q = qkv[..., : c.dim].reshape(b, t, c.n_heads, c.head_size)
                 k = qkv[..., c.dim : c.dim + c.kv_dim].reshape(
@@ -694,6 +701,11 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 
                 kv_mul = c.n_heads // c.n_kv_heads
                 qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
+                if not quantized_kv and jax.default_backend() == "cpu":
+                    # see attention_decode_xla: no bf16 DotThunk on CPU
+                    kc = kc.astype(jnp.float32)
+                    vc = vc.astype(jnp.float32)
+                    qs = qs.astype(jnp.float32)
                 if quantized_kv:
                     # fp32 dequant (fallback/oracle path; see decode)
                     kc = kc.astype(jnp.float32)
@@ -721,7 +733,9 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 att_out = out.reshape(b, t, c.dim).astype(x.dtype)
 
             x = x + _mm(att_out, wo)
-            if w3 is None:  # fused W1/W3 (w1 holds the concatenated weight)
+            if w3 is None or (
+                isinstance(w3, tuple) and len(w3) == 0
+            ):  # fused W1/W3 (w1 holds the concatenated weight)
                 h = _mm_norm_silu(x, rms_f, w1, c.hidden_dim, c.norm_eps)
             else:
                 h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(

@@ -38,6 +38,8 @@ Extra (framework-specific, double-dash):
                              step instead of the full logits; greedy is
                              bit-equal to host argmax, stochastic uses the
                              JAX PRNG, not the reference RNG stream)
+  --layout unrolled|stacked  q8 weight layout (stacked: much faster compile,
+                             ~1%% decode cost)
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
                              'kv' to also keep the KV cache in host RAM
@@ -83,6 +85,7 @@ def main(argv: list[str]) -> int:
     stream, stream_kv = False, False
     kv_quant = False
     chunk_steps = 1
+    layout = "unrolled"
 
     i = 2
     while i < len(argv):
@@ -105,6 +108,11 @@ def main(argv: list[str]) -> int:
         if a == "--device-sampling":
             device_sampling = True
             i += 1
+            continue
+        if a == "--layout":
+            layout = argv[i + 1]
+            assert layout in ("unrolled", "stacked"), layout
+            i += 2
             continue
         if a == "--kv":
             if i + 1 >= len(argv) or argv[i + 1] != "int8":
@@ -219,13 +227,20 @@ def main(argv: list[str]) -> int:
 
         params = qparams_from_quant_weights(cfg, weights)
     if hasattr(params, "tok_emb_q") and tp <= 1 and not paged:
-        # unrolled per-layer weight buffers: no per-step weight-slice copies
-        # feeding the pallas matmuls (386 vs 307 tok/s at 7B). The paged
-        # step is a lax.scan over stacked layer weights, so it keeps the
-        # stacked layout.
-        from hip_llama_tpu.models.params import unstack_quant_params
+        if layout == "stacked":
+            # stacked (L, K, N) arrays + layered kernels: decode parity
+            # with unrolled (~565 vs 571 tok/s at 7B) and a far smaller
+            # HLO — compiles in a fraction of the time
+            from hip_llama_tpu.models.params import fuse_stacked_quant_params
 
-        params = unstack_quant_params(params)
+            params = fuse_stacked_quant_params(params)
+        else:
+            # unrolled per-layer weight buffers (the measured-fastest
+            # decode config). The paged step is a lax.scan over stacked
+            # layer weights, so paged keeps the stacked layout.
+            from hip_llama_tpu.models.params import unstack_quant_params
+
+            params = unstack_quant_params(params)
     print(
         f"---------Model Information----------\n"
         f"dim: {cfg.dim}\nhidden_dim: {cfg.hidden_dim}\nn_layers: {cfg.n_layers}\n"

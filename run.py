@@ -40,6 +40,9 @@ Extra (framework-specific, double-dash):
                              JAX PRNG, not the reference RNG stream)
   --layout unrolled|stacked  q8 weight layout (stacked: much faster compile,
                              ~1%% decode cost)
+  --spec K --draft path.bin  greedy speculative decoding: the draft model
+                             proposes K tokens, the target verifies them in
+                             one chunked prefill (generate mode only)
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
                              'kv' to also keep the KV cache in host RAM
@@ -86,6 +89,7 @@ def main(argv: list[str]) -> int:
     kv_quant = False
     chunk_steps = 1
     layout = "unrolled"
+    spec_k, draft_path = 0, None
 
     i = 2
     while i < len(argv):
@@ -112,6 +116,14 @@ def main(argv: list[str]) -> int:
         if a == "--layout":
             layout = argv[i + 1]
             assert layout in ("unrolled", "stacked"), layout
+            i += 2
+            continue
+        if a == "--spec":
+            spec_k = int(argv[i + 1])
+            i += 2
+            continue
+        if a == "--draft":
+            draft_path = argv[i + 1]
             i += 2
             continue
         if a == "--kv":
@@ -305,7 +317,38 @@ def main(argv: list[str]) -> int:
         chunk_steps=chunk_steps,
     )
 
-    if mode == "generate":
+    if mode == "generate" and spec_k > 0 and draft_path:
+        # speculative decoding: greedy only (the acceptance rule is defined
+        # on argmax agreement); temperature flags are ignored here
+        from hip_llama_tpu.engine.speculative import speculative_generate
+
+        d_cfg, d_weights = load_checkpoint(draft_path)
+        if not isinstance(d_weights, LlamaWeights):
+            from hip_llama_tpu.models.params import qparams_from_quant_weights
+
+            d_params = qparams_from_quant_weights(d_cfg, d_weights)
+        else:
+            d_params = params_from_weights(d_weights, dtype=dtype)
+        draft_engine = InferenceEngine(
+            d_cfg, d_params, tokenizer, batch_size=1, attn_impl=attn_impl,
+            precision="highest" if dtype == jnp.float32 else "default",
+            use_prefill=use_prefill,
+        )
+        res, spec_stats = speculative_generate(
+            engine, draft_engine, prompt, steps, k=spec_k, echo=True
+        )
+        print()
+        print(
+            f"speculative: k={spec_k}, rounds={spec_stats.rounds}, "
+            f"acceptance={spec_stats.acceptance:.2f}",
+            file=sys.stderr,
+        )
+        if res.n_gen_tokens > 0:
+            print(
+                f"achieved tok/s: {res.tok_per_s:.2f}, ttft: {res.ttft_s*1000:.1f} ms",
+                file=sys.stderr,
+            )
+    elif mode == "generate":
         sampler = Sampler(cfg.vocab_size, temperature, topp, rng_seed)
         res = engine.generate(prompt, steps, sampler, echo=True)
         print()

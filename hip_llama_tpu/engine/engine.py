@@ -83,6 +83,8 @@ class InferenceEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.batch_size = batch_size
+        self.attn_impl = attn_impl
+        self.precision = precision
         self.cache_dtype = cache_dtype or _act_dtype(params)
         self.kv_quant = kv_quant
         self.chunk_steps = chunk_steps

@@ -656,6 +656,7 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 jax.default_backend() != "cpu"
                 and c.head_size % 128 == 0
                 and s % 128 == 0
+                and t % 8 == 0  # rows DMA slices need tile-aligned T
                 and s >= -(-t // sub_w) * sub_w + 2 * sub_w
                 and (not quantized_kv or s >= -(-t // 128) * 128 + 256)
             )

@@ -40,7 +40,8 @@ Extra (framework-specific, double-dash):
                              JAX PRNG, not the reference RNG stream)
   --layout unrolled|stacked  q8 weight layout (stacked: much faster compile,
                              ~1%% decode cost)
-  --spec K --draft path.bin  greedy speculative decoding: the draft model
+  --spec K [--draft path]    greedy speculative decoding: a draft model (or
+                             prompt-lookup n-gram matching if no --draft)
                              proposes K tokens, the target verifies them in
                              one chunked prefill (generate mode only)
   --stream [kv]              weight streaming for models bigger than HBM
@@ -317,23 +318,26 @@ def main(argv: list[str]) -> int:
         chunk_steps=chunk_steps,
     )
 
-    if mode == "generate" and spec_k > 0 and draft_path:
+    if mode == "generate" and spec_k > 0:
         # speculative decoding: greedy only (the acceptance rule is defined
-        # on argmax agreement); temperature flags are ignored here
+        # on argmax agreement); temperature flags are ignored here. Without
+        # --draft, proposals come from prompt-lookup (repeating n-grams).
         from hip_llama_tpu.engine.speculative import speculative_generate
 
-        d_cfg, d_weights = load_checkpoint(draft_path)
-        if not isinstance(d_weights, LlamaWeights):
-            from hip_llama_tpu.models.params import qparams_from_quant_weights
+        draft_engine = None
+        if draft_path:
+            d_cfg, d_weights = load_checkpoint(draft_path)
+            if not isinstance(d_weights, LlamaWeights):
+                from hip_llama_tpu.models.params import qparams_from_quant_weights
 
-            d_params = qparams_from_quant_weights(d_cfg, d_weights)
-        else:
-            d_params = params_from_weights(d_weights, dtype=dtype)
-        draft_engine = InferenceEngine(
-            d_cfg, d_params, tokenizer, batch_size=1, attn_impl=attn_impl,
-            precision="highest" if dtype == jnp.float32 else "default",
-            use_prefill=use_prefill,
-        )
+                d_params = qparams_from_quant_weights(d_cfg, d_weights)
+            else:
+                d_params = params_from_weights(d_weights, dtype=dtype)
+            draft_engine = InferenceEngine(
+                d_cfg, d_params, tokenizer, batch_size=1, attn_impl=attn_impl,
+                precision="highest" if dtype == jnp.float32 else "default",
+                use_prefill=use_prefill,
+            )
         res, spec_stats = speculative_generate(
             engine, draft_engine, prompt, steps, k=spec_k, echo=True
         )

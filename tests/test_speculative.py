@@ -51,3 +51,15 @@ def test_speculative_matches_greedy_mismatched_draft(spec_setup):
     assert spec.text == base.text
     assert spec.token_ids == base.token_ids
     assert stats.rounds > 0
+
+
+def test_speculative_prompt_lookup_matches_greedy(spec_setup):
+    """draft=None (prompt-lookup proposals) must also reproduce the target
+    greedy stream exactly — random-weight greedy loops repeat n-grams, so
+    lookup proposals fire and get verified."""
+    cfg, tok, target, _ = spec_setup
+    base = target.generate("Once upon a time", steps=48)
+    spec, stats = speculative_generate(target, None, "Once upon a time",
+                                       steps=48, k=4)
+    assert spec.text == base.text
+    assert spec.token_ids == base.token_ids

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""A/B the speculative decoder against plain greedy generate at batch=1 on
+random-weight 7B INT8 (random greedy output loops, so prompt-lookup
+proposals fire often — an upper-bound demo; real-model acceptance depends
+on text redundancy). Prints one JSON line per configuration."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+
+from bench import CONFIGS, rand_qparams_unrolled_on_device
+from hip_llama_tpu.engine.engine import InferenceEngine
+from hip_llama_tpu.engine.speculative import speculative_generate
+from hip_llama_tpu.tokenizer import Tokenizer
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "7b"
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    import dataclasses
+    cfg = dataclasses.replace(CONFIGS[model], seq_len=512)
+    tok = Tokenizer.from_file("/root/reference/assets/tokenizer.bin", cfg.vocab_size)
+    params = rand_qparams_unrolled_on_device(cfg)
+    eng = InferenceEngine(
+        cfg, params, tok, batch_size=1, attn_impl="pallas",
+        precision="default", use_prefill=True, kv_quant=True,
+    )
+    prompt = "Once upon a time"
+    # warm both paths (compile)
+    eng.generate(prompt, steps=8)
+    speculative_generate(eng, None, prompt, steps=8, k=4)
+
+    t0 = time.perf_counter()
+    base = eng.generate(prompt, steps=steps)
+    base_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spec, stats = speculative_generate(eng, None, prompt, steps=steps, k=4)
+    spec_s = time.perf_counter() - t0
+    # on RANDOM weights the near-uniform logits flip argmax between the
+    # prefill and decode functionals (bf16 rounding), so the streams can
+    # fork at a tie; report the matching prefix instead of asserting
+    # byte-equality (which tests/test_speculative.py proves at fp32).
+    match = 0
+    for a, b in zip(base.token_ids, spec.token_ids):
+        if a != b:
+            break
+        match += 1
+    print(json.dumps({
+        "metric": f"b1_generate_tok_s_{model}_int8",
+        "plain": round(base.n_gen_tokens / base_s, 2),
+        "spec_lookup_k4": round(spec.n_gen_tokens / spec_s, 2),
+        "speedup": round(base_s / spec_s, 2),
+        "acceptance": round(stats.acceptance, 3),
+        "rounds": stats.rounds,
+        "greedy_prefix_match": match,
+        "n_tokens": len(base.token_ids),
+    }))
+
+
+if __name__ == "__main__":
+    main()

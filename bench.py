@@ -154,6 +154,50 @@ def rand_qparams_unrolled_on_device(cfg: ModelConfig, group_size: int = 64):
     )
 
 
+def rand_q4params_unrolled_on_device(cfg: ModelConfig, group_size: int = 32):
+    """Random int4 params as per-layer fused buffers (the q4 north-star
+    decode layout): packed nibble payload + fp32 group scales — ~0.5 B/weight
+    streamed vs the q8 path's ~1.06 (ops/quant4.py)."""
+    from hip_llama_tpu.models.params import QuantLlamaParams
+    from hip_llama_tpu.ops.quant4 import Q4Tensor
+
+    c = cfg
+    key = jax.random.PRNGKey(0)
+
+    def qt2(i, k, n):
+        # any byte is a valid packed nibble pair; magnitudes match the q8
+        # builders (unit-variance dequantized weights / sqrt(fan_in))
+        q = jax.random.randint(
+            jax.random.fold_in(key, i), (k // 2, n), -128, 128, jnp.int8
+        )
+        s = jnp.full((k // group_size, n), (k ** -0.5) / 7.0, jnp.float32)
+        return Q4Tensor(q=q, s=s)
+
+    wqkv, wo, w13, w2 = [], [], [], []
+    for l in range(c.n_layers):
+        base = 100 + 10 * l
+        wqkv.append(qt2(base + 0, c.dim, c.dim + 2 * c.kv_dim))
+        wo.append(qt2(base + 1, c.dim, c.dim))
+        w13.append(qt2(base + 2, c.dim, 2 * c.hidden_dim))
+        w2.append(qt2(base + 3, c.hidden_dim, c.dim))
+    emb_q = jax.random.randint(
+        jax.random.fold_in(key, 99), (c.vocab_size, c.dim), -127, 128, jnp.int8
+    )
+    emb_s = jnp.full((c.vocab_size, c.dim // 64), 1.0 / 127.0, jnp.float32)
+    rms = tuple(jnp.ones((c.dim,), jnp.float32) for _ in range(c.n_layers))
+    return QuantLlamaParams(
+        tok_emb_q=emb_q,
+        tok_emb_s=emb_s,
+        rms_att=rms,
+        wq=tuple(wqkv), wk=(), wv=(),
+        wo=tuple(wo),
+        rms_ffn=rms,
+        w1=tuple(w13), w2=tuple(w2), w3=(),
+        rms_final=jnp.ones((c.dim,), jnp.float32),
+        wcls=qt2(98, c.dim, c.vocab_size),
+    )
+
+
 def rand_qparams_stacked_fused_on_device(cfg: ModelConfig, group_size: int = 64):
     """Random Q8_0 params in the STACKED-FUSED layout (models/llama.py
     layered branch): wq = (L, D, D+2*KVD), w1 = (L, D, 2*H), single HBM
@@ -211,8 +255,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     ap.add_argument(
-        "--quant", default="q8", choices=["none", "q8"],
-        help="default q8: the north-star metric is 7B INT8 decode (BASELINE.md)",
+        "--quant", default="q8", choices=["none", "q8", "q4"],
+        help="default q8: the north-star metric is 7B INT8 decode (BASELINE.md); "
+        "q4 = int4 weights (~0.5 B/weight streamed, beyond-reference path)",
     )
     ap.add_argument(
         "--kv", default="int8", choices=["bf16", "int8"],
@@ -262,6 +307,9 @@ def main():
         else:
             params = rand_qparams_on_device(cfg)
         dtype = jnp.bfloat16  # activations / cache
+    elif args.quant == "q4":
+        params = rand_q4params_unrolled_on_device(cfg)
+        dtype = jnp.bfloat16
     else:
         params = rand_params_on_device(cfg, dtype)
     cache = init_kv_cache(
@@ -301,7 +349,7 @@ def main():
             times.append(time.perf_counter() - t0)
         times.sort()
         p50 = times[len(times) // 2]
-        kind = "int8" if args.quant == "q8" else args.dtype
+        kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
         if args.kv == "int8":
             kind += "_kv8"
         # prefill SoL: max(stream all weights once, matmul FLOPs at MXU peak)
@@ -381,7 +429,7 @@ def main():
         kv_bytes += 2 * cache.k_scale.size * cache.k_scale.dtype.itemsize
     sol_step_s = (wbytes + kv_bytes) / HBM_BW_BYTES
     sol_tok_s = b / sol_step_s
-    kind = "int8" if args.quant == "q8" else args.dtype
+    kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
     if args.kv == "int8":
         kind += "_kv8"
     result = {

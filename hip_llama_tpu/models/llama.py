@@ -31,6 +31,7 @@ from jax import lax
 from hip_llama_tpu.config import ModelConfig
 from hip_llama_tpu.models.params import LlamaParams, QuantLlamaParams
 from hip_llama_tpu.ops.quant import QTensor, q8_matmul
+from hip_llama_tpu.ops.quant4 import Q4Tensor
 
 
 class KVCache(NamedTuple):
@@ -88,12 +89,18 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 def _mm(x: jax.Array, w) -> jax.Array:
-    """Matmul dispatch: dense `x @ W` or fused int8 dequant+matmul when the
-    weight is a Q8_0 QTensor (the TPU analog of runq.c:317-342 — int8 is the
-    only weight HBM traffic)."""
+    """Matmul dispatch: dense `x @ W`, fused int8 dequant+matmul for Q8_0
+    QTensors (the TPU analog of runq.c:317-342 — int8 is the only weight HBM
+    traffic), or fused int4 for Q4Tensors (ops/quant4.py, beyond reference)."""
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         y = q8_matmul(x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype)
+        return y.reshape(*lead, y.shape[-1])
+    if isinstance(w, Q4Tensor):
+        from hip_llama_tpu.ops.quant4 import q4_matmul
+
+        lead = x.shape[:-1]
+        y = q4_matmul(x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype)
         return y.reshape(*lead, y.shape[-1])
     return x @ w
 
@@ -112,6 +119,15 @@ def _mm_norm(x: jax.Array, g: jax.Array, w, eps: float) -> jax.Array:
             norm_weight=g, norm_eps=eps,
         )
         return y.reshape(*lead, y.shape[-1])
+    if isinstance(w, Q4Tensor):
+        from hip_llama_tpu.ops.quant4 import q4_matmul
+
+        lead = x.shape[:-1]
+        y = q4_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps,
+        )
+        return y.reshape(*lead, y.shape[-1])
     return _mm(rmsnorm(x, g, eps), w)
 
 
@@ -125,6 +141,15 @@ def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
 
         lead = x.shape[:-1]
         y = q8_matmul_silu(
+            x.reshape(-1, x.shape[-1]), w13, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps,
+        )
+        return y.reshape(*lead, hidden)
+    if isinstance(w13, Q4Tensor):
+        from hip_llama_tpu.ops.quant4 import q4_matmul_silu
+
+        lead = x.shape[:-1]
+        y = q4_matmul_silu(
             x.reshape(-1, x.shape[-1]), w13, out_dtype=x.dtype,
             norm_weight=g, norm_eps=eps,
         )
@@ -154,6 +179,12 @@ def _mm_layer(x: jax.Array, w, l: jax.Array) -> jax.Array:
             )
             return y.reshape(*lead, y.shape[-1])
         wl = QTensor(
+            q=lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
+            s=lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False),
+        )
+        return _mm(x, wl)
+    if isinstance(w, Q4Tensor):
+        wl = Q4Tensor(
             q=lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
             s=lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False),
         )
@@ -442,7 +473,9 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             ).astype(jnp.float32)
             return logits, new_cache
 
-        if isinstance(params.wq, (tuple, list)) and not isinstance(params.wq, QTensor):
+        if isinstance(params.wq, (tuple, list)) and not isinstance(
+            params.wq, (QTensor, Q4Tensor)
+        ):
             # UNROLLED layer loop: per-layer weight buffers, no slicing
             # (see params.unstack_quant_params) — each pallas matmul reads
             # its own resident buffer, zero per-step weight copies.
@@ -584,7 +617,7 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
         )  # (B, T)
 
         unrolled = isinstance(params.wq, (tuple, list)) and not isinstance(
-            params.wq, QTensor
+            params.wq, (QTensor, Q4Tensor)
         )
         layer_xs = (
             jnp.arange(c.n_layers, dtype=jnp.int32),

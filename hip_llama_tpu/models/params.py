@@ -128,7 +128,10 @@ def fuse_stacked_quant_params(qp: QuantLlamaParams) -> QuantLlamaParams:
     empty tuples (the branch marker)."""
 
     def cat(*ts: QTensor) -> QTensor:
-        return QTensor(
+        # type(t) so Q4Tensors (ops/quant4.py) keep their type: the group
+        # structure runs along K for both, so concatenation along N is
+        # bit-identical for either
+        return type(ts[0])(
             q=jnp.concatenate([t.q for t in ts], axis=-1),
             s=jnp.concatenate([t.s for t in ts], axis=-1),
         )
@@ -164,7 +167,7 @@ def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaP
     def unstack(t: QTensor):
         n_layers = t.q.shape[0]
         return tuple(
-            QTensor(q=t.q[l], s=t.s[l]) for l in range(n_layers)
+            type(t)(q=t.q[l], s=t.s[l]) for l in range(n_layers)
         )
 
     def unstack_rms(a):
@@ -181,7 +184,7 @@ def unstack_quant_params(qp: QuantLlamaParams, fuse: bool = True) -> QuantLlamaP
     n_layers = qp.wq.q.shape[0]
 
     def cat(*ts: QTensor, l: int) -> QTensor:
-        return QTensor(
+        return type(ts[0])(
             q=jnp.concatenate([t.q[l] for t in ts], axis=-1),
             s=jnp.concatenate([t.s[l] for t in ts], axis=-1),
         )
@@ -240,6 +243,58 @@ def quantize_params_q8(
     emb = np.asarray(w.tok_emb, np.float32)  # (V, D), groups along D
     v, d = emb.shape
     g = emb.reshape(v, d // gs, gs)
+    absmax = np.abs(g).max(axis=-1)
+    s = absmax / 127.0
+    s_safe = np.where(s == 0, 1.0, s)
+    q = np.round(g / s_safe[..., None]).astype(np.int8).reshape(v, d)
+
+    return QuantLlamaParams(
+        tok_emb_q=jnp.asarray(q),
+        tok_emb_s=jnp.asarray(s, jnp.float32),
+        rms_att=jnp.asarray(w.rms_att, jnp.float32),
+        wq=qt(w.wq),
+        wk=qt(w.wk),
+        wv=qt(w.wv),
+        wo=qt(w.wo),
+        rms_ffn=jnp.asarray(w.rms_ffn, jnp.float32),
+        w1=qt(w.w1),
+        w2=qt(w.w2),
+        w3=qt(w.w3),
+        rms_final=jnp.asarray(w.rms_final, jnp.float32),
+        wcls=qt(w.wcls),
+    )
+
+
+def quantize_params_q4(
+    cfg: ModelConfig, w: LlamaWeights, group_size: int = 32
+) -> QuantLlamaParams:
+    """Quantize fp32 checkpoint weights to the int4 path (BEYOND reference —
+    runq.c stops at Q8_0). Matmul weights become Q4Tensors (ops/quant4.py,
+    symmetric absmax/7 per group along K, half-split nibble packing); the
+    embedding table stays Q8_0 int8 (negligible traffic — one row gather per
+    token — and quality-sensitive), norms stay fp32 (runq.c:383)."""
+    from hip_llama_tpu.ops.quant4 import q4_quantize_weights
+
+    gs = group_size
+    c = cfg
+
+    import math
+
+    def qt(arr: np.ndarray):
+        a = np.asarray(arr, np.float32)
+        a = np.swapaxes(a, -1, -2)  # (…, out, in) -> (…, in, out)
+        k = a.shape[-2]
+        # the half-split packing needs group-aligned halves; awkward tiny
+        # dims (test configs) shrink the group to a divisor of K/2 — all
+        # real Llama dims are 32-aligned at K/2
+        g = gs if (k // 2) % gs == 0 else math.gcd(k // 2, gs)
+        return q4_quantize_weights(jnp.asarray(a), g)
+
+    # embedding: Q8_0 per-row groups, same as quantize_params_q8
+    egs = 64
+    emb = np.asarray(w.tok_emb, np.float32)
+    v, d = emb.shape
+    g = emb.reshape(v, d // egs, egs)
     absmax = np.abs(g).max(axis=-1)
     s = absmax / 127.0
     s_safe = np.where(s == 0, 1.0, s)

@@ -1,0 +1,462 @@
+"""Q4_0-style int4 weight-only quantized matmul as fused Pallas TPU kernels.
+
+BEYOND the reference: hip_llama.cpp's quantized engine stops at Q8_0
+(runq.c:317-342). Decode on TPU is weight-HBM-bandwidth-bound (the q8
+kernels already stream at ~98% of speed-of-light, BASELINE.md), so the one
+remaining step-function win is streaming fewer bytes: int4 weights halve
+the dominant traffic term.
+
+Scheme (same group semantics as the Q8_0 path, ops/quant.py):
+  - symmetric int4 per `group_size` consecutive elements along K:
+    scale = absmax/7, q = clip(round(w/scale), -8, 7), stored as
+    offset-binary nibbles (q+8 in [0, 15]).
+  - HALF-SPLIT packing along K: byte[k', n] holds the nibble of original
+    row k' (low) and row k' + K/2 (high), k' < K/2. Unpacking therefore
+    yields two CONTIGUOUS (K/2, N) tiles — no sublane interleave/relayout,
+    which TPUs cannot do cheaply — and the kernel feeds the MXU two dots
+    (x[:, :K/2] @ W_lo + x[:, K/2:] @ W_hi) into one fp32 accumulator.
+  - scales stay fp32 (K/gs, N); group boundaries never straddle the half
+    split (requires (K/2) % group_size == 0, true for all Llama dims).
+
+Activations stay bf16 exactly as in the q8 path: the win is bandwidth, and
+wide activations only help quality.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q4_BLOCK_N", "512"))
+_ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q4_BLOCK_K", "1024"))
+
+
+class Q4Tensor(NamedTuple):
+    """int4 weight in matmul orientation.
+
+    q: (…, K/2, N) int8 — packed nibbles, half-split along K (byte k' =
+       row k' low nibble | row k'+K/2 high nibble, offset-binary q+8).
+    s: (…, K//gs, N) f32 — per-(group, column) scales.
+    """
+
+    q: jax.Array
+    s: jax.Array
+
+    @property
+    def k_dim(self) -> int:
+        return 2 * self.q.shape[-2]
+
+    @property
+    def group_size(self) -> int:
+        return self.k_dim // self.s.shape[-2]
+
+
+def _pack_nibbles(nib_lo: jax.Array, nib_hi: jax.Array) -> jax.Array:
+    """Two uint4-valued int32 arrays -> int8 bytes (two's-complement view)."""
+    packed = nib_lo | (nib_hi << 4)  # 0..255
+    return (((packed + 128) & 255) - 128).astype(jnp.int8)
+
+
+def q4_quantize_weights(w, group_size: int = 32) -> Q4Tensor:
+    """Quantize a (K, N) [or (L, K, N)] weight along K in groups (Q4_0-like,
+    symmetric absmax/7, codes clipped to [-8, 7], stored offset-binary)."""
+    w = jnp.asarray(w, jnp.float32)
+    k, n = w.shape[-2], w.shape[-1]
+    assert k % 2 == 0 and (k // 2) % group_size == 0, (w.shape, group_size)
+    lead = w.shape[:-2]
+    g = w.reshape(*lead, k // group_size, group_size, n)
+    absmax = jnp.max(jnp.abs(g), axis=-2, keepdims=True)
+    scale = absmax / 7.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int32)
+    nib = (q + 8).reshape(*lead, k, n)  # 0..15
+    packed = _pack_nibbles(nib[..., : k // 2, :], nib[..., k // 2 :, :])
+    return Q4Tensor(q=packed, s=scale[..., 0, :].astype(jnp.float32))
+
+
+def q4_unpack(t: Q4Tensor) -> jax.Array:
+    """Packed bytes -> signed int4 codes (…, K, N) as int32."""
+    p = t.q.astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = ((p >> 4) & 15) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def q4_dequantize(t: Q4Tensor) -> jax.Array:
+    gs = t.group_size
+    k, n = t.k_dim, t.q.shape[-1]
+    codes = q4_unpack(t).astype(jnp.float32)
+    g = codes.reshape(*t.q.shape[:-2], k // gs, gs, n)
+    return (g * t.s[..., :, None, :]).reshape(*t.q.shape[:-2], k, n)
+
+
+def q4_matmul_xla(x: jax.Array, t: Q4Tensor) -> jax.Array:
+    """Oracle / CPU fallback: per-group partial dots in fp32 (the kernel
+    scales weights pre-dot in fp32 then casts bf16; tolerances in the tests
+    cover the cast difference)."""
+    gs = t.group_size
+    k, n = t.k_dim, t.q.shape[-1]
+    xg = x.astype(jnp.float32).reshape(*x.shape[:-1], k // gs, gs)
+    wg = q4_unpack(t).astype(jnp.float32).reshape(k // gs, gs, n)
+    partial = jnp.einsum("bgk,gkn->bgn", xg, wg, preferred_element_type=jnp.float32)
+    return jnp.einsum("bgn,gn->bn", partial, t.s).astype(x.dtype)
+
+
+def _dequant_tile(p, s_ref, n_groups_h: int, gs: int, half: str):
+    """Unpack one nibble plane of a packed (BKH, BN) int32 tile and apply
+    its per-group scales -> bf16 (BKH, BN)."""
+    bkh, bn = p.shape
+    codes = ((p & 15) if half == "lo" else ((p >> 4) & 15)) - 8
+    s = s_ref[...].reshape(n_groups_h, bn)
+    w = codes.astype(jnp.float32).reshape(n_groups_h, gs, bn) * s[:, None, :]
+    return w.reshape(bkh, bn).astype(jnp.bfloat16)
+
+
+def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):
+    """Fused rmsnorm over the full row resident as two half blocks."""
+    kh = x_lo_ref.shape[-1]
+    xf_lo = x_lo_ref[:].astype(jnp.float32)
+    xf_hi = x_hi_ref[:].astype(jnp.float32)
+    ms = (
+        jnp.sum(xf_lo * xf_lo, axis=-1, keepdims=True)
+        + jnp.sum(xf_hi * xf_hi, axis=-1, keepdims=True)
+    ) / (2 * kh)
+    r = jax.lax.rsqrt(ms + norm_eps)
+    g = g_ref[...].reshape(1, 2 * kh).astype(jnp.float32)
+    x_lo = (xf_lo * r * g[:, :kh]).astype(jnp.bfloat16)
+    x_hi = (xf_hi * r * g[:, kh:]).astype(jnp.bfloat16)
+    return x_lo, x_hi
+
+
+def _q4_kernel(
+    x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+    *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
+    norm_eps: float = 1e-5,
+):
+    j = pl.program_id(k_axis)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if g_ref is not None:
+        x_lo, x_hi = _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps)
+    else:
+        x_lo = x_lo_ref[:].astype(jnp.bfloat16)
+        x_hi = x_hi_ref[:].astype(jnp.bfloat16)
+
+    p = qp_ref[...].reshape(qp_ref.shape[-2], qp_ref.shape[-1]).astype(jnp.int32)
+    acc_ref[:] += jnp.dot(
+        x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
+        preferred_element_type=jnp.float32,
+    ) + jnp.dot(
+        x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == last_j)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _q4_kernel_norm(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
+                    o_ref, acc_ref, **kw):
+    _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+               g_ref=g_ref, **kw)
+
+
+def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps) * g.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+)
+def q4_matmul(
+    x: jax.Array,
+    t: Q4Tensor,
+    *,
+    block_n: int = _ENV_BLOCK_N,
+    block_k: int = _ENV_BLOCK_K,
+    interpret: bool | None = None,
+    out_dtype=None,
+    norm_weight: jax.Array | None = None,
+    norm_eps: float = 1e-5,
+) -> jax.Array:
+    """x (B, K) @ dequant(int4 t) -> (B, N). Packed nibbles are the only
+    weight HBM traffic (~0.5 B/weight + scales vs the q8 path's ~1.06)."""
+    b, k = x.shape
+    assert k == t.k_dim, (x.shape, t.q.shape)
+    n = t.q.shape[-1]
+    kh = k // 2
+    gs = t.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    while block_n > 128 and n % block_n:
+        block_n //= 2
+    if n % block_n:
+        block_n = n
+    # single-K-block fast path (see q8_matmul): guard on the UNPACKED tile
+    # footprint so in-kernel VMEM pressure matches the proven q8 shapes
+    if kh % gs == 0 and k * block_n <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+        bkh = kh  # packed rows per block
+    else:
+        bkh = block_k // 2
+        while bkh > gs and (kh % bkh or bkh % gs):
+            bkh //= 2
+        if kh % bkh or bkh % gs:
+            bkh = gs if kh % gs == 0 else kh
+    ok_x = bkh % 128 == 0 or bkh == kh
+    ok_w = (bkh % 8 == 0 or bkh == kh) and (block_n % 128 == 0 or block_n == n)
+    if not (ok_x and ok_w) and not interpret:
+        if norm_weight is not None:
+            x = _rmsnorm_rows(x, norm_weight, norm_eps)
+        return q4_matmul_xla(x, t).astype(out_dtype)
+
+    block_m = b
+    pad_m = 0
+    if b > 512:
+        block_m = 512
+        if b % 512:
+            pad_m = 512 - b % 512
+            x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    bp = b + pad_m
+    if norm_weight is not None and bkh != kh:
+        x = _rmsnorm_rows(x, norm_weight, norm_eps)
+        norm_weight = None
+
+    n_groups_h = bkh // gs
+    nhb = kh // bkh  # packed K blocks per half
+    grid = (bp // block_m, n // block_n, nhb)
+    s_blocked = t.s.reshape(2 * nhb, n_groups_h, n)
+
+    in_specs = [
+        # x low half block j, x high half block j + nhb
+        pl.BlockSpec((block_m, bkh), lambda m, i, j: (m, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, bkh), lambda m, i, j: (m, j + nhb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkh, block_n), lambda m, i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, block_n), lambda m, i, j: (j, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, block_n), lambda m, i, j: (j + nhb, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, x, t.q, s_blocked, s_blocked]
+    if norm_weight is not None:
+        kernel = functools.partial(
+            _q4_kernel_norm, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
+            norm_eps=norm_eps,
+        )
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda m, i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight.reshape(1, k))
+    else:
+        kernel = functools.partial(
+            _q4_kernel, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, i, j: (m, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * k * n,
+            bytes_accessed=kh * n + (k // gs) * n * 4 + bp * k * 2 + bp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:b] if pad_m else out
+
+
+def _q4_kernel_silu(
+    x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref, qp2_ref, s2_lo_ref,
+    s2_hi_ref, o_ref, acc1_ref, acc2_ref,
+    *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
+    norm_eps: float = 1e-5,
+):
+    """Fused SwiGLU: o = silu(x @ W1) * (x @ W3), W1/W3 as two column views
+    of the concatenated (K, 2H) int4 weight; gate product on the fp32
+    accumulators in-kernel (mirror of ops/quant.py::_q8_kernel_silu)."""
+    j = pl.program_id(k_axis)
+
+    @pl.when(j == 0)
+    def _():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    if g_ref is not None:
+        x_lo, x_hi = _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps)
+    else:
+        x_lo = x_lo_ref[:].astype(jnp.bfloat16)
+        x_hi = x_hi_ref[:].astype(jnp.bfloat16)
+
+    for qp_ref, s_lo_ref, s_hi_ref, acc_ref in (
+        (qp1_ref, s1_lo_ref, s1_hi_ref, acc1_ref),
+        (qp2_ref, s2_lo_ref, s2_hi_ref, acc2_ref),
+    ):
+        p = qp_ref[...].reshape(qp_ref.shape[-2], qp_ref.shape[-1]).astype(jnp.int32)
+        acc_ref[:] += jnp.dot(
+            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == last_j)
+    def _():
+        h1 = acc1_ref[:]
+        o_ref[:] = (h1 * jax.nn.sigmoid(h1) * acc2_ref[:]).astype(o_ref.dtype)
+
+
+def _q4_kernel_silu_norm(x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref,
+                         qp2_ref, s2_lo_ref, s2_hi_ref, g_ref, o_ref,
+                         acc1_ref, acc2_ref, **kw):
+    _q4_kernel_silu(x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref,
+                    qp2_ref, s2_lo_ref, s2_hi_ref, o_ref, acc1_ref, acc2_ref,
+                    g_ref=g_ref, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+)
+def q4_matmul_silu(
+    x: jax.Array,
+    t: Q4Tensor,  # (K, 2H) concatenated W1 | W3
+    *,
+    block_n: int = _ENV_BLOCK_N,
+    block_k: int = _ENV_BLOCK_K,
+    interpret: bool | None = None,
+    out_dtype=None,
+    norm_weight: jax.Array | None = None,
+    norm_eps: float = 1e-5,
+) -> jax.Array:
+    """silu(x @ W1) * (x @ W3) -> (B, H) in one fused int4 kernel."""
+    b, k = x.shape
+    assert k == t.k_dim, (x.shape, t.q.shape)
+    n2 = t.q.shape[-1]
+    h = n2 // 2
+    kh = k // 2
+    gs = t.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        xx = _rmsnorm_rows(x, norm_weight, norm_eps) if norm_weight is not None else x
+        h13 = q4_matmul(xx, t, block_n=block_n, block_k=block_k,
+                        interpret=interpret, out_dtype=out_dtype)
+        return (jax.nn.silu(h13[:, :h].astype(jnp.float32))
+                * h13[:, h:].astype(jnp.float32)).astype(out_dtype)
+
+    bn = block_n
+    while bn > 128 and h % bn:
+        bn //= 2
+    if h % bn:
+        return fallback()
+    if kh % gs == 0 and k * bn <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+        bkh = kh
+    else:
+        bkh = block_k // 2
+        while bkh > gs and (kh % bkh or bkh % gs):
+            bkh //= 2
+        if kh % bkh or bkh % gs:
+            bkh = gs if kh % gs == 0 else kh
+    ok_x = bkh % 128 == 0 or bkh == kh
+    ok_w = (bkh % 8 == 0 or bkh == kh) and bn % 128 == 0
+    if not (ok_x and ok_w) and not interpret:
+        return fallback()
+
+    block_m = b
+    pad_m = 0
+    if b > 512:
+        block_m = 512
+        if b % 512:
+            pad_m = 512 - b % 512
+            x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    bp = b + pad_m
+    if norm_weight is not None and bkh != kh:
+        x = _rmsnorm_rows(x, norm_weight, norm_eps)
+        norm_weight = None
+
+    n_groups_h = bkh // gs
+    nhb = kh // bkh
+    n_off = h // bn  # W3 column-block offset
+    grid = (bp // block_m, h // bn, nhb)
+    s_blocked = t.s.reshape(2 * nhb, n_groups_h, n2)
+
+    in_specs = [
+        pl.BlockSpec((block_m, bkh), lambda m, i, j: (m, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, bkh), lambda m, i, j: (m, j + nhb),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkh, bn), lambda m, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, bn), lambda m, i, j: (j, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, bn), lambda m, i, j: (j + nhb, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bkh, bn), lambda m, i, j: (j, i + n_off),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, bn), lambda m, i, j: (j, 0, i + n_off),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups_h, bn), lambda m, i, j: (j + nhb, 0, i + n_off),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, x, t.q, s_blocked, s_blocked, t.q, s_blocked, s_blocked]
+    if norm_weight is not None:
+        kernel = functools.partial(
+            _q4_kernel_silu_norm, n_groups_h=n_groups_h, gs=gs,
+            last_j=grid[2] - 1, norm_eps=norm_eps,
+        )
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda m, i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_weight.reshape(1, k))
+    else:
+        kernel = functools.partial(
+            _q4_kernel_silu, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, bn), lambda m, i, j: (m, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, bn), jnp.float32),
+            pltpu.VMEM((block_m, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * k * h,
+            bytes_accessed=kh * n2 + (k // gs) * n2 * 4 + bp * k * 2 + bp * h * 4,
+            transcendentals=bp * h,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:b] if pad_m else out

@@ -30,6 +30,7 @@ from hip_llama_tpu.config import ModelConfig
 
 MAGIC_AK42 = 0x616B3432
 HEADER_SIZE_V12 = 256
+V4_EMB_GROUP = 64  # embedding rows stay Q8_0 in v4 files
 
 
 @dataclasses.dataclass
@@ -85,8 +86,75 @@ class QuantWeights:
     wcls: QuantTensor  # aliases q_tokens when shared
 
 
+@dataclasses.dataclass
+class Q4Tensorfile:
+    """One v4 int4 weight, already in matmul orientation: q (…, K/2, N) int8
+    packed nibbles (half-split along K, offset-binary codes — the exact
+    in-memory layout of ops/quant4.py::Q4Tensor), s (…, K/gs, N) fp32."""
+
+    q: np.ndarray
+    s: np.ndarray
+
+
+@dataclasses.dataclass
+class Q4Weights:
+    """v4 int4 checkpoint contents (our extension — the reference's formats
+    stop at Q8_0/v2). Weights are stored matmul-oriented so loading is a
+    zero-copy memmap straight into the fused int4 kernel path; norms stay
+    fp32 and the embedding stays Q8_0 int8 rows (quality-sensitive,
+    negligible traffic)."""
+
+    rms_att: np.ndarray  # (L, D) f32
+    rms_ffn: np.ndarray
+    rms_final: np.ndarray
+    emb_q: np.ndarray  # (V, D) int8 (Q8_0 rows)
+    emb_s: np.ndarray  # (V, D//V4_EMB_GROUP) f32
+    wq: Q4Tensorfile  # (L, D/2, D)
+    wk: Q4Tensorfile  # (L, D/2, KV)
+    wv: Q4Tensorfile
+    wo: Q4Tensorfile
+    w1: Q4Tensorfile  # (L, D/2, H)
+    w2: Q4Tensorfile  # (L, H/2, D)
+    w3: Q4Tensorfile
+    wcls: Q4Tensorfile  # (D/2, V)
+
+
 # ---------------------------------------------------------------------------
 # quantization
+
+
+def q4_group_size(k: int, group_size: int) -> int:
+    """Effective group size along a K-dim of `k`: the half-split packing
+    needs group-aligned halves, so awkward dims shrink to a divisor of K/2
+    (all real Llama dims keep the requested size). Must match
+    models/params.py::quantize_params_q4."""
+    import math
+
+    return group_size if (k // 2) % group_size == 0 else math.gcd(k // 2, group_size)
+
+
+def quantize_q40(w: np.ndarray, group_size: int) -> tuple[np.ndarray, np.ndarray, float]:
+    """Symmetric int4 group quantization of a matmul-oriented (…, K, N)
+    array: scale = absmax/7, codes clipped to [-8, 7], packed half-split
+    along K as offset-binary nibbles. BIT-IDENTICAL to
+    ops/quant4.py::q4_quantize_weights (tests/test_q4_checkpoint.py)."""
+    w = np.asarray(w, np.float32)
+    k, n = w.shape[-2], w.shape[-1]
+    gs = q4_group_size(k, group_size)
+    lead = w.shape[:-2]
+    g = w.reshape(*lead, k // gs, gs, n)
+    absmax = np.abs(g).max(axis=-2, keepdims=True)
+    scale = absmax / 7.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(g / scale), -8, 7)
+    maxerr = float(np.abs(q * scale - g).max()) if g.size else 0.0
+    nib = (q.astype(np.int32) + 8).reshape(*lead, k, n)
+    packed = nib[..., : k // 2, :] | (nib[..., k // 2 :, :] << 4)
+    return (
+        packed.astype(np.uint8).astype(np.int8),
+        np.ascontiguousarray(scale[..., 0, :], np.float32),
+        maxerr,
+    )
 
 
 def quantize_q80(w: np.ndarray, group_size: int) -> tuple[np.ndarray, np.ndarray, float]:
@@ -176,7 +244,7 @@ def _read_header_v12(f: BinaryIO, want_version: int) -> tuple[ModelConfig, bool,
     vals = struct.unpack("7i", f.read(28))
     shared = struct.unpack("B", f.read(1))[0]
     group_size = 0
-    if want_version == 2:
+    if want_version in (2, 4):
         group_size = struct.unpack("i", f.read(4))[0]
     dim, hidden, n_layers, n_heads, n_kv_heads, vocab, seq_len = vals
     cfg = ModelConfig(
@@ -280,8 +348,60 @@ def read_v2(path: str) -> tuple[ModelConfig, QuantWeights]:
     )
 
 
+def read_v4(path: str) -> tuple[ModelConfig, Q4Weights]:
+    """Read a v4 int4 checkpoint: weights memmap zero-copy in the exact
+    packed layout the fused int4 kernels consume (ops/quant4.py)."""
+    with open(path, "rb") as f:
+        cfg, shared, gs = _read_header_v12(f, want_version=4)
+    raw = np.memmap(path, dtype=np.uint8, mode="r", offset=HEADER_SIZE_V12)
+    c = cfg
+    off = 0
+
+    def take(dtype, shape) -> np.ndarray:
+        nonlocal off
+        n = int(np.prod(shape)) * np.dtype(dtype).itemsize
+        arr = np.frombuffer(raw[off : off + n], dtype=dtype).reshape(shape)
+        off += n
+        return arr
+
+    def take_q4(k, n) -> Q4Tensorfile:
+        gs_t = q4_group_size(k, gs)
+        q = take(np.int8, (c.n_layers, k // 2, n))
+        s = take(np.float32, (c.n_layers, k // gs_t, n))
+        return Q4Tensorfile(q=q, s=s)
+
+    rms_att = take(np.float32, (c.n_layers, c.dim))
+    rms_ffn = take(np.float32, (c.n_layers, c.dim))
+    rms_final = take(np.float32, (c.dim,))
+    emb_q = take(np.int8, (c.vocab_size, c.dim))
+    emb_s = take(np.float32, (c.vocab_size, c.dim // V4_EMB_GROUP))
+    wq = take_q4(c.dim, c.dim)
+    wk = take_q4(c.dim, c.kv_dim)
+    wv = take_q4(c.dim, c.kv_dim)
+    wo = take_q4(c.dim, c.dim)
+    w1 = take_q4(c.dim, c.hidden_dim)
+    w2 = take_q4(c.hidden_dim, c.dim)
+    w3 = take_q4(c.dim, c.hidden_dim)
+    # wcls is 2-D (D/2, V); always materialized (the int8 embedding cannot
+    # alias an int4 classifier even for shared_classifier configs)
+    gs_c = q4_group_size(c.dim, gs)
+    nq = (c.dim // 2) * c.vocab_size
+    q = np.frombuffer(raw[off : off + nq], np.int8).reshape(c.dim // 2, c.vocab_size)
+    off += nq
+    ns = (c.dim // gs_c) * c.vocab_size * 4
+    s = np.frombuffer(raw[off : off + ns], np.float32).reshape(
+        c.dim // gs_c, c.vocab_size
+    )
+    wcls = Q4Tensorfile(q=q, s=s)
+    return cfg, Q4Weights(
+        rms_att=rms_att, rms_ffn=rms_ffn, rms_final=rms_final,
+        emb_q=emb_q, emb_s=emb_s,
+        wq=wq, wk=wk, wv=wv, wo=wo, w1=w1, w2=w2, w3=w3, wcls=wcls,
+    )
+
+
 def sniff_version(path: str) -> int:
-    """Return 0, 1, or 2 depending on the checkpoint format."""
+    """Return 0, 1, 2, or 4 depending on the checkpoint format."""
     with open(path, "rb") as f:
         head = f.read(8)
     magic, version = struct.unpack("Ii", head)
@@ -291,7 +411,8 @@ def sniff_version(path: str) -> int:
 
 
 def load_checkpoint(path: str):
-    """Dispatch on format; returns (config, LlamaWeights | QuantWeights)."""
+    """Dispatch on format; returns (config, LlamaWeights | QuantWeights |
+    Q4Weights)."""
     v = sniff_version(path)
     if v == 0:
         return read_v0(path)
@@ -299,6 +420,8 @@ def load_checkpoint(path: str):
         return read_v1(path)
     if v == 2:
         return read_v2(path)
+    if v == 4:
+        return read_v4(path)
     raise ValueError(f"unsupported checkpoint version {v}")
 
 
@@ -360,7 +483,7 @@ def _write_header_v12(f: BinaryIO, cfg: ModelConfig, version: int, group_size: i
         )
     )
     f.write(struct.pack("B", int(cfg.shared_classifier)))
-    if version == 2:
+    if version in (2, 4):
         f.write(struct.pack("i", group_size))
     pad = HEADER_SIZE_V12 - f.tell()
     f.write(b"\0" * pad)
@@ -411,6 +534,40 @@ def write_v2(path: str, cfg: ModelConfig, w: LlamaWeights, group_size: int = 64)
                 q(stack[l])
         if not cfg.shared_classifier:
             q(w.wcls)
+    return maxerr
+
+
+def write_v4(path: str, cfg: ModelConfig, w: LlamaWeights, group_size: int = 32) -> float:
+    """Write an int4 (v4) checkpoint from dense fp32 weights; returns the max
+    quantization group error. Weights are transposed to matmul orientation
+    (K=in, N=out) and packed exactly as ops/quant4.py::Q4Tensor expects, so
+    read_v4 loads them zero-copy."""
+    maxerr = 0.0
+    with open(path, "wb") as f:
+        _write_header_v12(f, cfg, version=4, group_size=group_size)
+        _f32(f, w.rms_att)
+        _f32(f, w.rms_ffn)
+        _f32(f, w.rms_final)
+        # Q8_0 embedding rows (groups along D)
+        emb_q, emb_s, err = quantize_q80(
+            np.asarray(w.tok_emb, np.float32).reshape(-1, V4_EMB_GROUP),
+            V4_EMB_GROUP,
+        )
+        maxerr = max(maxerr, err)
+        f.write(np.ascontiguousarray(emb_q).tobytes())
+        f.write(np.ascontiguousarray(emb_s, np.float32).tobytes())
+
+        def q4(arr: np.ndarray) -> None:
+            nonlocal maxerr
+            a = np.swapaxes(np.asarray(arr, np.float32), -1, -2)  # -> (…, K, N)
+            packed, scale, err = quantize_q40(a, group_size)
+            maxerr = max(maxerr, err)
+            f.write(np.ascontiguousarray(packed).tobytes())
+            f.write(np.ascontiguousarray(scale, np.float32).tobytes())
+
+        for stack in (w.wq, w.wk, w.wv, w.wo, w.w1, w.w2, w.w3):
+            q4(stack)
+        q4(w.wcls)
     return maxerr
 
 

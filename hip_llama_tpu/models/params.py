@@ -265,6 +265,55 @@ def quantize_params_q8(
     )
 
 
+def qparams_from_q4_weights(cfg: ModelConfig, w4) -> QuantLlamaParams:
+    """Load a v4 int4 checkpoint (io/checkpoint.py::read_v4) straight into
+    the fused-int4 kernel path — the file stores the packed matmul-oriented
+    layout, so this is pure zero-copy device_put (bit-lossless)."""
+    from hip_llama_tpu.ops.quant4 import Q4Tensor
+
+    def qt(t) -> Q4Tensor:
+        return Q4Tensor(q=jnp.asarray(t.q), s=jnp.asarray(t.s, jnp.float32))
+
+    return QuantLlamaParams(
+        tok_emb_q=jnp.asarray(w4.emb_q),
+        tok_emb_s=jnp.asarray(w4.emb_s, jnp.float32),
+        rms_att=jnp.asarray(w4.rms_att, jnp.float32),
+        wq=qt(w4.wq), wk=qt(w4.wk), wv=qt(w4.wv), wo=qt(w4.wo),
+        rms_ffn=jnp.asarray(w4.rms_ffn, jnp.float32),
+        w1=qt(w4.w1), w2=qt(w4.w2), w3=qt(w4.w3),
+        rms_final=jnp.asarray(w4.rms_final, jnp.float32),
+        wcls=qt(w4.wcls),
+    )
+
+
+def params_from_q4_dequant(cfg: ModelConfig, w4, dtype=jnp.float32) -> LlamaParams:
+    """Dequantize a v4 checkpoint into dense params (correctness/debug path,
+    the analog of params_from_quant_dequant)."""
+    from hip_llama_tpu.ops.quant4 import Q4Tensor, q4_dequantize
+
+    def dq(t) -> jax.Array:
+        return jnp.asarray(
+            q4_dequantize(Q4Tensor(q=jnp.asarray(t.q), s=jnp.asarray(t.s))),
+            dtype,
+        )
+
+    egs = w4.emb_q.shape[1] // w4.emb_s.shape[1]
+    v, d = w4.emb_q.shape
+    emb = (
+        w4.emb_q.astype(np.float32).reshape(v, d // egs, egs)
+        * w4.emb_s[..., None]
+    ).reshape(v, d)
+    return LlamaParams(
+        tok_emb=jnp.asarray(emb, dtype),
+        rms_att=jnp.asarray(w4.rms_att, dtype),
+        wq=dq(w4.wq), wk=dq(w4.wk), wv=dq(w4.wv), wo=dq(w4.wo),
+        rms_ffn=jnp.asarray(w4.rms_ffn, dtype),
+        w1=dq(w4.w1), w2=dq(w4.w2), w3=dq(w4.w3),
+        rms_final=jnp.asarray(w4.rms_final, dtype),
+        wcls=dq(w4.wcls),
+    )
+
+
 def quantize_params_q4(
     cfg: ModelConfig, w: LlamaWeights, group_size: int = 32
 ) -> QuantLlamaParams:

@@ -22,7 +22,7 @@ Extra (framework-specific, double-dash):
   --attn xla|pallas          decode attention impl (default pallas)
   --no-prefill               force-feed prompts one token/step (parity mode)
   --tp N                     tensor-parallel size over available devices
-  --quant q8                 quantize fp32 weights to Q8_0 on the fly
+  --quant q8|q4              quantize fp32 weights to Q8_0 / int4 on the fly
                              (v2 checkpoints use the fused int8 path already)
   --dequant                  force a v2 checkpoint through the dense path
   --paged [page_size]        paged KV cache (block-table allocator; HBM
@@ -226,13 +226,28 @@ def main(argv: list[str]) -> int:
         print(f"total elapsed time(s): {time.perf_counter()-t0:.6f}")
         return 0
 
+    from hip_llama_tpu.io.checkpoint import Q4Weights
+
     if isinstance(weights, LlamaWeights):
         if quant == "q8":
             from hip_llama_tpu.models.params import quantize_params_q8
 
             params = quantize_params_q8(cfg, weights)
+        elif quant == "q4":
+            from hip_llama_tpu.models.params import quantize_params_q4
+
+            params = quantize_params_q4(cfg, weights)
         else:
             params = params_from_weights(weights, dtype=dtype)
+    elif isinstance(weights, Q4Weights):
+        if dequant:
+            from hip_llama_tpu.models.params import params_from_q4_dequant
+
+            params = params_from_q4_dequant(cfg, weights, dtype=dtype)
+        else:
+            from hip_llama_tpu.models.params import qparams_from_q4_weights
+
+            params = qparams_from_q4_weights(cfg, weights)
     elif dequant:
         params = params_from_quant_dequant(cfg, weights, dtype=dtype)
     else:
@@ -327,7 +342,11 @@ def main(argv: list[str]) -> int:
         draft_engine = None
         if draft_path:
             d_cfg, d_weights = load_checkpoint(draft_path)
-            if not isinstance(d_weights, LlamaWeights):
+            if isinstance(d_weights, Q4Weights):
+                from hip_llama_tpu.models.params import qparams_from_q4_weights
+
+                d_params = qparams_from_q4_weights(d_cfg, d_weights)
+            elif not isinstance(d_weights, LlamaWeights):
                 from hip_llama_tpu.models.params import qparams_from_quant_weights
 
                 d_params = qparams_from_quant_weights(d_cfg, d_weights)

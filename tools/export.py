@@ -23,30 +23,39 @@ from hip_llama_tpu.io.checkpoint import (
     write_v0,
     write_v1,
     write_v2,
+    write_v4,
 )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("filepath", help="output .bin")
-    ap.add_argument("--version", type=int, default=0, choices=[0, 1, 2])
+    ap.add_argument("--version", type=int, default=0, choices=[0, 1, 2, 4],
+                    help="4 = int4 (Q4_0-style, beyond-reference format)")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--checkpoint", help="input llama2.c .bin (v0/v1/v2)")
     src.add_argument("--hf", help="input HuggingFace model dir")
     src.add_argument("--meta", help="input Meta llama ckpt dir")
-    ap.add_argument("--group-size", type=int, default=64)
+    ap.add_argument("--group-size", type=int, default=None,
+                    help="quant group size (default: 64 for v2, 32 for v4)")
     args = ap.parse_args()
 
     if args.checkpoint:
         cfg, w = load_checkpoint(args.checkpoint)
         if not isinstance(w, LlamaWeights):
-            from hip_llama_tpu.io.checkpoint import QuantWeights  # noqa: F401
-            from hip_llama_tpu.models.params import params_from_quant_dequant
+            from hip_llama_tpu.io.checkpoint import Q4Weights
+            from hip_llama_tpu.models.params import (
+                params_from_q4_dequant,
+                params_from_quant_dequant,
+            )
 
-            # dequantize a v2 input back to dense for re-export
+            # dequantize a quantized (v2/v4) input back to dense for re-export
             import numpy as np
 
-            p = params_from_quant_dequant(cfg, w)
+            if isinstance(w, Q4Weights):
+                p = params_from_q4_dequant(cfg, w)
+            else:
+                p = params_from_quant_dequant(cfg, w)
             w = LlamaWeights(
                 tok_emb=np.asarray(p.tok_emb),
                 rms_att=np.asarray(p.rms_att),
@@ -74,8 +83,11 @@ def main():
         write_v0(args.filepath, cfg, w)
     elif args.version == 1:
         write_v1(args.filepath, cfg, w)
+    elif args.version == 4:
+        err = write_v4(args.filepath, cfg, w, group_size=args.group_size or 32)
+        print(f"max quantization group error: {err:.6f}")
     else:
-        err = write_v2(args.filepath, cfg, w, group_size=args.group_size)
+        err = write_v2(args.filepath, cfg, w, group_size=args.group_size or 64)
         print(f"max quantization group error: {err:.6f}")
     print(f"wrote {args.filepath} (version {args.version})")
 

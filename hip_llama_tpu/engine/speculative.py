@@ -1,16 +1,26 @@
-"""Greedy speculative decoding: a small draft model proposes k tokens, the
+"""Speculative decoding: a small draft model proposes k tokens, the
 target model verifies them in ONE chunked-prefill call, and the longest
-matching prefix (plus the target's correction token) commits.
+accepted prefix (plus a correction/bonus token) commits.
 
 BEYOND the reference (it decodes strictly one token per forward,
 llama.cpp:540-552): at batch=1 the decode step is HBM-bound on the weight
 stream, so verifying k+1 positions costs barely more than one step —
 accepted drafts multiply single-sequence tokens/s by the acceptance length.
 
-Output is EXACTLY the target model's greedy stream (the acceptance rule
-only commits tokens the target itself would have picked), so correctness
-is testable as byte-equality against InferenceEngine.generate at
-temperature 0 — see tests/test_speculative.py.
+Two verification rules, keyed on temperature:
+
+* temperature == 0 (greedy): accept the longest prefix where the draft
+  matches the target argmax. Output is EXACTLY the target model's greedy
+  stream, so correctness is testable as byte-equality against
+  InferenceEngine.generate at temperature 0 — see tests/test_speculative.py.
+* temperature > 0 (stochastic): rejection sampling — accept draft token x_i
+  with probability min(1, p_i(x_i)/q_i(x_i)) where p/q are the target/draft
+  warped (temperature + top-p) distributions; on the first rejection sample
+  the replacement from norm(max(p_i - q_i, 0)); if all k accepted, sample a
+  bonus token from p_k. The committed stream is distributed EXACTLY as
+  target-only ancestral sampling (speculative-decoding correctness
+  theorem), at any temperature. Prompt-lookup proposals are the q = point
+  mass special case: accept with probability p_i(x_i).
 
 Cache consistency requires no rollback machinery: rows the verify pass
 writes for rejected draft positions sit at positions >= the new decode
@@ -30,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hip_llama_tpu.engine.engine import BOS_ID, GenerationResult, InferenceEngine
-from hip_llama_tpu.sampler import Sampler
+from hip_llama_tpu.sampler import XorShift64Star, sample_mult, softmax_f32
 from hip_llama_tpu.tokenizer import printable_piece
 
 
@@ -63,6 +73,60 @@ def _lookup_propose(history: list[int], k: int, max_ngram: int = 3) -> list[int]
     return []
 
 
+def _warp(logits: np.ndarray, temperature: float, topp: float) -> np.ndarray:
+    """The warped sampling distribution, mirroring the on-device sampler
+    (models/llama.py make_logit_sampler) bit-for-bit in fp32: softmax at
+    `temperature`, restricted to the top-p nucleus (smallest sorted-prob
+    prefix whose mass exceeds topp), renormalized."""
+    probs = softmax_f32(np.asarray(logits, np.float32) / np.float32(temperature))
+    if 0.0 < topp < 1.0:
+        sp = -np.sort(-probs)
+        csum = np.cumsum(sp, dtype=np.float32)
+        keep = csum - sp < np.float32(topp)  # first element always kept
+        thresh = sp[keep].min()
+        probs = np.where(probs >= thresh, probs, np.float32(0.0))
+    return probs / probs.sum(dtype=np.float32)
+
+
+def _verify_round(
+    ps: list[np.ndarray],
+    qs: list[np.ndarray] | None,
+    d_toks: list[int],
+    rng: XorShift64Star,
+) -> tuple[list[int], int]:
+    """Rejection-sampling verification (the speculative-decoding acceptance
+    rule): ps = k+1 target warped distributions, qs = k draft warped
+    distributions (None = point-mass proposals, e.g. prompt lookup), d_toks
+    = k draft tokens. Returns (committed tokens, n_accepted); the committed
+    stream is distributed exactly as sampling from ps ancestrally."""
+    k = len(d_toks)
+    commits: list[int] = []
+    for i in range(k):
+        x = d_toks[i]
+        p = ps[i]
+        px = float(p[x])
+        qx = 1.0 if qs is None else float(qs[i][x])
+        if qx <= 0.0 or rng.next_f32() < min(1.0, px / qx):
+            commits.append(x)
+            continue
+        # rejected: replacement from the residual norm(max(p - q, 0))
+        if qs is None:
+            resid = p.copy()
+            resid[x] = 0.0
+        else:
+            resid = np.maximum(p - qs[i], np.float32(0.0))
+        s = resid.sum(dtype=np.float32)
+        if s <= 0.0:
+            # p <= q everywhere up to rounding (p == q): x was fine
+            commits.append(x)
+            continue
+        commits.append(sample_mult(resid / s, rng.next_f32()))
+        return commits, i
+    # every draft accepted: bonus token from the target's k-th distribution
+    commits.append(sample_mult(ps[k], rng.next_f32()))
+    return commits, k
+
+
 def speculative_generate(
     target: InferenceEngine,
     draft: InferenceEngine | None,
@@ -70,24 +134,34 @@ def speculative_generate(
     steps: int | None = None,
     k: int = 4,
     echo: bool = False,
+    temperature: float = 0.0,
+    topp: float = 0.9,
+    seed: int = 314028,
 ) -> tuple[GenerationResult, SpecStats]:
-    """Greedy generation from `target`, accelerated by draft-model proposals
+    """Generation from `target`, accelerated by draft-model proposals
     (draft=engine) or prompt-lookup proposals (draft=None).
 
     A draft engine must share the tokenizer/vocab; k is the lookahead.
+    temperature == 0 gives the target's exact greedy stream; temperature > 0
+    samples from the target's exact warped distribution via rejection
+    sampling (module docstring), with host xorshift64* coins from `seed`.
     """
     if target.paged or (draft is not None and draft.paged):
         raise ValueError("speculative decoding over paged caches not supported")
     cfg = target.cfg
+    stochastic = temperature > 0.0
+    rng = XorShift64Star(seed)
     steps = min(steps or target.max_seq_len, target.max_seq_len)
     toks = target.tokenizer.encode(prompt or "", bos=True, eos=False)
 
     from hip_llama_tpu.models.llama import make_chunked_sampling_step, make_prefill
 
     # single-dispatch helpers: the draft proposes all k tokens in ONE
-    # on-device chain, and the verify prefill folds its argmax so the host
-    # fetches k+1 int32s — one device round-trip per phase (the per-token
-    # dispatch latency is exactly what speculation is trying to amortize)
+    # on-device chain, and the verify prefill folds its argmax (greedy) so
+    # the host fetches k+1 int32s — one device round-trip per phase (the
+    # per-token dispatch latency is exactly what speculation amortizes).
+    # Stochastic verification instead fetches the k+1 logit rows (the host
+    # needs the full target distribution for acceptance + residuals).
     raw_prefill = make_prefill(
         cfg, attn_impl=target.attn_impl, precision=target.precision
     )
@@ -95,6 +169,8 @@ def speculative_generate(
     @functools.partial(jax.jit, donate_argnums=(1,))
     def verify(params, cache, toks, start, valid):
         logits, cache = raw_prefill(params, cache, toks, start, valid)
+        if stochastic:
+            return logits, cache
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
     draft_chain = None
@@ -102,11 +178,12 @@ def speculative_generate(
         draft_chain = jax.jit(
             make_chunked_sampling_step(
                 draft.cfg, k, attn_impl=draft.attn_impl,
-                precision=draft.precision, temperature=0.0,
+                precision=draft.precision, temperature=temperature,
+                topp=topp, return_logits=stochastic,
             ),
             donate_argnums=(1,),
         )
-        _dkey = jax.random.PRNGKey(0)
+        _dkey = jax.random.PRNGKey(seed)
 
     t_cache = target.new_cache(batch=1)
     d_cache = draft.new_cache(batch=1) if draft is not None else None
@@ -141,35 +218,61 @@ def speculative_generate(
         if kk < 1:
             break
 
-        # 1) propose kk tokens from (token, pos)
+        # 1) propose kk tokens from (token, pos); stochastic mode also
+        # collects qs = the draft's warped distribution at each position
+        qs: list[np.ndarray] | None = None
         if draft is not None:
             if kk == k:
-                # whole greedy draft chain in one dispatch
-                d_dev, d_cache = draft_chain(
-                    draft.params, d_cache, jnp.array([token]),
-                    jnp.array([pos], jnp.int32), _dkey,
-                )
+                # whole draft chain in one dispatch (fresh key per round —
+                # the chain folds in the step index, we fold in pos)
+                if stochastic:
+                    d_dev, dl_dev, d_cache = draft_chain(
+                        draft.params, d_cache, jnp.array([token]),
+                        jnp.array([pos], jnp.int32),
+                        jax.random.fold_in(_dkey, pos),
+                    )
+                    qs = [
+                        _warp(row, temperature, topp)
+                        for row in np.asarray(dl_dev[0])
+                    ]
+                else:
+                    d_dev, d_cache = draft_chain(
+                        draft.params, d_cache, jnp.array([token]),
+                        jnp.array([pos], jnp.int32), _dkey,
+                    )
                 d_toks = [int(x) for x in np.asarray(d_dev[0])]
             else:
                 d_toks = []
+                qs = [] if stochastic else None
                 d_tok, d_pos = token, pos
                 for _ in range(kk):
                     logits, d_cache = draft._do_step(
                         d_cache, jnp.array([d_tok]), jnp.array([d_pos], jnp.int32),
                         b=1,
                     )
-                    d_tok = int(jnp.argmax(logits[0]))
+                    if stochastic:
+                        q = _warp(np.asarray(logits[0]), temperature, topp)
+                        d_tok = sample_mult(q, rng.next_f32())
+                        qs.append(q)
+                    else:
+                        d_tok = int(jnp.argmax(logits[0]))
                     d_toks.append(d_tok)
                     d_pos += 1
         else:
             d_toks = _lookup_propose(history, kk)
             kk = len(d_toks)
             if kk == 0:
-                # no repeating n-gram: take one plain greedy step
+                # no repeating n-gram: take one plain (greedy or sampled) step
                 logits, t_cache = target._do_step(
                     t_cache, jnp.array([token]), jnp.array([pos], jnp.int32), b=1
                 )
-                nxt = int(jnp.argmax(logits[0]))
+                if stochastic:
+                    nxt = sample_mult(
+                        _warp(np.asarray(logits[0]), temperature, topp),
+                        rng.next_f32(),
+                    )
+                else:
+                    nxt = int(jnp.argmax(logits[0]))
                 pos += 1
                 if ttft is None:
                     ttft = time.perf_counter() - t0
@@ -200,13 +303,21 @@ def speculative_generate(
             jnp.asarray([pos], jnp.int32),
             jnp.asarray([kk + 1], jnp.int32),
         )
-        g = np.asarray(g_dev[0, : kk + 1])  # target greedy per position
 
-        # 3) accept the matching prefix + the target's correction token
-        n_acc = 0
-        while n_acc < kk and d_toks[n_acc] == int(g[n_acc]):
-            n_acc += 1
-        commits = d_toks[:n_acc] + [int(g[n_acc])]
+        # 3) accept: greedy = longest argmax-matching prefix + correction;
+        # stochastic = rejection sampling against the target distributions
+        if stochastic:
+            ps = [
+                _warp(row, temperature, topp)
+                for row in np.asarray(g_dev[0, : kk + 1])
+            ]
+            commits, n_acc = _verify_round(ps, qs, d_toks, rng)
+        else:
+            g = np.asarray(g_dev[0, : kk + 1])  # target greedy per position
+            n_acc = 0
+            while n_acc < kk and d_toks[n_acc] == int(g[n_acc]):
+                n_acc += 1
+            commits = d_toks[:n_acc] + [int(g[n_acc])]
         stats.proposed += kk
         stats.accepted += n_acc
         stats.rounds += 1

@@ -823,31 +823,19 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
 # on-device sampling
 
 
-def make_sampling_decode_step(
-    cfg: ModelConfig,
-    attn_impl: str = "xla",
-    precision: str = "highest",
-    temperature: float = 0.0,
-    topp: float = 0.9,
-):
-    """Decode step that samples ON DEVICE and returns (next_token (B,) int32,
-    logits fp32, cache).
-
-    The host then fetches 4 bytes/slot instead of the full (B, V) logits —
-    the reference pays a pinned-host logits transfer every token
-    (thaDNN.cpp:75-76). Greedy (temperature=0) is bit-equivalent to the host
-    sampler's argmax; stochastic sampling uses JAX's PRNG (jax.random.
-    categorical over the top-p nucleus), NOT the reference's xorshift64*
-    stream — use host sampling for golden-output parity runs."""
-    step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
+def make_logit_sampler(temperature: float, topp: float):
+    """On-device sampler over (B, V) fp32 logits: argmax at temperature 0,
+    else temperature + top-p nucleus + categorical (llama.cpp:309-350
+    semantics; the nucleus keeps the smallest sorted-prob prefix whose mass
+    exceeds topp). The warped distribution this samples from is exactly
+    softmax(scaled logits) restricted to the kept set — the speculative
+    verifier recomputes it host-side (engine/speculative.py _warp)."""
 
     def sample_logits(logits: jax.Array, key: jax.Array) -> jax.Array:
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         scaled = logits / jnp.float32(temperature)
         if 0.0 < topp < 1.0:
-            # nucleus filter: keep the smallest prefix of the sorted probs
-            # whose mass exceeds topp (llama.cpp:309-350 semantics)
             probs = jax.nn.softmax(scaled, axis=-1)
             sorted_p = jnp.sort(probs, axis=-1)[..., ::-1]
             csum = jnp.cumsum(sorted_p, axis=-1)
@@ -858,6 +846,28 @@ def make_sampling_decode_step(
             )
             scaled = jnp.where(probs >= thresh, scaled, -jnp.inf)
         return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    return sample_logits
+
+
+def make_sampling_decode_step(
+    cfg: ModelConfig,
+    attn_impl: str = "xla",
+    precision: str = "highest",
+    temperature: float = 0.0,
+    topp: float = 0.9,
+):
+    """Decode step that samples ON DEVICE and returns (next_token (B,) int32,
+    cache).
+
+    The host then fetches 4 bytes/slot instead of the full (B, V) logits —
+    the reference pays a pinned-host logits transfer every token
+    (thaDNN.cpp:75-76). Greedy (temperature=0) is bit-equivalent to the host
+    sampler's argmax; stochastic sampling uses JAX's PRNG (jax.random.
+    categorical over the top-p nucleus), NOT the reference's xorshift64*
+    stream — use host sampling for golden-output parity runs."""
+    step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
+    sample_logits = make_logit_sampler(temperature, topp)
 
     def sstep(params, cache: KVCache, tokens, pos, key):
         logits, cache = step(params, cache, tokens, pos)
@@ -874,6 +884,7 @@ def make_chunked_sampling_step(
     precision: str = "highest",
     temperature: float = 0.0,
     topp: float = 0.9,
+    return_logits: bool = False,
 ):
     """Multi-step scheduling: decode `n_steps` tokens in ONE dispatch, each
     step sampling on device and feeding the next (chunk(params, cache,
@@ -887,21 +898,29 @@ def make_chunked_sampling_step(
     Greedy (temperature=0) chunks are bit-equal to the single-step host
     loop; stochastic chunks use the JAX PRNG (see make_sampling_decode_step).
     The reference pays host dispatch + pinned-logits transfer every token
-    (thaDNN.cpp:75-78, llama.cpp:1017-1049)."""
-    sstep = make_sampling_decode_step(
-        cfg, attn_impl=attn_impl, precision=precision,
-        temperature=temperature, topp=topp,
-    )
+    (thaDNN.cpp:75-78, llama.cpp:1017-1049).
+
+    With return_logits=True the chunk also returns the per-step fp32 logits
+    (B, n_steps, V) — the speculative verifier needs the draft's proposal
+    distribution q to compute rejection-sampling acceptance ratios."""
+    step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
+    sample_logits = make_logit_sampler(temperature, topp)
 
     def chunk(params, cache: KVCache, tokens, pos, key):
         def body(carry, i):
             cache, tokens, pos = carry
-            nxt, cache = sstep(params, cache, tokens, pos, jax.random.fold_in(key, i))
-            return (cache, nxt, pos + 1), nxt
+            logits, cache = step(params, cache, tokens, pos)
+            nxt = sample_logits(logits, jax.random.fold_in(key, i))
+            out = (nxt, logits) if return_logits else nxt
+            return (cache, nxt, pos + 1), out
 
-        (cache, _, _), toks = lax.scan(
+        (cache, _, _), out = lax.scan(
             body, (cache, tokens, pos), jnp.arange(n_steps)
         )
-        return jnp.transpose(toks), cache  # (B, n_steps)
+        if return_logits:
+            toks, logits = out
+            # (n_steps, B, ...) -> (B, n_steps, ...)
+            return jnp.transpose(toks), jnp.transpose(logits, (1, 0, 2)), cache
+        return jnp.transpose(out), cache  # (B, n_steps)
 
     return chunk

@@ -40,10 +40,12 @@ Extra (framework-specific, double-dash):
                              JAX PRNG, not the reference RNG stream)
   --layout unrolled|stacked  q8 weight layout (stacked: much faster compile,
                              ~1%% decode cost)
-  --spec K [--draft path]    greedy speculative decoding: a draft model (or
+  --spec K [--draft path]    speculative decoding: a draft model (or
                              prompt-lookup n-gram matching if no --draft)
                              proposes K tokens, the target verifies them in
-                             one chunked prefill (generate mode only)
+                             one chunked prefill (generate mode only; -t 0
+                             reproduces the greedy stream, -t > 0 uses
+                             distribution-preserving rejection sampling)
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
                              'kv' to also keep the KV cache in host RAM
@@ -334,9 +336,9 @@ def main(argv: list[str]) -> int:
     )
 
     if mode == "generate" and spec_k > 0:
-        # speculative decoding: greedy only (the acceptance rule is defined
-        # on argmax agreement); temperature flags are ignored here. Without
-        # --draft, proposals come from prompt-lookup (repeating n-grams).
+        # speculative decoding: greedy prefix-match at temperature 0,
+        # distribution-preserving rejection sampling at temperature > 0.
+        # Without --draft, proposals come from prompt-lookup (n-grams).
         from hip_llama_tpu.engine.speculative import speculative_generate
 
         draft_engine = None
@@ -358,7 +360,8 @@ def main(argv: list[str]) -> int:
                 use_prefill=use_prefill,
             )
         res, spec_stats = speculative_generate(
-            engine, draft_engine, prompt, steps, k=spec_k, echo=True
+            engine, draft_engine, prompt, steps, k=spec_k, echo=True,
+            temperature=temperature, topp=topp, seed=rng_seed,
         )
         print()
         print(

@@ -1,16 +1,25 @@
 """Greedy speculative decoding must reproduce the target's greedy stream
 byte-for-byte — with a perfect draft (the target itself, 100% acceptance)
-and with a mismatched draft (different random weights, low acceptance)."""
+and with a mismatched draft (different random weights, low acceptance).
+Stochastic (temperature > 0) speculative decoding must preserve the target
+distribution: the rejection-sampling round's committed-token marginal is
+checked empirically against the target distribution."""
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from conftest import REFERENCE_TOKENIZER
 from hip_llama_tpu.config import tiny_config
 from hip_llama_tpu.engine.engine import InferenceEngine
-from hip_llama_tpu.engine.speculative import speculative_generate
+from hip_llama_tpu.engine.speculative import (
+    _verify_round,
+    _warp,
+    speculative_generate,
+)
 from hip_llama_tpu.io.checkpoint import random_weights
 from hip_llama_tpu.models.params import params_from_weights
+from hip_llama_tpu.sampler import XorShift64Star, sample_mult, softmax_f32
 from hip_llama_tpu.tokenizer import Tokenizer
 
 
@@ -51,6 +60,96 @@ def test_speculative_matches_greedy_mismatched_draft(spec_setup):
     assert spec.text == base.text
     assert spec.token_ids == base.token_ids
     assert stats.rounds > 0
+
+
+def test_warp_is_nucleus_distribution():
+    """_warp = softmax at temperature restricted to the top-p nucleus,
+    renormalized (mirror of models/llama.py make_logit_sampler)."""
+    logits = np.array([2.0, 1.0, 0.5, 0.0, -1.0, -3.0], np.float32)
+    w = _warp(logits, temperature=1.0, topp=0.9)
+    probs = softmax_f32(logits)
+    # nucleus for this vector: sorted csum - p < 0.9 keeps the top 4
+    order = np.argsort(-probs)
+    csum = np.cumsum(probs[order])
+    kept = order[: int(np.searchsorted(csum > 0.9, True)) + 1]
+    assert set(np.nonzero(w)[0]) == set(kept)
+    np.testing.assert_allclose(w[kept], probs[kept] / probs[kept].sum(),
+                               rtol=1e-6)
+    assert abs(float(w.sum()) - 1.0) < 1e-6
+    # topp >= 1 disables the nucleus filter
+    np.testing.assert_allclose(_warp(logits, 1.0, 1.0), probs, rtol=1e-6)
+
+
+def test_verify_round_marginal_matches_target():
+    """The committed first token of a rejection-sampling round is distributed
+    exactly as the target distribution p, whatever the draft q proposes
+    (speculative decoding correctness theorem, checked empirically)."""
+    rng = XorShift64Star(12345)
+    p = np.array([0.40, 0.30, 0.20, 0.05, 0.05, 0.00], np.float32)
+    q = np.array([0.10, 0.50, 0.20, 0.10, 0.05, 0.05], np.float32)
+    bonus = np.full(6, 1 / 6, np.float32)
+    n = 40_000
+    counts = np.zeros(6)
+    for _ in range(n):
+        x = sample_mult(q, rng.next_f32())
+        commits, _ = _verify_round([p, bonus], [q], [x], rng)
+        counts[commits[0]] += 1
+    np.testing.assert_allclose(counts / n, p, atol=0.02)
+
+
+def test_verify_round_point_mass_marginal():
+    """qs=None (prompt-lookup point-mass proposals): accept x w.p. p[x],
+    else sample p-without-x renormalized — the marginal is again exactly p,
+    for ANY fixed proposed token."""
+    rng = XorShift64Star(99)
+    p = np.array([0.50, 0.25, 0.15, 0.10], np.float32)
+    bonus = np.full(4, 0.25, np.float32)
+    n = 40_000
+    counts = np.zeros(4)
+    for _ in range(n):
+        commits, _ = _verify_round([p, bonus], None, [2], rng)
+        counts[commits[0]] += 1
+    np.testing.assert_allclose(counts / n, p, atol=0.02)
+
+
+def test_verify_round_identical_dists_always_accepts():
+    """p == q => acceptance ratio 1: every draft commits, plus a bonus."""
+    rng = XorShift64Star(7)
+    p = np.array([0.5, 0.3, 0.2], np.float32)
+    for _ in range(200):
+        x = sample_mult(p, rng.next_f32())
+        commits, n_acc = _verify_round([p, p], [p], [x], rng)
+        assert n_acc == 1 and commits[0] == x and len(commits) == 2
+
+
+def test_stochastic_spec_deterministic_and_in_vocab(spec_setup):
+    """temperature > 0 with a draft engine: same seed => identical stream;
+    a perfect draft (the target itself) keeps acceptance well above zero."""
+    cfg, tok, target, _ = spec_setup
+    r1, s1 = speculative_generate(target, target, "Once upon a time",
+                                  steps=32, k=4, temperature=1.0, topp=0.9,
+                                  seed=77)
+    r2, s2 = speculative_generate(target, target, "Once upon a time",
+                                  steps=32, k=4, temperature=1.0, topp=0.9,
+                                  seed=77)
+    assert r1.token_ids == r2.token_ids
+    assert all(0 <= t < cfg.vocab_size for t in r1.token_ids)
+    assert s1.proposed == s2.proposed and s1.accepted == s2.accepted
+    # p and q differ only by decode-vs-prefill rounding, so most drafts pass
+    assert s1.acceptance > 0.3
+
+
+def test_stochastic_spec_lookup_deterministic(spec_setup):
+    """temperature > 0 with prompt-lookup proposals is seed-deterministic."""
+    cfg, tok, target, _ = spec_setup
+    r1, _ = speculative_generate(target, None, "One two one two one",
+                                 steps=24, k=4, temperature=0.8, topp=0.9,
+                                 seed=5)
+    r2, _ = speculative_generate(target, None, "One two one two one",
+                                 steps=24, k=4, temperature=0.8, topp=0.9,
+                                 seed=5)
+    assert r1.token_ids == r2.token_ids
+    assert all(0 <= t < cfg.vocab_size for t in r1.token_ids)
 
 
 def test_speculative_prompt_lookup_matches_greedy(spec_setup):

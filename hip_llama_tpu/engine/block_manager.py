@@ -34,8 +34,17 @@ class BlockManager:
     page_size: int
     num_slots: int
 
+    #: Physical page 0 is RESERVED as the trash page and never allocated.
+    #: Idle slots (retired, table cleared) still execute fixed-shape decode
+    #: steps, and their KV row writes land at the table's padding target —
+    #: page 0. If page 0 were allocatable, an idle slot would clobber a live
+    #: request's first page (row 0 of the first-allocated page). The KV pool
+    #: must therefore hold num_pages + 1 physical pages (engine/new_cache).
+    TRASH_PAGE = 0
+
     def __post_init__(self):
-        self._free: list[int] = list(range(self.num_pages - 1, -1, -1))
+        # usable physical ids are 1..num_pages; pop() hands out 1 first
+        self._free: list[int] = list(range(self.num_pages, 0, -1))
         # page_tables[slot] = list of physical page ids, logical order
         self.page_tables: list[list[int]] = [[] for _ in range(self.num_slots)]
 
@@ -73,7 +82,8 @@ class BlockManager:
         self.page_tables[slot] = []
 
     def table_array(self, slot: int, max_pages: int) -> list[int]:
-        """Fixed-width table row (unused entries point at page 0 — they are
-        never addressed because attention masks positions >= pos)."""
+        """Fixed-width table row. Unused entries point at the reserved trash
+        page: attention never reads them (positions >= pos are masked), and
+        idle-slot KV writes land there harmlessly."""
         t = self.page_tables[slot]
-        return t + [0] * (max_pages - len(t))
+        return t + [self.TRASH_PAGE] * (max_pages - len(t))

@@ -190,8 +190,10 @@ class InferenceEngine:
             from hip_llama_tpu.models.paged import init_paged_kv_cache
 
             n_pages = max(self.num_pages, b)  # at least one page per slot
+            # +1: physical page 0 is the BlockManager's reserved trash page
+            # (idle-slot writes land there; see block_manager.py TRASH_PAGE)
             return init_paged_kv_cache(
-                self.cfg, n_pages, self.page_size, dtype=self.cache_dtype,
+                self.cfg, n_pages + 1, self.page_size, dtype=self.cache_dtype,
                 quantized=self.kv_quant,
             )
         cache = init_kv_cache(

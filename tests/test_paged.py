@@ -55,7 +55,7 @@ def test_paged_decode_matches_contiguous(setup):
     step_c = jax.jit(make_decode_step(cfg))
     step_p = jax.jit(make_paged_decode_step(cfg))
     cache_c = init_kv_cache(cfg, b)
-    cache_p = init_paged_kv_cache(cfg, n_pages, PS)
+    cache_p = init_paged_kv_cache(cfg, n_pages + 1, PS)  # +1: trash page 0
 
     rng = np.random.default_rng(0)
     # interleave page allocation exactly as the engine would
@@ -87,7 +87,7 @@ def test_paged_prefill_matches_decode(setup):
     n = PS + 5  # two page-aligned chunks: PS then 5
     toks = rng.integers(0, cfg.vocab_size, (b, n)).astype(np.int32)
 
-    cache_p = init_paged_kv_cache(cfg, n_pages, PS)
+    cache_p = init_paged_kv_cache(cfg, n_pages + 1, PS)  # +1: trash page 0
     for s in range(b):
         bm.ensure_capacity(s, n)
     table = jnp.asarray([bm.table_array(s, max_pages) for s in range(b)], jnp.int32)
@@ -128,7 +128,7 @@ def test_paged_slot_reuse_isolated(setup):
     step_p = jax.jit(make_paged_decode_step(cfg))
     rng = np.random.default_rng(8)
 
-    cache_p = init_paged_kv_cache(cfg, n_pages, PS)
+    cache_p = init_paged_kv_cache(cfg, n_pages + 1, PS)  # +1: trash page 0
     # request A: 20 tokens (2 pages)
     for p in range(20):
         bm.append_token(0, p)
@@ -139,7 +139,7 @@ def test_paged_slot_reuse_isolated(setup):
 
     # request B on the same slot, same token stream as a fresh-cache oracle
     toks_b = rng.integers(0, cfg.vocab_size, (8,)).astype(np.int32)
-    cache_fresh = init_paged_kv_cache(cfg, n_pages, PS)
+    cache_fresh = init_paged_kv_cache(cfg, n_pages + 1, PS)
     bm_fresh = BlockManager(num_pages=n_pages, page_size=PS, num_slots=b)
     out_reused, out_fresh = [], []
     for p in range(8):
@@ -156,6 +156,40 @@ def test_paged_slot_reuse_isolated(setup):
         out_fresh.append(np.asarray(lf))
     for p, (a, c) in enumerate(zip(out_reused, out_fresh)):
         assert_close(a, c, atol=1e-5, rtol=1e-4, msg=f"pos {p}")
+
+
+def test_idle_slot_writes_hit_trash_page(setup):
+    """A retired slot (cleared table, pos=0, token=0) still executes the
+    fixed-shape decode step; its KV row write must land on the reserved
+    trash page, NOT on a live slot's page. Regression: before page 0 was
+    reserved, the padding pointed idle slots at the first-allocated page
+    and clobbered its row 0."""
+    cfg, params = setup
+    b = 2
+    bm = BlockManager(num_pages=4, page_size=PS, num_slots=b)
+    step_p = jax.jit(make_paged_decode_step(cfg))
+    cache_p = init_paged_kv_cache(cfg, 4 + 1, PS)
+
+    # both slots active for 3 steps
+    for p in range(3):
+        for s in range(b):
+            bm.append_token(s, p)
+        table = jnp.asarray([bm.table_array(s, 4) for s in range(b)], jnp.int32)
+        toks = jnp.asarray([5 + p, 7 + p], jnp.int32)
+        _, cache_p = step_p(params, cache_p, table, toks,
+                            jnp.full((b,), p, jnp.int32))
+    first_page = bm.page_tables[0][0]
+    assert first_page != BlockManager.TRASH_PAGE
+    row0_before = np.asarray(cache_p.k[0, :, first_page, 0, :]).copy()
+
+    # slot1 retires; slot0 keeps decoding
+    bm.free_slot(1)
+    table = jnp.asarray([bm.table_array(s, 4) for s in range(b)], jnp.int32)
+    assert table[1, 0] == BlockManager.TRASH_PAGE
+    _, cache_p = step_p(params, cache_p, table, jnp.asarray([9, 0], jnp.int32),
+                        jnp.asarray([3, 0], jnp.int32))
+    row0_after = np.asarray(cache_p.k[0, :, first_page, 0, :])
+    np.testing.assert_array_equal(row0_before, row0_after)
 
 
 def test_engine_paged_matches_contiguous(toy_tokenizer):

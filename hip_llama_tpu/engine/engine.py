@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.engine.block_manager import BlockManager
+from hip_llama_tpu.engine.block_manager import BlockManager, OutOfPagesError
 from hip_llama_tpu.engine.requests import Requests
 from hip_llama_tpu.models.llama import KVCache, init_kv_cache, make_decode_step, make_prefill
 from hip_llama_tpu.models.params import LlamaParams
@@ -91,19 +91,30 @@ class InferenceEngine:
         self._chunk = None
         if chunk_steps > 1:
             if paged:
-                raise ValueError(
-                    "multi-step scheduling (chunk_steps>1) requires pages to "
-                    "be pre-allocated; not supported with paged=True yet"
+                from hip_llama_tpu.models.paged import (
+                    make_paged_chunked_sampling_step,
                 )
-            from hip_llama_tpu.models.llama import make_chunked_sampling_step
 
-            self._chunk = jax.jit(
-                make_chunked_sampling_step(
-                    cfg, chunk_steps, attn_impl=attn_impl, precision=precision,
-                    temperature=ds_temperature, topp=ds_topp,
-                ),
-                donate_argnums=(1,),
-            )
+                # host reserves pages for the whole chunk before dispatch
+                # (serve loop); idle/retired slots write to the trash page
+                self._chunk = jax.jit(
+                    make_paged_chunked_sampling_step(
+                        cfg, chunk_steps, precision=precision,
+                        temperature=ds_temperature, topp=ds_topp,
+                    ),
+                    donate_argnums=(1,),
+                )
+            else:
+                from hip_llama_tpu.models.llama import make_chunked_sampling_step
+
+                self._chunk = jax.jit(
+                    make_chunked_sampling_step(
+                        cfg, chunk_steps, attn_impl=attn_impl,
+                        precision=precision,
+                        temperature=ds_temperature, topp=ds_topp,
+                    ),
+                    donate_argnums=(1,),
+                )
             self._ds_key = jax.random.PRNGKey(ds_seed)
             self._ds_ctr = 0
         self.max_seq_len = max_seq_len or cfg.seq_len
@@ -566,7 +577,6 @@ class InferenceEngine:
             # discarded along with the cache rows they wrote.
             chunk_ok = (
                 self._chunk is not None
-                and bm is None
                 and all(
                     req_id[s] == -1 or pos[s] >= len(prompt_toks[s]) - 1
                     for s in range(b)
@@ -576,12 +586,29 @@ class InferenceEngine:
                     default=steps,
                 ) + self.chunk_steps <= steps
             )
+            if chunk_ok and bm is not None:
+                # the page table is fixed for the whole chunk: reserve pages
+                # covering positions [pos, pos + chunk_steps) per active
+                # slot; if the pool can't cover it, fall back to single
+                # steps until a retirement frees pages
+                try:
+                    for s in range(b):
+                        if req_id[s] != -1:
+                            bm.ensure_capacity(s, int(pos[s]) + self.chunk_steps)
+                except OutOfPagesError:
+                    chunk_ok = False
             if chunk_ok:
                 self._ds_ctr += 1
                 key = jax.random.fold_in(self._ds_key, self._ds_ctr)
-                toks_dev, cache = self._chunk(
-                    self.params, cache, jnp.asarray(token), jnp.asarray(pos), key
-                )
+                if bm is not None:
+                    toks_dev, cache = self._chunk(
+                        self.params, cache, self._table(bm, b),
+                        jnp.asarray(token), jnp.asarray(pos), key,
+                    )
+                else:
+                    toks_dev, cache = self._chunk(
+                        self.params, cache, jnp.asarray(token), jnp.asarray(pos), key
+                    )
                 toks_ch = np.asarray(toks_dev)  # (B, N)
                 for t in range(self.chunk_steps):
                     advance_and_retire(None, toks_ch[:, t])

@@ -187,6 +187,43 @@ def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
     return step
 
 
+def make_paged_chunked_sampling_step(
+    cfg: ModelConfig,
+    n_steps: int,
+    precision: str = "highest",
+    temperature: float = 0.0,
+    topp: float = 0.9,
+):
+    """Multi-step scheduling over the PAGED cache: `n_steps` decode steps in
+    ONE dispatch, each sampling on device and feeding the next (the paged
+    analog of llama.make_chunked_sampling_step). chunk(params, cache,
+    page_table, tokens, pos, key) -> (tokens (B, n_steps) int32, cache).
+
+    The page table is fixed for the whole chunk, so the host must reserve
+    pages covering positions [pos, pos + n_steps) per active slot BEFORE
+    dispatch (engine ensure_capacity). Slots that retire mid-chunk keep
+    writing into their (still-reserved) pages; idle slots write to the
+    reserved trash page (block_manager.py TRASH_PAGE) — both harmless."""
+    from hip_llama_tpu.models.llama import make_logit_sampler
+
+    step = make_paged_decode_step(cfg, precision=precision)
+    sample_logits = make_logit_sampler(temperature, topp)
+
+    def chunk(params, cache: PagedKVCache, page_table, tokens, pos, key):
+        def body(carry, i):
+            cache, tokens, pos = carry
+            logits, cache = step(params, cache, page_table, tokens, pos)
+            nxt = sample_logits(logits, jax.random.fold_in(key, i))
+            return (cache, nxt, pos + 1), nxt
+
+        (cache, _, _), toks = lax.scan(
+            body, (cache, tokens, pos), jnp.arange(n_steps)
+        )
+        return jnp.transpose(toks), cache  # (B, n_steps)
+
+    return chunk
+
+
 def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
     """Returns prefill(params, cache, page_table, tokens (B, T), start (B,),
     valid (B,)) -> (logits (B, T, V), cache).

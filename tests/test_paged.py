@@ -220,6 +220,54 @@ def test_engine_paged_matches_contiguous(toy_tokenizer):
     assert a == b
 
 
+def test_engine_paged_chunked_matches_contiguous(toy_tokenizer):
+    """Multi-step scheduling (chunk_steps>1) over the PAGED cache: greedy
+    chunks must reproduce the contiguous single-step engine's generations
+    (pages are reserved chunk-wide before dispatch; mid-chunk retirements
+    and idle slots write to reserved pages / the trash page)."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(seq_len=64)
+    w = random_weights(cfg, seed=6)
+    params = params_from_weights(w)
+    prompts = ["hello", " hello hello", "he"]
+
+    def run(paged, chunk):
+        eng = InferenceEngine(
+            cfg, params, toy_tokenizer, batch_size=2,
+            paged=paged, page_size=16, chunk_steps=chunk,
+        )
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+        eng.serve(reqs, steps=24, samplers=samplers)
+        return reqs.generations
+
+    assert run(True, 4) == run(False, 1)
+
+
+def test_engine_paged_chunked_under_page_pressure(toy_tokenizer):
+    """When the pool can't cover a whole chunk, the engine falls back to
+    single steps (and to waiting admission control) instead of crashing,
+    and every request still completes."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(seq_len=64)
+    w = random_weights(cfg, seed=9)
+    params = params_from_weights(w)
+    eng = InferenceEngine(
+        cfg, params, toy_tokenizer, batch_size=2,
+        paged=True, page_size=16, num_pages=4, chunk_steps=4,
+    )
+    prompts = ["hello", " hello hello", "he", "hello hello"]
+    reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+    samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+    n = eng.serve(reqs, steps=20, samplers=samplers)
+    assert n > 0
+    assert all(g for g in reqs.generations)
+
+
 def test_engine_paged_admission_control(toy_tokenizer):
     """When the page pool can't fit a new prompt, the request waits for a
     retirement instead of crashing (the reference's BatchManager had no free

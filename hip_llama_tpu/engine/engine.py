@@ -76,6 +76,7 @@ class InferenceEngine:
         ds_seed: int = 0,
         kv_quant: bool = False,
         chunk_steps: int = 1,
+        prefix_cache: bool = False,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -125,6 +126,13 @@ class InferenceEngine:
         self.shardings = shardings
         self.paged = paged
         self.page_size = page_size
+        self.prefix_cache = prefix_cache
+        if prefix_cache and not paged:
+            raise ValueError("prefix_cache requires paged=True (shared pages)")
+        if prefix_cache and not use_prefill:
+            # force-feeding writes every prompt row through the decode step,
+            # which would scribble on shared pages
+            raise ValueError("prefix_cache requires use_prefill=True")
         if paged:
             from hip_llama_tpu.models.paged import (
                 make_paged_decode_step,
@@ -434,6 +442,7 @@ class InferenceEngine:
         while True:
             # assign new requests to empty slots (llama.cpp:973-1007)
             newly_assigned: dict[int, list[int]] = {}
+            prefill_start: dict[int, int] = {}
             n_idle = 0
             for s in range(b):
                 if req_id[s] == -1:
@@ -441,13 +450,21 @@ class InferenceEngine:
                         toks = self.tokenizer.encode(
                             requests.prompts[next_idx], bos=True, eos=False
                         )
+                        n_cached = 0
                         if bm is not None:
+                            # prefix cache: attach indexed prompt-prefix pages
+                            # (shared, refcounted) before sizing the remainder
+                            if self.prefix_cache and len(toks) > 1:
+                                n_cached = bm.match_prefix(s, toks)
                             # admission control: don't admit a request whose
                             # prompt can't get pages; it waits for a retire
                             # (the reference would abort — BatchManager had
                             # no free path at all)
-                            need = -(-(len(toks) + 1) // self.page_size)
+                            need = -(-(len(toks) + 1) // self.page_size) - len(
+                                bm.page_tables[s]
+                            )
                             if bm.num_free < need:
+                                bm.free_slot(s)  # detach matched prefix pages
                                 n_active = sum(1 for r in req_id if r != -1)
                                 if n_active == 0:
                                     raise RuntimeError(
@@ -463,7 +480,9 @@ class InferenceEngine:
                         token[s] = toks[0]
                         pos[s] = 0
                         if self.use_prefill and len(toks) > 1:
-                            newly_assigned[s] = toks[:-1]
+                            # skip prompt rows served by the prefix cache
+                            newly_assigned[s] = toks[n_cached:-1]
+                            prefill_start[s] = n_cached
                             token[s] = toks[-1]
                             pos[s] = len(toks) - 1
                             # prompt echo parity: the reference appends decoded
@@ -488,8 +507,13 @@ class InferenceEngine:
 
             if newly_assigned:
                 _, cache = self._prefill_tokens(
-                    cache, b, newly_assigned, {s: 0 for s in newly_assigned}, bm=bm
+                    cache, b, newly_assigned,
+                    {s: prefill_start.get(s, 0) for s in newly_assigned}, bm=bm,
                 )
+            if bm is not None and self.prefix_cache:
+                # index the freshly prefilled prompt pages for future sharing
+                for s in newly_assigned:
+                    bm.register_prefix(s, prompt_toks[s])
 
             def advance_and_retire(logits_h, nxt_h):
                 # advance state machines (llama.cpp:1027-1049)
@@ -635,5 +659,6 @@ class InferenceEngine:
                 ttft_p50_s=tt[len(tt) // 2] if tt else None,
                 ttft_p95_s=tt[min(len(tt) - 1, int(len(tt) * 0.95))] if tt else None,
                 ttft_max_s=tt[-1] if tt else None,
+                prefix_hit_tokens=bm.prefix_hit_tokens if bm is not None else 0,
             )
         return gen_cnt

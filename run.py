@@ -27,6 +27,9 @@ Extra (framework-specific, double-dash):
   --dequant                  force a v2 checkpoint through the dense path
   --paged [page_size]        paged KV cache (block-table allocator; HBM
                              scales with tokens in flight, not slots x seq)
+  --prefix-cache             automatic prefix caching (requires --paged):
+                             identical prompt prefixes share KV pages,
+                             skipping their prefill entirely
   --kv int8                  int8 KV cache with per-row scales (halves
                              attention HBM traffic; ~1% logit noise)
   --chunk N                  multi-step scheduling: decode N tokens per
@@ -93,6 +96,7 @@ def main(argv: list[str]) -> int:
     chunk_steps = 1
     layout = "unrolled"
     spec_k, draft_path = 0, None
+    prefix_cache = False
 
     i = 2
     while i < len(argv):
@@ -114,6 +118,10 @@ def main(argv: list[str]) -> int:
             continue
         if a == "--device-sampling":
             device_sampling = True
+            i += 1
+            continue
+        if a == "--prefix-cache":
+            prefix_cache = True
             i += 1
             continue
         if a == "--layout":
@@ -333,6 +341,7 @@ def main(argv: list[str]) -> int:
         ds_seed=rng_seed,
         kv_quant=kv_quant,
         chunk_steps=chunk_steps,
+        prefix_cache=prefix_cache,
     )
 
     if mode == "generate" and spec_k > 0:

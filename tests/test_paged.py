@@ -220,6 +220,67 @@ def test_engine_paged_matches_contiguous(toy_tokenizer):
     assert a == b
 
 
+def test_block_manager_prefix_cache():
+    """Prefix cache mechanics: register -> match -> refcount -> retain after
+    the registrant retires -> evict under allocation pressure."""
+    ps = 4
+    bm = BlockManager(num_pages=6, page_size=ps, num_slots=2)
+    toks = list(range(100, 111))  # 11 tokens: rows [0, 10) eligible = 2 pages
+    bm.ensure_capacity(0, len(toks))  # prefill allocation (3 pages)
+    bm.register_prefix(0, toks)
+
+    n = bm.match_prefix(1, toks)  # identical prompt shares both full pages
+    assert n == 2 * ps
+    assert bm.page_tables[1] == bm.page_tables[0][:2]
+    bm.free_slot(1)
+
+    toks2 = toks[:6] + [999, 998, 997, 996, 995]  # diverges inside page 2
+    n = bm.match_prefix(1, toks2)
+    assert n == ps
+    bm.free_slot(1)
+
+    bm.free_slot(0)  # registrant retires: registered pages are RETAINED
+    n = bm.match_prefix(1, toks)
+    assert n == 2 * ps
+    bm.free_slot(1)
+
+    # pool pressure: retained pages are evicted rather than failing
+    assert len(bm.ensure_capacity(0, 6 * ps)) == 6
+    bm.free_slot(0)
+    assert bm.match_prefix(1, toks) == 0  # evicted: no hits left
+
+
+def test_engine_prefix_cache_matches_uncached(toy_tokenizer):
+    """Serving with prefix_cache=True must produce the same greedy
+    generations as plain paged serving, and must actually hit the cache on
+    repeated prompt prefixes."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(seq_len=96)
+    w = random_weights(cfg, seed=6)
+    params = params_from_weights(w)
+    shared = "hello" * 12  # long shared prefix (> 1 page at page_size=8)
+    prompts = [shared + "l", shared + "o", shared + "l"]
+
+    def run(prefix_cache):
+        eng = InferenceEngine(
+            cfg, params, toy_tokenizer, batch_size=2,
+            paged=True, page_size=8, prefix_cache=prefix_cache,
+        )
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+        stats = {}
+        eng.serve(reqs, steps=30, samplers=samplers, stats=stats)
+        return reqs.generations, stats
+
+    base, stats0 = run(False)
+    cached, stats1 = run(True)
+    assert base == cached
+    assert stats0["prefix_hit_tokens"] == 0
+    assert stats1["prefix_hit_tokens"] > 0
+
+
 def test_engine_paged_chunked_matches_contiguous(toy_tokenizer):
     """Multi-step scheduling (chunk_steps>1) over the PAGED cache: greedy
     chunks must reproduce the contiguous single-step engine's generations

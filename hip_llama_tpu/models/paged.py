@@ -193,6 +193,7 @@ def make_paged_chunked_sampling_step(
     precision: str = "highest",
     temperature: float = 0.0,
     topp: float = 0.9,
+    return_logits: bool = False,
 ):
     """Multi-step scheduling over the PAGED cache: `n_steps` decode steps in
     ONE dispatch, each sampling on device and feeding the next (the paged
@@ -214,12 +215,16 @@ def make_paged_chunked_sampling_step(
             cache, tokens, pos = carry
             logits, cache = step(params, cache, page_table, tokens, pos)
             nxt = sample_logits(logits, jax.random.fold_in(key, i))
-            return (cache, nxt, pos + 1), nxt
+            out = (nxt, logits) if return_logits else nxt
+            return (cache, nxt, pos + 1), out
 
-        (cache, _, _), toks = lax.scan(
+        (cache, _, _), out = lax.scan(
             body, (cache, tokens, pos), jnp.arange(n_steps)
         )
-        return jnp.transpose(toks), cache  # (B, n_steps)
+        if return_logits:
+            toks, logits = out
+            return jnp.transpose(toks), jnp.transpose(logits, (1, 0, 2)), cache
+        return jnp.transpose(out), cache  # (B, n_steps)
 
     return chunk
 

@@ -197,6 +197,16 @@ def main(argv: list[str]) -> int:
 
     if rng_seed <= 0:
         rng_seed = int(time.time())
+    if mode == "generate" and spec_k > 0 and paged:
+        # speculative verify prefills at arbitrary (non-page-aligned) starts,
+        # and at batch=1 generate the contiguous cache is strictly better
+        # anyway (paging exists to share a pool across many slots) — fall
+        # back rather than erroring
+        print(
+            "note: --spec uses the contiguous KV cache; ignoring --paged",
+            file=sys.stderr,
+        )
+        paged = False
     temperature = max(temperature, 0.0)
     if topp < 0.0 or topp > 1.0:
         topp = 0.9

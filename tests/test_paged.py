@@ -220,6 +220,35 @@ def test_engine_paged_matches_contiguous(toy_tokenizer):
     assert a == b
 
 
+def test_paged_chunk_return_logits(setup):
+    """Paged chunked step with return_logits: tokens must equal the argmax
+    of the returned per-step logits and match the tokens-only variant."""
+    from hip_llama_tpu.models.paged import make_paged_chunked_sampling_step
+
+    cfg, params = setup
+    b, n_steps = 2, 3
+    bm = BlockManager(num_pages=4, page_size=PS, num_slots=b)
+    for s in range(b):
+        bm.ensure_capacity(s, n_steps)
+    table = jnp.asarray([bm.table_array(s, 2) for s in range(b)], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    tok0 = jnp.asarray([5, 7], jnp.int32)
+    pos0 = jnp.zeros((b,), jnp.int32)
+
+    chunk_l = jax.jit(make_paged_chunked_sampling_step(cfg, n_steps,
+                                                       return_logits=True))
+    chunk_t = jax.jit(make_paged_chunked_sampling_step(cfg, n_steps))
+    c1 = init_paged_kv_cache(cfg, 4 + 1, PS)
+    c2 = init_paged_kv_cache(cfg, 4 + 1, PS)
+    toks_l, logits, _ = chunk_l(params, c1, table, tok0, pos0, key)
+    toks_t, _ = chunk_t(params, c2, table, tok0, pos0, key)
+    assert logits.shape == (b, n_steps, cfg.vocab_size)
+    np.testing.assert_array_equal(np.asarray(toks_l), np.asarray(toks_t))
+    np.testing.assert_array_equal(
+        np.asarray(toks_l), np.argmax(np.asarray(logits), axis=-1)
+    )
+
+
 def test_block_manager_prefix_cache():
     """Prefix cache mechanics: register -> match -> refcount -> retain after
     the registrant retires -> evict under allocation pressure."""

@@ -5,7 +5,14 @@ The reference declares chat in its CLI but ships it disabled
 implementation it inherited lives in run.cc:942-1022. This is a re-design of
 that loop on top of the engine's jitted decode step, with the same
 [INST] <<SYS>> rendering and EOS-ends-turn behavior.
-"""
+
+BEYOND the reference loop: each turn's prompt is consumed by the engine's
+CHUNKED PREFILL instead of one decode step per token (run.cc force-feeds,
+like generate's llama.cpp:1030-1033) — long system prompts and pasted
+context cost one prefill dispatch instead of len(prompt) sequential steps.
+Output parity with the force-feed loop is exact: at temperature > 0 the
+reference samples (and discards) one RNG coin per forced token, so the
+prefill path advances the sampler RNG by the same count."""
 
 from __future__ import annotations
 
@@ -64,6 +71,27 @@ def chat(
             user_idx = 0
             user_turn = False
             output_fn("Assistant: ", end="")
+            if engine.use_prefill and len(prompt_tokens) > 1:
+                # chunked prefill of the turn's prompt (all but the last
+                # token, whose step yields the first assistant logits);
+                # capped so the pos < steps budget is honored exactly like
+                # the force-feed loop, and stopping at any literal EOS so
+                # the fed-token EOS check below still fires
+                n_pre = min(len(prompt_tokens) - 1, steps - pos)
+                if EOS_ID in prompt_tokens[:n_pre]:
+                    n_pre = prompt_tokens.index(EOS_ID)
+                if n_pre > 0:
+                    _, cache = engine._prefill_tokens(
+                        cache, 1, {0: prompt_tokens[:n_pre]}, {0: pos}
+                    )
+                    if sampler.temperature != 0.0:
+                        # force-feeding would have drawn one coin per step
+                        for _ in range(n_pre):
+                            sampler.rng.next_f32()
+                    pos += n_pre
+                    user_idx = n_pre
+                    if pos >= steps:
+                        break
 
         if user_idx < len(prompt_tokens):
             token = prompt_tokens[user_idx]

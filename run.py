@@ -207,6 +207,14 @@ def main(argv: list[str]) -> int:
             file=sys.stderr,
         )
         paged = False
+    if mode == "chat" and paged:
+        # the chat loop drives the contiguous decode step directly (one
+        # growing conversation, batch 1 — paging has nothing to share)
+        print(
+            "note: chat mode uses the contiguous KV cache; ignoring --paged",
+            file=sys.stderr,
+        )
+        paged = False
     temperature = max(temperature, 0.0)
     if topp < 0.0 or topp > 1.0:
         topp = 0.9

@@ -160,6 +160,34 @@ def test_chat_mode_scripted(tiny_cfg, tiny_weights, toy_tokenizer):
     assert "Assistant:" in text
 
 
+@pytest.mark.parametrize("temperature", [0.0, 0.9])
+def test_chat_prefill_matches_force_feed(tiny_cfg, tiny_weights, toy_tokenizer,
+                                         temperature):
+    """Chat's chunked-prefill prompt consumption must produce the same
+    transcript as the force-feed loop (use_prefill=False engine) — including
+    at temperature > 0, where force-feeding draws one discarded RNG coin per
+    forced token and the prefill path advances the RNG by the same count."""
+    from hip_llama_tpu.chat import chat
+    from hip_llama_tpu.engine import InferenceEngine
+    from hip_llama_tpu.models import params_from_weights
+
+    params = params_from_weights(tiny_weights)
+
+    def run(use_prefill):
+        eng = InferenceEngine(tiny_cfg, params, toy_tokenizer, batch_size=1,
+                              use_prefill=use_prefill)
+        inputs = iter(["hello there hello there hello", "hello again", "bye"])
+        outputs = []
+        chat(eng, None, "be very brief and helpful", steps=56,
+             temperature=temperature, topp=0.9, seed=7,
+             input_fn=lambda prompt="": next(inputs),
+             output_fn=lambda *a, **k: outputs.append(
+                 " ".join(str(x) for x in a)))
+        return outputs
+
+    assert run(True) == run(False)
+
+
 def test_chunked_serve_matches_single_step():
     """Multi-step scheduling (chunk_steps=4, greedy on-device sampling) must
     produce byte-identical generations to the per-step host-argmax loop —

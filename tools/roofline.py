@@ -27,9 +27,9 @@ CHIPS = {
 }
 
 
-def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
-           chip: str = "v5e", measured_tok_s: float | None = None):
-    bw, flops_bf16, _ = CHIPS[chip]
+def op_table(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
+             cache_bytes: int) -> list[tuple[str, float, float]]:
+    """Per-decode-step (name, FLOPs, HBM bytes) rows, all layers."""
     c = cfg
     rows = []
 
@@ -37,7 +37,6 @@ def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes
         rows.append((name, flops, bytes_))
 
     L = c.n_layers
-    # per-step (all layers), decode
     op("qkv+o proj", 2 * b * c.dim * (2 * c.dim + 2 * c.kv_dim) * L,
        (c.dim * (2 * c.dim + 2 * c.kv_dim)) * L * wbytes_per)
     op("ffn w1/w2/w3", 2 * b * 3 * c.dim * c.hidden_dim * L,
@@ -46,7 +45,13 @@ def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes
        2 * b * c.n_kv_heads * window * c.head_size * L * cache_bytes)
     op("classifier", 2 * b * c.dim * c.vocab_size, c.dim * c.vocab_size * wbytes_per)
     op("embed+norms", 0, b * c.dim * 4 * (2 * L + 1))
+    return rows
 
+
+def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
+           chip: str = "v5e", measured_tok_s: float | None = None):
+    bw, flops_bf16, _ = CHIPS[chip]
+    rows = op_table(cfg, b, window, wbytes_per, cache_bytes)
     ridge = flops_bf16 / bw
     print(f"chip {chip}: HBM {bw/1e9:.0f} GB/s, bf16 {flops_bf16/1e12:.0f} TF/s, "
           f"ridge AI = {ridge:.0f} flop/byte")

@@ -319,15 +319,20 @@ class InferenceEngine:
         token = prompt_tokens[0]
         if self.use_prefill and len(prompt_tokens) > 1:
             # prefill all but the last prompt token; the decode step below
-            # consumes the last one and produces the first sampled logits
+            # consumes the last one and produces the first sampled logits.
+            # A prompt longer than the step budget is truncated at it — the
+            # reference's per-step pos < steps bound does the same
+            # (llama.cpp:540), and unbounded prefill would clamp-write past
+            # the KV window
+            n_feed = min(len(prompt_tokens) - 1, steps)
             _, cache = self._prefill_tokens(
-                cache, 1, {0: prompt_tokens[:-1]}, {0: 0}, bm=bm
+                cache, 1, {0: prompt_tokens[:n_feed]}, {0: 0}, bm=bm
             )
-            pos = len(prompt_tokens) - 1
-            token = prompt_tokens[-1]
+            pos = n_feed
+            token = prompt_tokens[min(n_feed, len(prompt_tokens) - 1)]
             # reproduce the prompt echo the reference prints while force-feeding
             # (llama.cpp:560-563)
-            for a, nxt in zip(prompt_tokens, prompt_tokens[1:]):
+            for a, nxt in zip(prompt_tokens[:n_feed], prompt_tokens[1:n_feed + 1]):
                 piece = printable_piece(self.tokenizer.decode_piece(a, nxt))
                 if echo and piece:
                     print(piece.decode("utf-8", errors="replace"), end="", flush=True)
@@ -400,7 +405,7 @@ class InferenceEngine:
         the aggregate tok/s, llama.cpp:1614-1615)."""
         cfg = self.cfg
         b = self.batch_size
-        steps = steps or self.max_seq_len
+        steps = min(steps or self.max_seq_len, self.max_seq_len)
         if samplers is None:
             # per-request fixed-seed samplers (llama.cpp:897-900)
             samplers = [request_sampler(cfg.vocab_size) for _ in requests.prompts]
@@ -450,6 +455,12 @@ class InferenceEngine:
                         toks = self.tokenizer.encode(
                             requests.prompts[next_idx], bos=True, eos=False
                         )
+                        # a prompt longer than the step budget truncates at
+                        # it (the reference's pos < steps bound consumes at
+                        # most `steps` prompt tokens, llama.cpp:1027-1049);
+                        # keeps every KV write inside the window
+                        if len(toks) > steps:
+                            toks = toks[:steps]
                         n_cached = 0
                         if bm is not None:
                             # prefix cache: attach indexed prompt-prefix pages

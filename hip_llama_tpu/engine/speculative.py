@@ -153,6 +153,8 @@ def speculative_generate(
     rng = XorShift64Star(seed)
     steps = min(steps or target.max_seq_len, target.max_seq_len)
     toks = target.tokenizer.encode(prompt or "", bos=True, eos=False)
+    if len(toks) > steps:  # step budget bounds prompt consumption
+        toks = toks[:steps]
 
     from hip_llama_tpu.models.llama import make_chunked_sampling_step, make_prefill
 

@@ -160,6 +160,35 @@ def test_chat_mode_scripted(tiny_cfg, tiny_weights, toy_tokenizer):
     assert "Assistant:" in text
 
 
+def test_overlong_prompt_truncates_at_step_budget(tiny_weights, toy_tokenizer):
+    """A prompt longer than the step budget truncates at it (the reference's
+    pos < steps bound, llama.cpp:540) instead of clamp-writing KV rows past
+    the window; co-batched requests are unaffected."""
+    from hip_llama_tpu.config import tiny_config
+
+    cfg = tiny_config(seq_len=32)
+    params = params_from_weights(tiny_weights)
+    long_prompt = "hello " * 80  # far beyond the 32-token window
+
+    eng = InferenceEngine(cfg, params, toy_tokenizer, batch_size=1,
+                          max_seq_len=32)
+    r = eng.generate(long_prompt, steps=32, sampler=Sampler(cfg.vocab_size, 0.0))
+    assert r.n_gen_tokens <= 32 and r.token_ids == []  # echo only, no gen
+
+    def serve(prompts, paged=False):
+        e = InferenceEngine(cfg, params, toy_tokenizer, batch_size=2,
+                            max_seq_len=32, paged=paged, page_size=8)
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        e.serve(reqs, steps=32,
+                samplers=[Sampler(cfg.vocab_size, 0.0) for _ in prompts])
+        return reqs.generations
+
+    solo = serve(["hi there"])[0]
+    for paged in (False, True):
+        outs = serve([long_prompt, "hi there"], paged=paged)
+        assert outs[1] == solo, f"co-batched request corrupted (paged={paged})"
+
+
 @pytest.mark.parametrize("temperature", [0.0, 0.9])
 def test_chat_prefill_matches_force_feed(tiny_cfg, tiny_weights, toy_tokenizer,
                                          temperature):

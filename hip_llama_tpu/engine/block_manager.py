@@ -130,7 +130,10 @@ class BlockManager:
         """Attach the longest indexed chain of prompt-prefix pages to the
         (empty) slot and return the number of cached TOKENS. Only rows
         [0, len(tokens)-1) are eligible (prefill leaves the last prompt token
-        to the first decode step, and its row lands in an unshared page)."""
+        to the first decode step, and its row lands in an unshared page).
+        The caller accounts prefix_hit_tokens AFTER admission succeeds — a
+        request that matches, fails admission, and retries must not count
+        its hits once per retry."""
         table = self.page_tables[slot]
         assert not table, "match_prefix requires an empty slot"
         n = 0
@@ -142,7 +145,6 @@ class BlockManager:
             self._refcount[page] = self._refcount.get(page, 0) + 1
             self._lru.pop(page, None)  # in use again
             n = (i + 1) * self.page_size
-        self.prefix_hit_tokens += n
         return n
 
     def register_prefix(self, slot: int, tokens: list[int]) -> None:

@@ -475,14 +475,18 @@ class InferenceEngine:
                                 bm.page_tables[s]
                             )
                             if bm.num_free < need:
+                                free_before = bm.num_free
                                 bm.free_slot(s)  # detach matched prefix pages
                                 n_active = sum(1 for r in req_id if r != -1)
                                 if n_active == 0:
                                     raise RuntimeError(
-                                        f"prompt needs {need} KV pages but the "
-                                        f"pool has {bm.num_free} free in total"
+                                        f"prompt needs {need} more KV pages "
+                                        f"beyond its {n_cached}-token cached "
+                                        f"prefix but the pool has "
+                                        f"{free_before} free in total"
                                     )
                                 continue
+                            bm.prefix_hit_tokens += n_cached
                         req_id[s] = next_idx
                         assign_time[next_idx] = time.perf_counter()
                         next_idx += 1

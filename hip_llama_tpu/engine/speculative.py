@@ -106,7 +106,15 @@ def _verify_round(
         p = ps[i]
         px = float(p[x])
         qx = 1.0 if qs is None else float(qs[i][x])
-        if qx <= 0.0 or rng.next_f32() < min(1.0, px / qx):
+        if qx <= 0.0:
+            # host fp32 nucleus disagrees with the device sampler at the
+            # boundary (true q is tiny but nonzero): min(1, px/q_true) is
+            # ~1 whenever px > 0, and 0 when px == 0 — decide without a
+            # coin so the stream stays deterministic per seed
+            accept = px > 0.0
+        else:
+            accept = rng.next_f32() < min(1.0, px / qx)
+        if accept:
             commits.append(x)
             continue
         # rejected: replacement from the residual norm(max(p - q, 0))

@@ -907,20 +907,33 @@ def make_chunked_sampling_step(
     sample_logits = make_logit_sampler(temperature, topp)
 
     def chunk(params, cache: KVCache, tokens, pos, key):
-        def body(carry, i):
-            cache, tokens, pos = carry
-            logits, cache = step(params, cache, tokens, pos)
-            nxt = sample_logits(logits, jax.random.fold_in(key, i))
-            out = (nxt, logits) if return_logits else nxt
-            return (cache, nxt, pos + 1), out
-
-        (cache, _, _), out = lax.scan(
-            body, (cache, tokens, pos), jnp.arange(n_steps)
+        return run_sampling_chunk(
+            lambda c, t, p: step(params, c, t, p), cache, tokens, pos, key,
+            n_steps, sample_logits, return_logits,
         )
-        if return_logits:
-            toks, logits = out
-            # (n_steps, B, ...) -> (B, n_steps, ...)
-            return jnp.transpose(toks), jnp.transpose(logits, (1, 0, 2)), cache
-        return jnp.transpose(out), cache  # (B, n_steps)
 
     return chunk
+
+
+def run_sampling_chunk(step1, cache, tokens, pos, key, n_steps,
+                       sample_logits, return_logits):
+    """The shared scan body of the chunked sampling steps (contiguous and
+    paged, models/paged.py): n_steps of step1(cache, tokens, pos) ->
+    (logits, cache), each sampled on device and fed to the next. Returns
+    (tokens (B, n_steps)[, logits (B, n_steps, V)], cache)."""
+
+    def body(carry, i):
+        cache, tokens, pos = carry
+        logits, cache = step1(cache, tokens, pos)
+        nxt = sample_logits(logits, jax.random.fold_in(key, i))
+        out = (nxt, logits) if return_logits else nxt
+        return (cache, nxt, pos + 1), out
+
+    (cache, _, _), out = lax.scan(
+        body, (cache, tokens, pos), jnp.arange(n_steps)
+    )
+    if return_logits:
+        toks, logits = out
+        # (n_steps, B, ...) -> (B, n_steps, ...)
+        return jnp.transpose(toks), jnp.transpose(logits, (1, 0, 2)), cache
+    return jnp.transpose(out), cache  # (B, n_steps)

@@ -205,26 +205,16 @@ def make_paged_chunked_sampling_step(
     dispatch (engine ensure_capacity). Slots that retire mid-chunk keep
     writing into their (still-reserved) pages; idle slots write to the
     reserved trash page (block_manager.py TRASH_PAGE) — both harmless."""
-    from hip_llama_tpu.models.llama import make_logit_sampler
+    from hip_llama_tpu.models.llama import make_logit_sampler, run_sampling_chunk
 
     step = make_paged_decode_step(cfg, precision=precision)
     sample_logits = make_logit_sampler(temperature, topp)
 
     def chunk(params, cache: PagedKVCache, page_table, tokens, pos, key):
-        def body(carry, i):
-            cache, tokens, pos = carry
-            logits, cache = step(params, cache, page_table, tokens, pos)
-            nxt = sample_logits(logits, jax.random.fold_in(key, i))
-            out = (nxt, logits) if return_logits else nxt
-            return (cache, nxt, pos + 1), out
-
-        (cache, _, _), out = lax.scan(
-            body, (cache, tokens, pos), jnp.arange(n_steps)
+        return run_sampling_chunk(
+            lambda c, t, p: step(params, c, page_table, t, p),
+            cache, tokens, pos, key, n_steps, sample_logits, return_logits,
         )
-        if return_logits:
-            toks, logits = out
-            return jnp.transpose(toks), jnp.transpose(logits, (1, 0, 2)), cache
-        return jnp.transpose(out), cache  # (B, n_steps)
 
     return chunk
 

@@ -203,18 +203,20 @@ def main(argv: list[str]) -> int:
         # anyway (paging exists to share a pool across many slots) — fall
         # back rather than erroring
         print(
-            "note: --spec uses the contiguous KV cache; ignoring --paged",
+            "note: --spec uses the contiguous KV cache; ignoring --paged"
+            + (" and --prefix-cache" if prefix_cache else ""),
             file=sys.stderr,
         )
-        paged = False
+        paged = prefix_cache = False
     if mode == "chat" and paged:
         # the chat loop drives the contiguous decode step directly (one
         # growing conversation, batch 1 — paging has nothing to share)
         print(
-            "note: chat mode uses the contiguous KV cache; ignoring --paged",
+            "note: chat mode uses the contiguous KV cache; ignoring --paged"
+            + (" and --prefix-cache" if prefix_cache else ""),
             file=sys.stderr,
         )
-        paged = False
+        paged = prefix_cache = False
     temperature = max(temperature, 0.0)
     if topp < 0.0 or topp > 1.0:
         topp = 0.9

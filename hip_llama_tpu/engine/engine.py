@@ -77,6 +77,7 @@ class InferenceEngine:
         kv_quant: bool = False,
         chunk_steps: int = 1,
         prefix_cache: bool = False,
+        spec_lookup: int = 0,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -126,6 +127,21 @@ class InferenceEngine:
         self.shardings = shardings
         self.paged = paged
         self.page_size = page_size
+        self.spec_lookup = spec_lookup
+        if spec_lookup:
+            # serve-mode prompt-lookup speculation: each slot's repeated
+            # n-grams propose tokens, one bucketed prefill verifies the
+            # whole batch. Needs the prefill path (the verify IS a prefill)
+            # and the contiguous cache (verify starts are not page-aligned).
+            if paged:
+                raise ValueError("spec_lookup requires paged=False")
+            if not use_prefill:
+                raise ValueError("spec_lookup requires use_prefill=True")
+            if chunk_steps > 1 or device_sampling:
+                raise ValueError(
+                    "spec_lookup is incompatible with chunk_steps/"
+                    "device_sampling (each is its own dispatch schedule)"
+                )
         self.prefix_cache = prefix_cache
         if prefix_cache and not paged:
             raise ValueError("prefix_cache requires paged=True (shared pages)")
@@ -424,7 +440,7 @@ class InferenceEngine:
         # (temperature, topp, xorshift64* state) triple; the Python loop
         # below stays as the fallback and the semantics oracle.
         sched = None
-        if all(
+        if not self.spec_lookup and all(
             hasattr(sp, "temperature") and hasattr(sp, "topp")
             and hasattr(getattr(sp, "rng", None), "state")
             for sp in samplers
@@ -443,6 +459,9 @@ class InferenceEngine:
         pos = np.zeros(b, np.int32)
         prompt_toks: list[list[int]] = [[] for _ in range(b)]
         gen_bytes: list[bytearray] = [bytearray() for _ in range(b)]
+        # per-slot token history for prompt-lookup speculation proposals
+        hist: list[list[int]] = [[] for _ in range(b)]
+        spec_proposed = spec_accepted = 0
 
         while True:
             # assign new requests to empty slots (llama.cpp:973-1007)
@@ -491,6 +510,7 @@ class InferenceEngine:
                         assign_time[next_idx] = time.perf_counter()
                         next_idx += 1
                         prompt_toks[s] = toks
+                        hist[s] = list(toks)
                         gen_bytes[s] = bytearray()
                         token[s] = toks[0]
                         pos[s] = 0
@@ -530,6 +550,21 @@ class InferenceEngine:
                 for s in newly_assigned:
                     bm.register_prefix(s, prompt_toks[s])
 
+            def retire_slot(s):
+                nonlocal gen_cnt
+                text = gen_bytes[s].decode("utf-8", errors="replace") + "\n"
+                requests.generations[req_id[s]] = text
+                gen_cnt += int(pos[s]) - 1
+                if verbose:
+                    print(f"slot {s} DONE request {req_id[s]}")
+                req_id[s] = -1
+                pos[s] = 0
+                token[s] = 0
+                if sched is not None:
+                    sched.release(s)
+                if bm is not None:
+                    bm.free_slot(s)
+
             def advance_and_retire(logits_h, nxt_h):
                 # advance state machines (llama.cpp:1027-1049)
                 nonlocal gen_cnt
@@ -562,7 +597,8 @@ class InferenceEngine:
                     for s in range(b):
                         if req_id[s] == -1:
                             continue
-                        if pos[s] < len(prompt_toks[s]) - 1:
+                        in_prompt = pos[s] < len(prompt_toks[s]) - 1
+                        if in_prompt:
                             nxt = prompt_toks[s][pos[s] + 1]
                         else:
                             nxt = (
@@ -583,29 +619,107 @@ class InferenceEngine:
                             )
                             gen_bytes[s] += piece
                             token[s] = nxt
+                            if not in_prompt:  # prompt tokens are in hist
+                                hist[s].append(nxt)
                             if pos[s] >= steps:
                                 done[s] = True
 
                 # retire (llama.cpp:1052-1070)
                 for s in range(b):
                     if done[s] and req_id[s] > -1:
-                        text = gen_bytes[s].decode("utf-8", errors="replace") + "\n"
-                        requests.generations[req_id[s]] = text
-                        gen_cnt += int(pos[s]) - 1
-                        if verbose:
-                            print(f"slot {s} DONE request {req_id[s]}")
-                        req_id[s] = -1
-                        pos[s] = 0
-                        token[s] = 0
-                        if sched is not None:
-                            sched.release(s)
-                        if bm is not None:
-                            bm.free_slot(s)
+                        retire_slot(s)
 
             if bm is not None:
                 for s in range(b):
                     if req_id[s] != -1:
                         bm.append_token(s, int(pos[s]))
+
+            # serve-mode prompt-lookup speculation: each active slot's
+            # repeated n-grams propose up to spec_lookup tokens, ONE
+            # bucketed prefill verifies the whole batch (per-slot valid
+            # lengths), and each slot commits its accepted prefix plus a
+            # correction/bonus token — greedy slots by argmax prefix-match,
+            # stochastic slots by point-mass rejection sampling against the
+            # warped target distribution (engine/speculative.py semantics).
+            # Rows written for rejected positions sit at >= the new decode
+            # point and are overwritten before ever being read.
+            spec_props = None
+            if (
+                self.spec_lookup > 0
+                and all(
+                    req_id[s] == -1 or pos[s] >= len(prompt_toks[s]) - 1
+                    for s in range(b)
+                )
+            ):
+                from hip_llama_tpu.engine.speculative import _lookup_propose
+
+                spec_props = {}
+                for s in range(b):
+                    if req_id[s] == -1:
+                        continue
+                    kk = min(self.spec_lookup, self.max_seq_len - 1 - int(pos[s]))
+                    spec_props[s] = (
+                        _lookup_propose(hist[s], kk) if kk > 0 else []
+                    )
+                if not any(spec_props.values()):
+                    spec_props = None  # nothing proposed: plain step instead
+            if spec_props is not None:
+                from hip_llama_tpu.engine.speculative import (
+                    _verify_round,
+                    _warp,
+                )  # local import: speculative.py imports engine constants
+
+                tb = _bucket(
+                    max(len(p) for p in spec_props.values()) + 1,
+                    self.prefill_buckets,
+                )
+                chunk_toks = np.zeros((b, tb), np.int32)
+                valid = np.zeros((b,), np.int32)
+                for s, pr in spec_props.items():
+                    chunk_toks[s, 0] = token[s]
+                    chunk_toks[s, 1:1 + len(pr)] = pr
+                    valid[s] = 1 + len(pr)
+                logits, cache = self._prefill(
+                    self.params, cache, jnp.asarray(chunk_toks),
+                    jnp.asarray(pos), jnp.asarray(valid),
+                )
+                logits_h = np.asarray(logits)
+                for s, pr in spec_props.items():
+                    sp = samplers[req_id[s]]
+                    rows = logits_h[s, : valid[s]]
+                    if getattr(sp, "temperature", None) == 0.0:
+                        g = np.argmax(rows, axis=1)
+                        n_acc = 0
+                        while n_acc < len(pr) and pr[n_acc] == int(g[n_acc]):
+                            n_acc += 1
+                        commits = pr[:n_acc] + [int(g[n_acc])]
+                    else:
+                        ws = [_warp(r, sp.temperature, sp.topp) for r in rows]
+                        commits, n_acc = _verify_round(ws, None, pr, sp.rng)
+                    spec_proposed += len(pr)
+                    spec_accepted += n_acc
+                    done_s = False
+                    for nxt in commits:
+                        if ttft[req_id[s]] is None:
+                            ttft[req_id[s]] = (
+                                time.perf_counter() - assign_time[req_id[s]]
+                            )
+                        pos[s] += 1
+                        if nxt == BOS_ID or nxt == EOS_ID:
+                            done_s = True
+                            break
+                        piece = printable_piece(
+                            self.tokenizer.decode_piece(int(token[s]), nxt)
+                        )
+                        gen_bytes[s] += piece
+                        token[s] = nxt
+                        hist[s].append(nxt)
+                        if pos[s] >= steps:
+                            done_s = True
+                            break
+                    if done_s:
+                        retire_slot(s)
+                continue
 
             # multi-step scheduling: when every active slot is past its
             # prompt and has >= chunk_steps of budget, decode the whole
@@ -675,5 +789,7 @@ class InferenceEngine:
                 ttft_p95_s=tt[min(len(tt) - 1, int(len(tt) * 0.95))] if tt else None,
                 ttft_max_s=tt[-1] if tt else None,
                 prefix_hit_tokens=bm.prefix_hit_tokens if bm is not None else 0,
+                spec_proposed=spec_proposed,
+                spec_accepted=spec_accepted,
             )
         return gen_cnt

@@ -46,9 +46,12 @@ Extra (framework-specific, double-dash):
   --spec K [--draft path]    speculative decoding: a draft model (or
                              prompt-lookup n-gram matching if no --draft)
                              proposes K tokens, the target verifies them in
-                             one chunked prefill (generate mode only; -t 0
-                             reproduces the greedy stream, -t > 0 uses
-                             distribution-preserving rejection sampling)
+                             one chunked prefill (-t 0 reproduces the greedy
+                             stream, -t > 0 uses distribution-preserving
+                             rejection sampling). In -m test mode, each
+                             continuous-batching slot speculates via prompt
+                             lookup (no draft model), batch-verified in one
+                             prefill per round
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
                              'kv' to also keep the KV cache in host RAM
@@ -208,6 +211,28 @@ def main(argv: list[str]) -> int:
             file=sys.stderr,
         )
         paged = prefix_cache = False
+    if mode == "test" and spec_k > 0:
+        if paged:
+            print(
+                "note: --spec uses the contiguous KV cache; ignoring --paged"
+                + (" and --prefix-cache" if prefix_cache else ""),
+                file=sys.stderr,
+            )
+            paged = prefix_cache = False
+        if draft_path:
+            print(
+                "note: test-mode speculation uses prompt-lookup proposals; "
+                "ignoring --draft",
+                file=sys.stderr,
+            )
+            draft_path = None
+        if chunk_steps > 1 or device_sampling:
+            print(
+                "note: --spec is its own dispatch schedule; ignoring "
+                "--chunk/--device-sampling",
+                file=sys.stderr,
+            )
+            chunk_steps, device_sampling = 1, False
     if mode == "chat" and paged:
         # the chat loop drives the contiguous decode step directly (one
         # growing conversation, batch 1 — paging has nothing to share)
@@ -362,6 +387,7 @@ def main(argv: list[str]) -> int:
         kv_quant=kv_quant,
         chunk_steps=chunk_steps,
         prefix_cache=prefix_cache,
+        spec_lookup=spec_k if mode == "test" else 0,
     )
 
     if mode == "generate" and spec_k > 0:
@@ -434,6 +460,18 @@ def main(argv: list[str]) -> int:
                 f"ttft p50: {stats['ttft_p50_s']*1000:.1f} ms, "
                 f"p95: {stats['ttft_p95_s']*1000:.1f} ms, "
                 f"max: {stats['ttft_max_s']*1000:.1f} ms",
+                file=sys.stderr,
+            )
+        if stats.get("spec_proposed"):
+            print(
+                f"speculative: k={spec_k}, proposed={stats['spec_proposed']}, "
+                f"acceptance={stats['spec_accepted']/stats['spec_proposed']:.2f}",
+                file=sys.stderr,
+            )
+        if stats.get("prefix_hit_tokens"):
+            print(
+                f"prefix cache: {stats['prefix_hit_tokens']} prompt tokens "
+                "served from shared pages",
                 file=sys.stderr,
             )
         write_outputfile(output_filename, requests)

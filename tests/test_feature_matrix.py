@@ -37,6 +37,7 @@ CONFIGS = {
         "paged": True, "page_size": 16, "chunk_steps": 4, "prefix_cache": True,
     },
     "small_buckets": {"prefill_buckets": (8,)},
+    "spec_lookup4": {"spec_lookup": 4},
 }
 
 

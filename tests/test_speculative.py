@@ -152,6 +152,58 @@ def test_stochastic_spec_lookup_deterministic(spec_setup):
     assert all(0 <= t < cfg.vocab_size for t in r1.token_ids)
 
 
+def test_serve_spec_lookup_matches_plain_greedy(spec_setup):
+    """SERVE-mode prompt-lookup speculation (engine spec_lookup=k) must
+    reproduce the plain serve loop's greedy generations byte-for-byte,
+    through mid-run retirement and refill, and actually accept proposals."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg, tok, target, _ = spec_setup
+    prompts = ["Once upon a time", "The history of", "Once upon a time",
+               "one two one two one"]
+
+    def run(spec):
+        eng = InferenceEngine(
+            cfg, target.params, tok, batch_size=2, spec_lookup=spec,
+        )
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+        stats = {}
+        eng.serve(reqs, steps=40, samplers=samplers, stats=stats)
+        return reqs.generations, stats
+
+    base, _ = run(0)
+    spec, stats = run(4)
+    assert spec == base
+    assert stats["spec_proposed"] > 0 and stats["spec_accepted"] > 0
+
+
+def test_serve_spec_lookup_stochastic_deterministic(spec_setup):
+    """Stochastic serve-mode speculation: per-request fixed-seed samplers
+    make the committed streams seed-deterministic (rejection sampling draws
+    coins from each request's own xorshift stream)."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg, tok, target, _ = spec_setup
+    prompts = ["Once upon a time", "one two one two one"]
+
+    def run():
+        eng = InferenceEngine(
+            cfg, target.params, tok, batch_size=2, spec_lookup=4,
+        )
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        samplers = [Sampler(cfg.vocab_size, 1.0, 0.9, seed=314028)
+                    for _ in prompts]
+        eng.serve(reqs, steps=32, samplers=samplers)
+        return reqs.generations
+
+    a, bgen = run(), run()
+    assert a == bgen
+    assert all(g for g in a)
+
+
 def test_speculative_prompt_lookup_matches_greedy(spec_setup):
     """draft=None (prompt-lookup proposals) must also reproduce the target
     greedy stream exactly — random-weight greedy loops repeat n-grams, so

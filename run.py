@@ -22,6 +22,9 @@ Extra (framework-specific, double-dash):
   --attn xla|pallas          decode attention impl (default pallas)
   --no-prefill               force-feed prompts one token/step (parity mode)
   --tp N                     tensor-parallel size over available devices
+  --pp N [--micro M]         pipeline-parallel serving: N layer stages, M
+                             in-flight GPipe microbatches (M divides -b;
+                             dense params only)
   --quant q8|q4              quantize fp32 weights to Q8_0 / int4 on the fly
                              (v2 checkpoints use the fused int8 path already)
   --dequant                  force a v2 checkpoint through the dense path
@@ -91,6 +94,7 @@ def main(argv: list[str]) -> int:
     system_prompt = None
     input_filename = output_filename = None
     dtype_name, attn_impl, use_prefill, tp = "bfloat16", "pallas", True, 1
+    pp, pp_micro = 1, 1
     quant, dequant = None, False
     paged, page_size = False, 128
     device_sampling = False
@@ -192,6 +196,10 @@ def main(argv: list[str]) -> int:
             attn_impl = v
         elif a == "--tp":
             tp = int(v)
+        elif a == "--pp":
+            pp = int(v)
+        elif a == "--micro":
+            pp_micro = int(v)
         elif a == "--quant":
             quant = v
         else:
@@ -365,6 +373,38 @@ def main(argv: list[str]) -> int:
         mesh = make_mesh(tp=tp)
         shardings = make_shardings(cfg, mesh, kv_quant=kv_quant)
         params = shard_params(params, shardings)
+    elif pp > 1:
+        # pipeline-parallel serving: layer-range stages over a ("pp",) mesh,
+        # GPipe microbatch ticks inside one shard_map step (the reference's
+        # test_pipeline_parallelism, llama.cpp:1280-1485, re-designed: its 4
+        # host threads + per-device locks become n_micro in-flight
+        # microbatches ticked by ppermute)
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from hip_llama_tpu.parallel.pipeline import (
+            make_pp_decode_step,
+            pp_shardings,
+            stage_params,
+        )
+
+        if is_quant:
+            print("--pp supports dense (fp32/bf16) params only", file=sys.stderr)
+            return 1
+        if cfg.n_layers % pp or batch % pp_micro:
+            print(
+                f"--pp {pp} needs n_layers divisible by stages and -b "
+                f"divisible by --micro {pp_micro}",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+        p_sh, cache_sharding = pp_shardings(cfg, mesh)
+        params = jax.device_put(stage_params(params, pp), p_sh)
+        custom_step = make_pp_decode_step(
+            cfg, mesh, n_micro=pp_micro,
+            precision="highest" if dtype == jnp.float32 else "default",
+        )
 
     engine = InferenceEngine(
         cfg,

@@ -40,8 +40,9 @@ def test_pp_decode_matches_single(n_stages, n_micro):
     rng = np.random.default_rng(0)
     for p in range(3):
         toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
-        # ragged per-slot positions to exercise masked writes
-        pos = jnp.asarray([p, p, p, p], jnp.int32)
+        # genuinely ragged per-slot positions (continuous batching refills
+        # desynchronize slots) to exercise masked writes
+        pos = jnp.asarray([p + 3, p, 2 * p, p + 1], jnp.int32)
         l1, cache_1 = step_1(params, cache_1, toks, pos)
         lp, cache_pp = step_pp(sp, cache_pp, toks, pos)
         assert_close(lp, l1, atol=1e-4, rtol=1e-3, msg=f"pos {p}")
@@ -49,3 +50,35 @@ def test_pp_decode_matches_single(n_stages, n_micro):
     assert_close(
         np.asarray(cache_pp.k), np.asarray(cache_1.k), atol=1e-5, rtol=1e-4
     )
+
+
+def test_pp_serve_matches_single(toy_tokenizer):
+    """Whole-engine PP serving (custom_step = the GPipe step) through
+    continuous batching with retire/refill must match the single-device
+    force-feed engine byte-for-byte (greedy; both paths force-feed)."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(n_layers=4, seq_len=48)
+    params = params_from_weights(random_weights(cfg, seed=5))
+    prompts = ["hello hello", "he", " hello there", "hell"]
+
+    def run(pp):
+        if pp:
+            mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+            p_sh, c_sh = pp_shardings(cfg, mesh)
+            eng = InferenceEngine(
+                cfg, jax.device_put(stage_params(params, 2), p_sh),
+                toy_tokenizer, batch_size=2,
+                custom_step=make_pp_decode_step(cfg, mesh, n_micro=2),
+                cache_sharding=c_sh,
+            )
+        else:
+            eng = InferenceEngine(cfg, params, toy_tokenizer, batch_size=2,
+                                  use_prefill=False)
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        eng.serve(reqs, steps=24,
+                  samplers=[Sampler(cfg.vocab_size, 0.0) for _ in prompts])
+        return reqs.generations
+
+    assert run(True) == run(False)

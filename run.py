@@ -25,6 +25,9 @@ Extra (framework-specific, double-dash):
   --pp N [--micro M]         pipeline-parallel serving: N layer stages, M
                              in-flight GPipe microbatches (M divides -b;
                              dense params only)
+  --sp N                     sequence-parallel serving: KV cache sharded
+                             along the sequence dim, cross-chip online-
+                             softmax combine (dense params only)
   --quant q8|q4              quantize fp32 weights to Q8_0 / int4 on the fly
                              (v2 checkpoints use the fused int8 path already)
   --dequant                  force a v2 checkpoint through the dense path
@@ -94,7 +97,7 @@ def main(argv: list[str]) -> int:
     system_prompt = None
     input_filename = output_filename = None
     dtype_name, attn_impl, use_prefill, tp = "bfloat16", "pallas", True, 1
-    pp, pp_micro = 1, 1
+    pp, pp_micro, sp = 1, 1, 1
     quant, dequant = None, False
     paged, page_size = False, 128
     device_sampling = False
@@ -198,6 +201,8 @@ def main(argv: list[str]) -> int:
             tp = int(v)
         elif a == "--pp":
             pp = int(v)
+        elif a == "--sp":
+            sp = int(v)
         elif a == "--micro":
             pp_micro = int(v)
         elif a == "--quant":
@@ -403,6 +408,25 @@ def main(argv: list[str]) -> int:
         params = jax.device_put(stage_params(params, pp), p_sh)
         custom_step = make_pp_decode_step(
             cfg, mesh, n_micro=pp_micro,
+            precision="highest" if dtype == jnp.float32 else "default",
+        )
+    elif sp > 1:
+        # sequence-parallel serving: KV cache sharded along the sequence
+        # dim, cross-chip online-softmax combine (BEYOND reference — its
+        # long-context axis was host KV-swap, thaDNN.cpp:285-290)
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from hip_llama_tpu.parallel.sp import make_sp_decode_step, sp_shardings
+
+        if is_quant:
+            print("--sp supports dense (fp32/bf16) params only", file=sys.stderr)
+            return 1
+        mesh = Mesh(np.array(jax.devices()[:sp]), ("sp",))
+        p_sh, cache_sharding = sp_shardings(cfg, mesh)
+        params = jax.device_put(params, p_sh)
+        custom_step = make_sp_decode_step(
+            cfg, mesh,
             precision="highest" if dtype == jnp.float32 else "default",
         )
 

@@ -14,6 +14,45 @@ from hip_llama_tpu.models import init_kv_cache, make_decode_step, params_from_we
 from hip_llama_tpu.parallel.sp import make_sp_decode_step, sp_shardings
 
 
+def test_sp_serve_matches_single(toy_tokenizer):
+    """Whole-engine SP serving (KV sequence-sharded custom step) matches the
+    single-device force-feed engine on greedy generations (the cross-chip
+    psum reorders fp reductions, so stochastic coin-boundary parity is not
+    expected — greedy argmax is)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from hip_llama_tpu.config import tiny_config
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.models.params import params_from_weights
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg = tiny_config(n_layers=4, seq_len=48)
+    params = params_from_weights(random_weights(cfg, seed=5))
+    prompts = ["hello hello", "he", " hello there"]
+
+    def run(sp_n):
+        if sp_n:
+            mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
+            p_sh, c_sh = sp_shardings(cfg, mesh)
+            eng = InferenceEngine(
+                cfg, jax.device_put(params, p_sh), toy_tokenizer,
+                batch_size=2,
+                custom_step=make_sp_decode_step(cfg, mesh),
+                cache_sharding=c_sh,
+            )
+        else:
+            eng = InferenceEngine(cfg, params, toy_tokenizer, batch_size=2,
+                                  use_prefill=False)
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        eng.serve(reqs, steps=24,
+                  samplers=[Sampler(cfg.vocab_size, 0.0) for _ in prompts])
+        return reqs.generations
+
+    assert run(True) == run(False)
+
+
 @pytest.mark.parametrize("sp", [2, 4])
 def test_sp_decode_matches_single(sp):
     cfg = tiny_config(n_layers=3, seq_len=64)

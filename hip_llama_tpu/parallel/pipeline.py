@@ -219,3 +219,179 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
         return logits, KVCache(k, v)
 
     return step
+
+
+def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
+                    precision: str = "highest"):
+    """GPipe prefill: prefill(staged_params, cache, tokens (B, T),
+    start (B,), valid (B,)) -> (logits (B, T, V), cache).
+
+    Same tick schedule as make_pp_decode_step but each microbatch carries a
+    (mb, T, D) activation chunk — the reference's PP path force-feeds
+    prompts one token per pipeline pass (llama.cpp:1030-1033 semantics);
+    here a whole chunk flows through the stages per pass."""
+    c = cfg
+    n_stages = mesh.shape["pp"]
+    assert c.n_layers % n_stages == 0
+
+    def stage_layers(x, pl_, kc, vc, start_mb, valid_mb):
+        """x (mb, T, D); kc/vc (mb, L/S, KVH, S, HS). Returns x and the
+        updated local cache slices."""
+        mb, t, _ = x.shape
+        s = kc.shape[3]
+        pos = start_mb[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        tvalid = (
+            lax.broadcasted_iota(jnp.int32, (mb, t), 1) < valid_mb[:, None]
+        )
+        xs = (
+            pl_.rms_att, pl_.wq, pl_.wk, pl_.wv, pl_.wo, pl_.rms_ffn,
+            pl_.w1, pl_.w2, pl_.w3,
+            jnp.arange(pl_.rms_att.shape[0], dtype=jnp.int32),
+        )
+
+        def layer(carry, tns):
+            x, kc, vc = carry
+            rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3, l = tns
+            xb = rmsnorm(x, rms_a, c.norm_eps)
+            q = (xb @ wq).reshape(mb, t, c.n_heads, c.head_size)
+            k = (xb @ wk).reshape(mb, t, c.n_kv_heads, c.head_size)
+            v = (xb @ wv).reshape(mb, t, c.n_kv_heads, c.head_size)
+            q = rope(q, pos)
+            k = rope(k, pos)
+
+            def write_chunk(cache_l, new):
+                # window merge per slot at (i, l, :, start_i)
+                for i in range(mb):
+                    old = lax.dynamic_slice(
+                        cache_l, (i, l, 0, start_mb[i], 0),
+                        (1, 1, c.n_kv_heads, t, c.head_size),
+                    )[0, 0]
+                    new_i = jnp.swapaxes(new[i], 0, 1).astype(cache_l.dtype)
+                    merged = jnp.where(tvalid[i][None, :, None], new_i, old)
+                    cache_l = lax.dynamic_update_slice(
+                        cache_l, merged[None, None], (i, l, 0, start_mb[i], 0)
+                    )
+                return cache_l
+
+            kc = write_chunk(kc, k)
+            vc = write_chunk(vc, v)
+            kl = lax.dynamic_index_in_dim(kc, l, 1, keepdims=False)
+            vl = lax.dynamic_index_in_dim(vc, l, 1, keepdims=False)
+            kv_mul = c.n_heads // c.n_kv_heads
+            qs = q.reshape(mb, t, c.n_kv_heads, kv_mul, c.head_size)
+            if jax.default_backend() == "cpu":
+                kl, vl, qs = (a.astype(jnp.float32) for a in (kl, vl, qs))
+            scores = jnp.einsum(
+                "btgmd,bgsd->btgms", qs, kl,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(jnp.float32(c.head_size))
+            s_idx = lax.broadcasted_iota(jnp.int32, (mb, t, 1, 1, s), 4)
+            scores = jnp.where(
+                s_idx <= pos[:, :, None, None, None], scores, -jnp.inf
+            )
+            att = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum(
+                "btgms,bgsd->btgmd", att.astype(vl.dtype), vl,
+                preferred_element_type=jnp.float32,
+            ).reshape(mb, t, c.dim).astype(x.dtype)
+            x = x + out @ wo
+            xb = rmsnorm(x, rms_f, c.norm_eps)
+            h = jax.nn.silu(xb @ w1) * (xb @ w3)
+            x = x + h @ w2
+            return (x, kc, vc), None
+
+        (x, kc, vc), _ = lax.scan(layer, (x, kc, vc), xs)
+        return x, kc, vc
+
+    def spmd(params_local, k_local, v_local, tokens, start, valid):
+        pl_ = jax.tree.map(
+            lambda x: x[0] if x.ndim and x.shape[0] == 1 else x,
+            LlamaParams(
+                tok_emb=params_local.tok_emb,
+                rms_att=params_local.rms_att,
+                wq=params_local.wq, wk=params_local.wk, wv=params_local.wv,
+                wo=params_local.wo, rms_ffn=params_local.rms_ffn,
+                w1=params_local.w1, w2=params_local.w2, w3=params_local.w3,
+                rms_final=params_local.rms_final, wcls=params_local.wcls,
+            ),
+        )
+        sid = lax.axis_index("pp")
+        b, t = tokens.shape
+        mb = b // n_micro
+        x_all = pl_.tok_emb[tokens].astype(pl_.wq.dtype)  # (B, T, D)
+
+        act = jnp.zeros((mb, t, c.dim), pl_.wq.dtype)
+        logits_out = jnp.zeros((b, t, c.vocab_size), jnp.float32)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        for tick in range(n_micro + n_stages - 1):
+            m = tick - sid
+            tvalid_tick = (m >= 0) & (m < n_micro)
+            m_c = jnp.clip(m, 0, n_micro - 1)
+            inject = lax.dynamic_slice(x_all, (m_c * mb, 0, 0), (mb, t, c.dim))
+            act = jnp.where((sid == 0) & tvalid_tick, inject, act)
+            start_mb = lax.dynamic_slice(start, (m_c * mb,), (mb,))
+            # a tick this stage is idle for must not scribble on the cache:
+            # zero the window mask by zeroing valid
+            valid_mb = jnp.where(
+                tvalid_tick, lax.dynamic_slice(valid, (m_c * mb,), (mb,)), 0
+            )
+            kc = lax.dynamic_slice(
+                k_local, (m_c * mb, 0, 0, 0, 0), (mb,) + k_local.shape[1:]
+            )
+            vc = lax.dynamic_slice(
+                v_local, (m_c * mb, 0, 0, 0, 0), (mb,) + v_local.shape[1:]
+            )
+            y, kc, vc = stage_layers(act, pl_, kc, vc, start_mb, valid_mb)
+            k_local = lax.dynamic_update_slice(
+                k_local, kc, (m_c * mb, 0, 0, 0, 0)
+            )
+            v_local = lax.dynamic_update_slice(
+                v_local, vc, (m_c * mb, 0, 0, 0, 0)
+            )
+
+            xf = rmsnorm(y, pl_.rms_final, c.norm_eps)
+            lg = (xf @ pl_.wcls).astype(jnp.float32)
+            is_last = sid == n_stages - 1
+            old = lax.dynamic_slice(
+                logits_out, (m_c * mb, 0, 0), (mb, t, c.vocab_size)
+            )
+            logits_out = lax.dynamic_update_slice(
+                logits_out,
+                jnp.where(is_last & tvalid_tick, lg, old),
+                (m_c * mb, 0, 0),
+            )
+            act = lax.ppermute(y, "pp", perm)
+
+        logits_out = lax.psum(
+            jnp.where(sid == n_stages - 1, logits_out, 0.0), "pp"
+        )
+        return logits_out, k_local, v_local
+
+    f = shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(
+            LlamaParams(
+                tok_emb=P(), rms_att=P("pp"), wq=P("pp"), wk=P("pp"),
+                wv=P("pp"), wo=P("pp"), rms_ffn=P("pp"), w1=P("pp"),
+                w2=P("pp"), w3=P("pp"), rms_final=P(), wcls=P(),
+            ),
+            P(None, "pp"),
+            P(None, "pp"),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P(None, "pp"), P(None, "pp")),
+        check_vma=False,
+    )
+
+    def prefill(staged_params, cache: KVCache, tokens, start, valid):
+        with jax.default_matmul_precision(precision):
+            logits, k, v = f(
+                staged_params, cache.k, cache.v, tokens, start, valid
+            )
+        return logits, KVCache(k, v)
+
+    return prefill

@@ -389,6 +389,7 @@ def main(argv: list[str]) -> int:
 
         from hip_llama_tpu.parallel.pipeline import (
             make_pp_decode_step,
+            make_pp_prefill,
             pp_shardings,
             stage_params,
         )
@@ -407,6 +408,10 @@ def main(argv: list[str]) -> int:
         p_sh, cache_sharding = pp_shardings(cfg, mesh)
         params = jax.device_put(stage_params(params, pp), p_sh)
         custom_step = make_pp_decode_step(
+            cfg, mesh, n_micro=pp_micro,
+            precision="highest" if dtype == jnp.float32 else "default",
+        )
+        custom_prefill = make_pp_prefill(
             cfg, mesh, n_micro=pp_micro,
             precision="highest" if dtype == jnp.float32 else "default",
         )

@@ -52,6 +52,39 @@ def test_pp_decode_matches_single(n_stages, n_micro):
     )
 
 
+def test_pp_prefill_matches_oracle():
+    """GPipe chunked prefill vs the single-device prefill oracle: logits at
+    every valid position and the cache contents must agree."""
+    from hip_llama_tpu.models import make_prefill
+    from hip_llama_tpu.parallel.pipeline import make_pp_prefill
+
+    cfg = tiny_config(n_layers=4, seq_len=32)
+    params = params_from_weights(random_weights(cfg, seed=7))
+    b, t = 4, 8
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    sp = jax.device_put(stage_params(params, 2), pp_shardings(cfg, mesh)[0])
+    c_sh = pp_shardings(cfg, mesh)[1]
+
+    pre_pp = jax.jit(make_pp_prefill(cfg, mesh, n_micro=2))
+    pre_1 = jax.jit(make_prefill(cfg))
+
+    rng = np.random.default_rng(1)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+    start = jnp.asarray([0, 4, 8, 0], jnp.int32)  # ragged starts
+    valid = jnp.asarray([8, 6, 8, 3], jnp.int32)  # ragged lengths
+
+    cache_pp = jax.device_put(init_kv_cache(cfg, b), c_sh)
+    cache_1 = init_kv_cache(cfg, b)
+    lp, cache_pp = pre_pp(sp, cache_pp, toks, start, valid)
+    l1, cache_1 = pre_1(params, cache_1, toks, start, valid)
+    for s in range(b):
+        v = int(valid[s])
+        assert_close(np.asarray(lp)[s, :v], np.asarray(l1)[s, :v],
+                     atol=1e-4, rtol=1e-3, msg=f"slot {s}")
+    assert_close(np.asarray(cache_pp.k), np.asarray(cache_1.k),
+                 atol=1e-5, rtol=1e-4)
+
+
 def test_pp_serve_matches_single(toy_tokenizer):
     """Whole-engine PP serving (custom_step = the GPipe step) through
     continuous batching with retire/refill must match the single-device

@@ -24,6 +24,11 @@ class ModelConfig:
     # Q8_0 quantization group size (v2 checkpoints; reference: runq.c:227-232).
     group_size: int | None = None
     norm_eps: float = 1e-5
+    # RoPE base frequency. The reference hardcodes 10000 (seq.cpp:88); kept
+    # configurable so HF imports of Llama-3-era checkpoints (theta 500000)
+    # and CodeLlama (1e6) work. The llama2.c .bin headers cannot carry it —
+    # run.py --rope-theta overrides after load.
+    rope_theta: float = 10000.0
 
     @property
     def head_size(self) -> int:

@@ -48,6 +48,7 @@ def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
         seq_len=hc.get("max_position_embeddings", 2048),
         shared_classifier=bool(hc.get("tie_word_embeddings", False)),
         norm_eps=hc.get("rms_norm_eps", 1e-5),
+        rope_theta=float(hc.get("rope_theta", 10000.0)),
     )
 
     tensors: dict[str, np.ndarray] = {}

@@ -214,9 +214,10 @@ def _act_dtype(params):
     return params.tok_emb.dtype
 
 
-def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
+def rope(x: jax.Array, pos: jax.Array, theta: float = 10000.0) -> jax.Array:
     """Rotate consecutive (even, odd) pairs per head — llama2.c convention
-    (src/seq.cpp:86-100), NOT the HF half-rotation.
+    (src/seq.cpp:86-100), NOT the HF half-rotation. `theta` is the RoPE base
+    (reference hardcodes 10000; Llama-3-era models use larger bases).
 
     x: (..., n_heads, head_size); pos: broadcastable to x's leading dims.
 
@@ -231,7 +232,7 @@ def rope(x: jax.Array, pos: jax.Array) -> jax.Array:
     """
     head_size = x.shape[-1]
     half = head_size // 2
-    freq = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / head_size))
+    freq = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / head_size))
     # pos: (B,) -> angles (B, 1, half) against x (B, H, half)
     ang = pos.astype(jnp.float32)[..., None, None] * freq
     # expand pairwise to full head width: [c0, c0, c1, c1, ...]
@@ -449,8 +450,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 v = qkv[:, c.dim + c.kv_dim :].reshape(
                     b, c.n_kv_heads, c.head_size
                 )
-                q = rope(q, pos)
-                k = rope(k, pos)
+                q = rope(q, pos, c.rope_theta)
+                k = rope(k, pos, c.rope_theta)
                 att_out = attn(
                     q, cache.k, cache.v, l, pos, k, v,
                     cache.k_scale, cache.v_scale,
@@ -502,8 +503,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                     v = _mm_norm(x, rms_a, params.wv[l], c.norm_eps).reshape(
                         b, c.n_kv_heads, c.head_size
                     )
-                q = rope(q, pos)
-                k = rope(k, pos)
+                q = rope(q, pos, c.rope_theta)
+                k = rope(k, pos, c.rope_theta)
                 att_out = attn(
                     q, cache.k, cache.v, jnp.int32(l), pos, k, v,
                     cache.k_scale, cache.v_scale,
@@ -551,8 +552,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             q = _mm_norm(x, rms_a, wq, c.norm_eps).reshape(b, c.n_heads, c.head_size)
             k = _mm_norm(x, rms_a, wk, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
             v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
             # cache is read-only inside the loop; the current row rides along
             # as explicit attention operands and is written once after the scan
             att_out = attn(
@@ -658,8 +659,8 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
                     b, t, c.n_kv_heads, c.head_size
                 )
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
 
             def scatter_seq(c_b, new_b, st, vmask):
                 # window-granular write into (L, KVH, S, HS) at (l, :, st);

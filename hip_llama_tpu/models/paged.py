@@ -162,8 +162,8 @@ def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
             q = _mm(xb, wq).reshape(b, c.n_heads, c.head_size)
             k = _mm(xb, wk).reshape(b, c.n_kv_heads, c.head_size)
             v = _mm(xb, wv).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
             att_out = attention_decode_paged(
                 q, cache.k, cache.v, page_table, l, pos, k, v,
                 cache.k_scale, cache.v_scale,
@@ -291,8 +291,8 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
             q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
             k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
             v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
             if quantized_kv:
                 from hip_llama_tpu.ops.cache import quantize_kv_rows
 

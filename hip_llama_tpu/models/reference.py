@@ -36,11 +36,12 @@ def softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(dtype=F32)
 
 
-def rope_rotate(vec: np.ndarray, pos: int, head_size: int) -> np.ndarray:
+def rope_rotate(vec: np.ndarray, pos: int, head_size: int,
+                theta: float = 10000.0) -> np.ndarray:
     """Rotate consecutive pairs; vec is flat (n_heads*head_size,)."""
     v = vec.reshape(-1, head_size // 2, 2).astype(F32)
     j = np.arange(head_size // 2, dtype=F32)
-    freq = 1.0 / np.power(F32(10000.0), (2 * j) / F32(head_size))
+    freq = 1.0 / np.power(F32(theta), (2 * j) / F32(head_size))
     ang = F32(pos) * freq
     cos, sin = np.cos(ang, dtype=F32), np.sin(ang, dtype=F32)
     v0, v1 = v[..., 0], v[..., 1]
@@ -76,8 +77,8 @@ def forward(
         k = (w.wk[l] @ xb).astype(F32)
         v = (w.wv[l] @ xb).astype(F32)
 
-        q = rope_rotate(q, pos, hs)
-        k = rope_rotate(k, pos, hs)
+        q = rope_rotate(q, pos, hs, c.rope_theta)
+        k = rope_rotate(k, pos, hs, c.rope_theta)
         state.key_cache[l, pos] = k
         state.value_cache[l, pos] = v
 

@@ -109,8 +109,8 @@ def make_streaming_decode_step(cfg: ModelConfig, dtype=jnp.bfloat16, kv_host: bo
         q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
         k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
         v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
-        q = rope(q, pos)
-        k = rope(k, pos)
+        q = rope(q, pos, c.rope_theta)
+        k = rope(k, pos, c.rope_theta)
         att = attention_decode_xla(
             q, k_layer[:, None], v_layer[:, None], jnp.int32(0), pos, k, v
         ).reshape(b, c.dim)

@@ -104,8 +104,8 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
             v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos_mb)
-            k = rope(k, pos_mb)
+            q = rope(q, pos_mb, c.rope_theta)
+            k = rope(k, pos_mb, c.rope_theta)
             from hip_llama_tpu.models.llama import attention_decode_xla
 
             att = attention_decode_xla(q, kc, vc, l, pos_mb, k, v).reshape(b, c.dim)
@@ -256,8 +256,8 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             q = (xb @ wq).reshape(mb, t, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(mb, t, c.n_kv_heads, c.head_size)
             v = (xb @ wv).reshape(mb, t, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
 
             def write_chunk(cache_l, new):
                 # window merge per slot at (i, l, :, start_i)

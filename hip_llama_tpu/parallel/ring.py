@@ -102,8 +102,8 @@ def make_ring_train_forward(cfg: ModelConfig, mesh: Mesh, precision: str = "defa
             q = (xb @ wq).reshape(b, tl, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(b, tl, c.n_kv_heads, c.head_size)
             v = (xb @ wv).reshape(b, tl, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
             att = ring_attention(q, k, v, "sp", sp, base).reshape(
                 b, tl, c.dim
             ).astype(x.dtype)

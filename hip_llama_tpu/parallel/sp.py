@@ -70,8 +70,8 @@ def make_sp_decode_step(cfg: ModelConfig, mesh: Mesh, precision: str = "highest"
             q = (xb @ wq).reshape(b, c.n_heads, c.head_size)
             k = (xb @ wk).reshape(b, c.n_kv_heads, c.head_size)
             v = (xb @ wv).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
 
             # local partial attention over this device's KV shard
             kc = lax.dynamic_index_in_dim(k_cache, l, 1, keepdims=False)

@@ -112,8 +112,8 @@ def make_tp_decode_step(cfg: ModelConfig, mesh: Mesh, params_like,
             q = _mm(xb, wq).reshape(b, n_heads_l, c.head_size)
             k = _mm(xb, wk).reshape(b, n_kv_l, c.head_size)
             v = _mm(xb, wv).reshape(b, n_kv_l, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_decode_pallas
 
@@ -210,8 +210,8 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
             q = _mm(xb, wq).reshape(b, t, n_heads_l, c.head_size)
             k = _mm(xb, wk).reshape(b, t, n_kv_l, c.head_size)
             v = _mm(xb, wv).reshape(b, t, n_kv_l, c.head_size)
-            q = rope(q, pos)
-            k = rope(k, pos)
+            q = rope(q, pos, c.rope_theta)
+            k = rope(k, pos, c.rope_theta)
 
             def scatter_seq(c_b, new_b, st, vmask):
                 old = lax.dynamic_slice(

@@ -34,8 +34,8 @@ def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "d
         q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
         k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
         v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
-        q = rope(q, pos)
-        k = rope(k, pos)
+        q = rope(q, pos, c.rope_theta)
+        k = rope(k, pos, c.rope_theta)
         kv_mul = c.n_heads // c.n_kv_heads
         qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
         scores = jnp.einsum(

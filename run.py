@@ -28,6 +28,8 @@ Extra (framework-specific, double-dash):
   --sp N                     sequence-parallel serving: KV cache sharded
                              along the sequence dim, cross-chip online-
                              softmax combine (dense params only)
+  --rope-theta F             RoPE base override (.bin headers can't carry
+                             it; Llama-3-era models use 500000/1e6)
   --quant q8|q4              quantize fp32 weights to Q8_0 / int4 on the fly
                              (v2 checkpoints use the fused int8 path already)
   --dequant                  force a v2 checkpoint through the dense path
@@ -98,6 +100,7 @@ def main(argv: list[str]) -> int:
     input_filename = output_filename = None
     dtype_name, attn_impl, use_prefill, tp = "bfloat16", "pallas", True, 1
     pp, pp_micro, sp = 1, 1, 1
+    rope_theta = None
     quant, dequant = None, False
     paged, page_size = False, 128
     device_sampling = False
@@ -203,6 +206,8 @@ def main(argv: list[str]) -> int:
             pp = int(v)
         elif a == "--sp":
             sp = int(v)
+        elif a == "--rope-theta":
+            rope_theta = float(v)
         elif a == "--micro":
             pp_micro = int(v)
         elif a == "--quant":
@@ -262,6 +267,12 @@ def main(argv: list[str]) -> int:
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
     cfg, weights = load_checkpoint(checkpoint_path)
+    if rope_theta is not None:
+        # the llama2.c .bin headers can't carry the RoPE base; override for
+        # Llama-3-era exports (HF-dir loads pick it up from config.json)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, rope_theta=rope_theta)
 
     if stream:
         # weight-streaming path (models > HBM): weights stay host-resident

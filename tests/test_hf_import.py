@@ -55,6 +55,40 @@ def test_hf_import_matches_transformers(hf_dir):
     assert_close(got, want, atol=2e-3, rtol=2e-3)
 
 
+def test_hf_import_rope_theta(tmp_path_factory):
+    """A non-default rope_theta in config.json (Llama-3-era checkpoints)
+    must flow into ModelConfig and produce logits matching transformers'
+    own forward with that base."""
+    cfg_hf = transformers.LlamaConfig(
+        hidden_size=64,
+        intermediate_size=172,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        vocab_size=256,
+        max_position_embeddings=64,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+        rope_theta=100000.0,
+    )
+    torch.manual_seed(1)
+    model = transformers.LlamaForCausalLM(cfg_hf)
+    d = tmp_path_factory.mktemp("hf_llama_theta")
+    model.save_pretrained(d, safe_serialization=False)
+
+    cfg, w = load_hf_llama(str(d))
+    assert cfg.rope_theta == 100000.0
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg.vocab_size, (1, 12)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(toks)).logits.float().numpy()
+    params = params_from_weights(w, dtype=jnp.float32)
+    fwd = jax.jit(make_train_forward(cfg, precision="highest"))
+    got = np.asarray(fwd(params, jnp.asarray(toks, jnp.int32)))
+    assert_close(got, want, atol=2e-3, rtol=2e-3)
+
+
 def test_hf_import_decode_path(hf_dir):
     """Step-by-step decode on imported weights matches HF's full forward."""
     path, hf_model = hf_dir

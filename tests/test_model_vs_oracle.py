@@ -47,6 +47,38 @@ def test_multi_step_decode_matches_oracle(setup):
         assert_close(got[p], want[p], atol=1e-4, rtol=1e-3, msg=f"pos {p}")
 
 
+def test_rope_theta_override_matches_oracle(tiny_cfg, tiny_weights):
+    """Non-default RoPE base (Llama-3-era models) flows through both the
+    jitted decode step and the numpy oracle identically — and actually
+    changes the output vs the default base."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, rope_theta=500000.0)
+    params = params_from_weights(tiny_weights, dtype=jnp.float32)
+    step = make_decode_step(cfg)
+    tokens = [3, 17, 100, 9]
+    state = ref.RefState.create(cfg)
+    want = [ref.forward(cfg, tiny_weights, state, t, p)
+            for p, t in enumerate(tokens)]
+
+    cache = init_kv_cache(cfg, batch=1)
+    got = []
+    for p, t in enumerate(tokens):
+        logits, cache = step(params, cache, jnp.array([t]), jnp.array([p]))
+        got.append(np.asarray(logits[0]))
+    for p in range(len(tokens)):
+        assert_close(got[p], want[p], atol=1e-4, rtol=1e-3, msg=f"pos {p}")
+
+    # sanity: the base actually matters beyond pos 0 (pos 0 angle is 0)
+    base_step = make_decode_step(tiny_cfg)
+    cache2 = init_kv_cache(tiny_cfg, batch=1)
+    base = []
+    for p, t in enumerate(tokens):
+        lg, cache2 = base_step(params, cache2, jnp.array([t]), jnp.array([p]))
+        base.append(np.asarray(lg[0]))
+    assert np.abs(base[-1] - got[-1]).max() > 1e-3
+
+
 def test_batched_slots_are_independent(setup):
     """Ragged batch: slots at different positions must match per-sequence
     oracles (the fixed-shape reformulation of llama.cpp:968-1073)."""

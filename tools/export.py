@@ -79,6 +79,12 @@ def main():
 
         cfg, w = load_meta_llama(args.meta)
 
+    if cfg.rope_theta != 10000.0:
+        print(
+            f"note: source model uses rope_theta={cfg.rope_theta:g}; the "
+            ".bin header cannot carry it — load with run.py "
+            f"--rope-theta {cfg.rope_theta:g}"
+        )
     if args.version == 0:
         write_v0(args.filepath, cfg, w)
     elif args.version == 1:

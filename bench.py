@@ -266,12 +266,25 @@ def main():
         "reference-parity-dtype run)",
     )
     ap.add_argument(
-        "--mode", default="decode", choices=["decode", "ttft"],
+        "--mode", default="decode", choices=["decode", "ttft", "serve"],
         help="decode: steady-state tok/s (the default metric). ttft: time "
         "one chunked prefill of --prompt-len tokens per slot (the p50 TTFT "
-        "component of BASELINE.json; excludes compile)",
+        "component of BASELINE.json; excludes compile). serve: whole-engine "
+        "continuous-batching throughput over a synthetic corpus (composes "
+        "with --chunk/--spec/--paged/--prefix-cache; includes scheduler + "
+        "prefill + per-dispatch overhead)",
     )
     ap.add_argument("--prompt-len", type=int, default=512)
+    ap.add_argument("--prompts", type=int, default=None,
+                    help="serve mode: number of requests (default 2*batch)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="serve mode: multi-step scheduling chunk size")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="serve mode: prompt-lookup speculation lookahead")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve mode: paged KV cache (page size 128)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="serve mode: prefix caching (implies --paged)")
     ap.add_argument(
         "--loop", default="device", choices=["device", "host"],
         help="device: whole timed window is one jitted greedy decode chain "
@@ -296,11 +309,20 @@ def main():
     cfg = CONFIGS[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.window is None:
-        args.window = 2 * args.prompt_len if args.mode == "ttft" else 512
+        args.window = (
+            2 * args.prompt_len if args.mode in ("ttft", "serve") else 512
+        )
     b, window = args.batch, args.window
+    if args.prefix_cache:
+        args.paged = True
 
     if args.quant == "q8":
-        if args.layout == "stacked":
+        if args.paged:
+            # the paged step scans the PLAIN stacked qparams (run.py keeps
+            # that layout for paged mode too — no unroll/fuse)
+            params = rand_qparams_on_device(cfg)
+            dtype = jnp.bfloat16
+        elif args.layout == "stacked":
             params = rand_qparams_stacked_fused_on_device(cfg)
         elif args.unroll:
             params = rand_qparams_unrolled_on_device(cfg)
@@ -315,6 +337,81 @@ def main():
     cache = init_kv_cache(
         cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
     )
+    if args.mode == "serve":
+        # whole-engine continuous-batching throughput: scheduler + chunked
+        # prefill + decode + (optionally) multi-step chunks, speculation,
+        # paged KV, prefix caching — what a deployment actually serves.
+        # Self-contained synthetic corpus (a word->id tokenizer, no files).
+        from hip_llama_tpu.engine import InferenceEngine, Requests
+        from hip_llama_tpu.sampler import Sampler
+
+        class _BenchTok:
+            bos_id, eos_id = 1, 2
+
+            def encode(self, text, bos=True, eos=False):
+                ids = [3 + (ord(w[0]) * 131 + len(w) * 7 + i * 29) % (
+                    cfg.vocab_size - 3) for i, w in enumerate(text.split())]
+                return ([1] if bos else []) + ids + ([2] if eos else [])
+
+            def decode_piece(self, prev, tok):
+                return b"x"
+
+        n_reqs = args.prompts or 2 * b
+        prompt_words = " ".join(
+            f"w{j % 89}" for j in range(max(args.prompt_len - 1, 1))
+        )
+        prompts = [f"{prompt_words} p{i % 7}" for i in range(n_reqs)]
+        device_sampling = args.chunk <= 1 and args.spec == 0 and not args.paged
+
+        def build_engine():
+            return InferenceEngine(
+                cfg, params, _BenchTok(), batch_size=b, attn_impl=args.attn,
+                precision="default", max_seq_len=window,
+                kv_quant=(args.kv == "int8"), paged=args.paged,
+                page_size=128, prefix_cache=args.prefix_cache,
+                chunk_steps=args.chunk, spec_lookup=args.spec,
+                device_sampling=device_sampling,
+            )
+
+        def run_serve(eng, reqs, steps):
+            stats = {}
+            samplers = [Sampler(cfg.vocab_size, 0.0) for _ in reqs.prompts]
+            n = eng.serve(reqs, steps=steps, samplers=samplers, stats=stats)
+            return n, stats
+
+        eng = build_engine()
+        # warmup: same prompt length -> same compiled prefill/step shapes
+        warm = Requests(prompts=prompts[:b], generations=[""] * b)
+        run_serve(eng, warm, steps=min(args.prompt_len + 8, window))
+        reqs = Requests(prompts=list(prompts), generations=[""] * n_reqs)
+        n_gen, stats = run_serve(eng, reqs, steps=window)
+
+        kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
+        if args.kv == "int8":
+            kind += "_kv8"
+        feats = "".join(
+            f for f, on in (
+                (f"_chunk{args.chunk}", args.chunk > 1),
+                (f"_spec{args.spec}", args.spec > 0),
+                ("_paged", args.paged), ("_pfx", args.prefix_cache),
+            ) if on
+        )
+        wbytes = param_bytes(params)
+        kv_bytes = 2 * cache.k.size * cache.k.dtype.itemsize
+        if cache.k_scale is not None:
+            kv_bytes += 2 * cache.k_scale.size * cache.k_scale.dtype.itemsize
+        sol_tok = b / ((wbytes + kv_bytes) / HBM_BW_BYTES)
+        print(json.dumps({
+            "metric": (
+                f"serve_tok_per_s_llama2_{args.model}_{kind}_b{b}"
+                f"_prompt{args.prompt_len}{feats}"
+            ),
+            "value": round(stats["tok_per_s"], 2),
+            "unit": "tok/s",
+            "vs_baseline": round(stats["tok_per_s"] / sol_tok, 4),
+        }))
+        return
+
     if args.mode == "ttft":
         # p50 TTFT = one chunked prefill of the prompt + the first decode
         # step. The reference force-feeds prompts one token/step, so its

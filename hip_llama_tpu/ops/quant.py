@@ -92,9 +92,21 @@ def _q8_kernel_norm(x_ref, q_ref, s_ref, g_ref, o_ref, acc_ref, **kw):
     _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
 
 
+def _q8_kernel_res(x_ref, q_ref, s_ref, r_ref, o_ref, acc_ref, **kw):
+    # fused-residual variant: o = residual + x @ W (epilogue add on the
+    # fp32 accumulator; kills the standalone XLA residual-add op per layer)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, r_ref=r_ref, **kw)
+
+
+def _q8_kernel_norm_res(x_ref, q_ref, s_ref, g_ref, r_ref, o_ref, acc_ref,
+                        **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+               r_ref=r_ref, **kw)
+
+
 def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
-    dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None,
+    dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None, r_ref=None,
     norm_eps: float = 1e-5,
 ):
     j = pl.program_id(k_axis)
@@ -172,7 +184,10 @@ def _q8_kernel(
 
     @pl.when(j == last_j)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        acc = acc_ref[:]
+        if r_ref is not None:
+            acc = acc + r_ref[:].astype(jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _q8_kernel_silu(
@@ -366,10 +381,14 @@ def q8_matmul(
     dequant_mode: str = _ENV_MODE,
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
 
     Fused dequantization: int8 tiles are the only weight HBM traffic.
+    `residual` (B, N) is added in the kernel epilogue on the fp32
+    accumulator (o = residual + x @ W) — the decode step's two per-layer
+    residual adds otherwise each cost a standalone XLA op dispatch.
     """
     b, k = x.shape
     kq, n = qt.q.shape
@@ -418,6 +437,8 @@ def q8_matmul(
         if b % 512:
             pad_m = 512 - b % 512
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
+            if residual is not None:
+                residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
     # Mosaic tile legality: last-two block dims must be (8, 128)-divisible or
     # equal to the full array dims. Tiny models (test configs) fail this —
     # fall back to the dense-dequant einsum, which is fine at those sizes.
@@ -426,9 +447,14 @@ def q8_matmul(
     if not (ok_x and ok_w) and not interpret:
         if pad_m:
             x = x[:b]
+            if residual is not None:
+                residual = residual[:b]
         if norm_weight is not None:
             x = _rmsnorm_rows(x, norm_weight, norm_eps)
-        return q8_matmul_xla(x, qt).astype(out_dtype)
+        y = q8_matmul_xla(x, qt)
+        if residual is not None:
+            y = residual.astype(jnp.float32) + y
+        return y.astype(out_dtype)
     if norm_weight is not None and block_k != k:
         # in-kernel rmsnorm needs the whole contraction row resident;
         # multi-K-block shapes normalize outside (XLA fuses it)
@@ -451,21 +477,30 @@ def q8_matmul(
         ),
     ]
     operands = [x, qt.q, s_blocked]
+    kw = dict(n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+              dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps)
     if norm_weight is not None:
-        kernel = functools.partial(
-            _q8_kernel_norm, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
-            dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps,
-        )
         in_specs.append(
             pl.BlockSpec((1, block_k), lambda m, i, j: (0, j),
                          memory_space=pltpu.VMEM)
         )
         operands.append(norm_weight.reshape(1, k))
-    else:
-        kernel = functools.partial(
-            _q8_kernel, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
-            dequant_mode=dequant_mode, k_axis=2,
+    if residual is not None:
+        # residual blocks track the OUTPUT block (m, i)
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda m, i, j: (m, i),
+                         memory_space=pltpu.VMEM)
         )
+        operands.append(residual)
+    kernel = functools.partial(
+        {
+            (False, False): _q8_kernel,
+            (True, False): _q8_kernel_norm,
+            (False, True): _q8_kernel_res,
+            (True, True): _q8_kernel_norm_res,
+        }[(norm_weight is not None, residual is not None)],
+        **kw,
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -498,6 +533,19 @@ def _q8_kernel_layered_norm(layer_ref, x_ref, q_ref, s_ref, g_ref, o_ref,
     _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
 
 
+def _q8_kernel_layered_res(layer_ref, x_ref, q_ref, s_ref, r_ref, o_ref,
+                           acc_ref, **kw):
+    del layer_ref
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, r_ref=r_ref, **kw)
+
+
+def _q8_kernel_layered_norm_res(layer_ref, x_ref, q_ref, s_ref, g_ref, r_ref,
+                                o_ref, acc_ref, **kw):
+    del layer_ref
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+               r_ref=r_ref, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -517,6 +565,7 @@ def q8_matmul_layered(
     dequant_mode: str = _ENV_MODE,
     norm_weight: jax.Array | None = None,  # STACKED (L, K) f32
     norm_eps: float = 1e-5,
+    residual: jax.Array | None = None,  # (B, N), added in the epilogue
 ) -> jax.Array:
     """x (B, K) @ dequant(q[layer]) -> (B, N), selecting the layer via a
     scalar-prefetched BlockSpec index — used inside the layer scan so XLA
@@ -567,7 +616,10 @@ def q8_matmul_layered(
     if not (ok_x and ok_w) and not interpret:
         ql = jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False)
         sl = jax.lax.dynamic_index_in_dim(qt.s, layer, 0, keepdims=False)
-        return q8_matmul_xla(norm_slice(x), QTensor(q=ql, s=sl)).astype(out_dtype)
+        y = q8_matmul_xla(norm_slice(x), QTensor(q=ql, s=sl))
+        if residual is not None:
+            y = residual.astype(jnp.float32) + y
+        return y.astype(out_dtype)
     fuse_norm = norm_weight is not None and block_k == k
     if norm_weight is not None and not fuse_norm:
         x = norm_slice(x)
@@ -583,21 +635,25 @@ def q8_matmul_layered(
     ]
     operands = [x, qt.q, s_blocked]
     if fuse_norm:
-        kernel = functools.partial(
-            _q8_kernel_layered_norm, n_groups=n_groups, gs=gs,
-            last_j=grid[1] - 1, dequant_mode=dequant_mode, norm_eps=norm_eps,
-        )
         # (L, 1, K) view: the (1, 1, block_k) block's last-two dims equal
         # the array dims, satisfying Mosaic tile legality for any L
         in_specs.append(
             pl.BlockSpec((1, 1, block_k), lambda i, j, lr: (lr[0], 0, j))
         )
         operands.append(norm_weight.reshape(n_layers, 1, k))
-    else:
-        kernel = functools.partial(
-            _q8_kernel_layered, n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
-            dequant_mode=dequant_mode,
-        )
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((b, block_n), lambda i, j, lr: (0, i)))
+        operands.append(residual)
+    kernel = functools.partial(
+        {
+            (False, False): _q8_kernel_layered,
+            (True, False): _q8_kernel_layered_norm,
+            (False, True): _q8_kernel_layered_res,
+            (True, True): _q8_kernel_layered_norm_res,
+        }[(fuse_norm, residual is not None)],
+        n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
+        dequant_mode=dequant_mode, norm_eps=norm_eps,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

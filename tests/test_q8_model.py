@@ -203,6 +203,31 @@ def test_q8_matmul_fused_norm_matches_separate():
         assert_close(fused, manual, atol=0.05, rtol=0.05, msg=f"{(b, k, n)}")
 
 
+def test_q8_matmul_fused_residual_matches_separate():
+    """q8_matmul(residual=r) == r + q8_matmul(x) — the fused epilogue add,
+    alone and combined with the fused-norm prologue, including the >512-row
+    padded-M path and the tiny-shape XLA fallback."""
+    from hip_llama_tpu.models.llama import rmsnorm
+    from hip_llama_tpu.ops.quant import q8_matmul, q8_quantize_weights
+
+    rng = np.random.default_rng(11)
+    for b, k, n in [(8, 256, 256), (600, 256, 256), (4, 96, 64)]:
+        x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+        r = jnp.asarray(rng.normal(size=(b, n)), jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(k,)) * 0.5 + 1.0, jnp.float32)
+        qt = q8_quantize_weights(rng.normal(size=(k, n)), group_size=32)
+        fused = q8_matmul(x, qt, residual=r)
+        manual = r.astype(jnp.float32) + q8_matmul(x, qt).astype(jnp.float32)
+        assert_close(fused.astype(jnp.float32), manual, atol=0.05, rtol=0.05,
+                     msg=f"res {(b, k, n)}")
+        both = q8_matmul(x, qt, residual=r, norm_weight=g, norm_eps=1e-5)
+        manual2 = r.astype(jnp.float32) + q8_matmul(
+            rmsnorm(x, g, 1e-5), qt
+        ).astype(jnp.float32)
+        assert_close(both.astype(jnp.float32), manual2, atol=0.05, rtol=0.05,
+                     msg=f"norm+res {(b, k, n)}")
+
+
 def test_q8_stacked_fused_matches_unrolled(q8_cfg, q8_weights):
     """The stacked-fused layered-kernel decode branch (weights as (L, K, N)
     arrays + scalar-prefetched layer index) matches the unrolled per-layer

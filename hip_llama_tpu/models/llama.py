@@ -106,12 +106,22 @@ def _mm(x: jax.Array, w) -> jax.Array:
 
 
 def _mm_res(res: jax.Array, x: jax.Array, w) -> jax.Array:
-    """res + x @ w with the residual add fused into the q8 kernel epilogue
-    (fp32 accumulator add; saves one XLA op dispatch per call — 2/layer in
-    the decode step). Dense and int4 weights keep the XLA add."""
+    """res + x @ w with the residual add fused into the quantized kernels'
+    epilogue (fp32 accumulator add; saves one XLA op dispatch per call —
+    2/layer in the decode step). Dense weights keep the XLA add (fused by
+    XLA anyway)."""
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         y = q8_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=res.dtype,
+            residual=res.reshape(-1, res.shape[-1]),
+        )
+        return y.reshape(*lead, y.shape[-1])
+    if isinstance(w, Q4Tensor):
+        from hip_llama_tpu.ops.quant4 import q4_matmul
+
+        lead = x.shape[:-1]
+        y = q4_matmul(
             x.reshape(-1, x.shape[-1]), w, out_dtype=res.dtype,
             residual=res.reshape(-1, res.shape[-1]),
         )

@@ -137,7 +137,7 @@ def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):
 def _q4_kernel(
     x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
     *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
-    norm_eps: float = 1e-5,
+    r_ref=None, norm_eps: float = 1e-5,
 ):
     j = pl.program_id(k_axis)
 
@@ -162,13 +162,29 @@ def _q4_kernel(
 
     @pl.when(j == last_j)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        acc = acc_ref[:]
+        if r_ref is not None:
+            acc = acc + r_ref[:].astype(jnp.float32)
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _q4_kernel_norm(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
                     o_ref, acc_ref, **kw):
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
                g_ref=g_ref, **kw)
+
+
+def _q4_kernel_res(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, r_ref,
+                   o_ref, acc_ref, **kw):
+    # fused residual epilogue: o = residual + x @ W (see ops/quant.py)
+    _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+               r_ref=r_ref, **kw)
+
+
+def _q4_kernel_norm_res(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
+                        r_ref, o_ref, acc_ref, **kw):
+    _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+               g_ref=g_ref, r_ref=r_ref, **kw)
 
 
 def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
@@ -191,9 +207,11 @@ def q4_matmul(
     out_dtype=None,
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
     """x (B, K) @ dequant(int4 t) -> (B, N). Packed nibbles are the only
-    weight HBM traffic (~0.5 B/weight + scales vs the q8 path's ~1.06)."""
+    weight HBM traffic (~0.5 B/weight + scales vs the q8 path's ~1.06).
+    `residual` (B, N) is added in the epilogue (see ops/quant.py)."""
     b, k = x.shape
     assert k == t.k_dim, (x.shape, t.q.shape)
     n = t.q.shape[-1]
@@ -222,7 +240,10 @@ def q4_matmul(
     if not (ok_x and ok_w) and not interpret:
         if norm_weight is not None:
             x = _rmsnorm_rows(x, norm_weight, norm_eps)
-        return q4_matmul_xla(x, t).astype(out_dtype)
+        y = q4_matmul_xla(x, t)
+        if residual is not None:
+            y = residual.astype(jnp.float32) + y
+        return y.astype(out_dtype)
 
     block_m = b
     pad_m = 0
@@ -231,6 +252,8 @@ def q4_matmul(
         if b % 512:
             pad_m = 512 - b % 512
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
+            if residual is not None:
+                residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
     bp = b + pad_m
     if norm_weight is not None and bkh != kh:
         x = _rmsnorm_rows(x, norm_weight, norm_eps)
@@ -256,18 +279,25 @@ def q4_matmul(
     ]
     operands = [x, x, t.q, s_blocked, s_blocked]
     if norm_weight is not None:
-        kernel = functools.partial(
-            _q4_kernel_norm, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
-            norm_eps=norm_eps,
-        )
         in_specs.append(
             pl.BlockSpec((1, k), lambda m, i, j: (0, 0), memory_space=pltpu.VMEM)
         )
         operands.append(norm_weight.reshape(1, k))
-    else:
-        kernel = functools.partial(
-            _q4_kernel, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda m, i, j: (m, i),
+                         memory_space=pltpu.VMEM)
         )
+        operands.append(residual)
+    kernel = functools.partial(
+        {
+            (False, False): _q4_kernel,
+            (True, False): _q4_kernel_norm,
+            (False, True): _q4_kernel_res,
+            (True, True): _q4_kernel_norm_res,
+        }[(norm_weight is not None, residual is not None)],
+        n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1, norm_eps=norm_eps,
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,

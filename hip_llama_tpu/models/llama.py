@@ -155,6 +155,34 @@ def _mm_norm(x: jax.Array, g: jax.Array, w, eps: float) -> jax.Array:
     return _mm(rmsnorm(x, g, eps), w)
 
 
+def _mm_norm_rope(x: jax.Array, g: jax.Array, w, eps: float, pos: jax.Array,
+                  rot_limit: int, head_size: int, theta: float) -> jax.Array:
+    """rmsnorm(x, g) @ w with RoPE applied to the first `rot_limit` output
+    columns (the q|k segments of a QKV projection, head-aligned).
+
+    For QTensor weights ALL THREE stages fuse into one kernel (norm
+    prologue, int8 dequant matmul, rope epilogue on the fp32 accumulator) —
+    the decode step's 2 standalone rope ops per layer disappear. Other
+    weight types project then rotate via rope()."""
+    if isinstance(w, QTensor):
+        lead = x.shape[:-1]
+        y = q8_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps, rope_pos=pos.reshape(-1),
+            rope_limit=rot_limit, rope_head=head_size, rope_theta=theta,
+        )
+        return y.reshape(*lead, y.shape[-1])
+    y = _mm_norm(x, g, w, eps)
+    lead = y.shape[:-1]
+    seg = rope(
+        y[..., :rot_limit].reshape(*lead, rot_limit // head_size, head_size),
+        pos, theta,
+    ).reshape(*lead, rot_limit)
+    if rot_limit == y.shape[-1]:
+        return seg
+    return jnp.concatenate([seg, y[..., rot_limit:]], axis=-1)
+
+
 def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
     """silu(rmsnorm(x, g) @ W1) * (rmsnorm(x, g) @ W3) with W1|W3 fused
     along N — one Q8 kernel, gate product on the fp32 accumulators
@@ -466,6 +494,8 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 qkv = q8_matmul_layered(
                     x, params.wq, l, out_dtype=x.dtype,
                     norm_weight=params.rms_att, norm_eps=c.norm_eps,
+                    rope_pos=pos, rope_limit=c.dim + c.kv_dim,
+                    rope_head=c.head_size, rope_theta=c.rope_theta,
                 )
                 q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
                 k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
@@ -474,8 +504,6 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 v = qkv[:, c.dim + c.kv_dim :].reshape(
                     b, c.n_kv_heads, c.head_size
                 )
-                q = rope(q, pos, c.rope_theta)
-                k = rope(k, pos, c.rope_theta)
                 att_out = attn(
                     q, cache.k, cache.v, l, pos, k, v,
                     cache.k_scale, cache.v_scale,
@@ -511,7 +539,12 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             for l in range(c.n_layers):
                 rms_a = params.rms_att[l]
                 if fused:
-                    qkv = _mm_norm(x, rms_a, params.wq[l], c.norm_eps)
+                    # norm + int8 matmul + rope in ONE kernel (q|k rotate in
+                    # the epilogue; v passes through)
+                    qkv = _mm_norm_rope(
+                        x, rms_a, params.wq[l], c.norm_eps, pos,
+                        c.dim + c.kv_dim, c.head_size, c.rope_theta,
+                    )
                     q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
                     k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
                         b, c.n_kv_heads, c.head_size
@@ -520,17 +553,17 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                         b, c.n_kv_heads, c.head_size
                     )
                 else:
-                    q = _mm_norm(x, rms_a, params.wq[l], c.norm_eps).reshape(
-                        b, c.n_heads, c.head_size
-                    )
-                    k = _mm_norm(x, rms_a, params.wk[l], c.norm_eps).reshape(
-                        b, c.n_kv_heads, c.head_size
-                    )
+                    q = _mm_norm_rope(
+                        x, rms_a, params.wq[l], c.norm_eps, pos, c.dim,
+                        c.head_size, c.rope_theta,
+                    ).reshape(b, c.n_heads, c.head_size)
+                    k = _mm_norm_rope(
+                        x, rms_a, params.wk[l], c.norm_eps, pos, c.kv_dim,
+                        c.head_size, c.rope_theta,
+                    ).reshape(b, c.n_kv_heads, c.head_size)
                     v = _mm_norm(x, rms_a, params.wv[l], c.norm_eps).reshape(
                         b, c.n_kv_heads, c.head_size
                     )
-                q = rope(q, pos, c.rope_theta)
-                k = rope(k, pos, c.rope_theta)
                 att_out = attn(
                     q, cache.k, cache.v, jnp.int32(l), pos, k, v,
                     cache.k_scale, cache.v_scale,
@@ -575,11 +608,15 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
         def layer(carry, xs):
             x = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
-            q = _mm_norm(x, rms_a, wq, c.norm_eps).reshape(b, c.n_heads, c.head_size)
-            k = _mm_norm(x, rms_a, wk, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
+            q = _mm_norm_rope(
+                x, rms_a, wq, c.norm_eps, pos, c.dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, c.n_heads, c.head_size)
+            k = _mm_norm_rope(
+                x, rms_a, wk, c.norm_eps, pos, c.kv_dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, c.n_kv_heads, c.head_size)
             v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos, c.rope_theta)
-            k = rope(k, pos, c.rope_theta)
             # cache is read-only inside the loop; the current row rides along
             # as explicit attention operands and is written once after the scan
             att_out = attn(
@@ -667,7 +704,10 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
         ):
             fused_qkv = wk is None or (isinstance(wk, tuple) and len(wk) == 0)
             if fused_qkv:  # fused QKV (wq holds the concatenated weight)
-                qkv = _mm_norm(x, rms_a, wq, c.norm_eps)
+                qkv = _mm_norm_rope(
+                    x, rms_a, wq, c.norm_eps, pos, c.dim + c.kv_dim,
+                    c.head_size, c.rope_theta,
+                )
                 q = qkv[..., : c.dim].reshape(b, t, c.n_heads, c.head_size)
                 k = qkv[..., c.dim : c.dim + c.kv_dim].reshape(
                     b, t, c.n_kv_heads, c.head_size
@@ -676,17 +716,17 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                     b, t, c.n_kv_heads, c.head_size
                 )
             else:
-                q = _mm_norm(x, rms_a, wq, c.norm_eps).reshape(
-                    b, t, c.n_heads, c.head_size
-                )
-                k = _mm_norm(x, rms_a, wk, c.norm_eps).reshape(
-                    b, t, c.n_kv_heads, c.head_size
-                )
+                q = _mm_norm_rope(
+                    x, rms_a, wq, c.norm_eps, pos, c.dim, c.head_size,
+                    c.rope_theta,
+                ).reshape(b, t, c.n_heads, c.head_size)
+                k = _mm_norm_rope(
+                    x, rms_a, wk, c.norm_eps, pos, c.kv_dim, c.head_size,
+                    c.rope_theta,
+                ).reshape(b, t, c.n_kv_heads, c.head_size)
                 v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
                     b, t, c.n_kv_heads, c.head_size
                 )
-            q = rope(q, pos, c.rope_theta)
-            k = rope(k, pos, c.rope_theta)
 
             def scatter_seq(c_b, new_b, st, vmask):
                 # window-granular write into (L, KVH, S, HS) at (l, :, st);

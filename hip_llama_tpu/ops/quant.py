@@ -17,6 +17,7 @@ the reference's fused dequant+int8-matmul inner loop.
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import NamedTuple
 
@@ -104,12 +105,75 @@ def _q8_kernel_norm_res(x_ref, q_ref, s_ref, g_ref, r_ref, o_ref, acc_ref,
                r_ref=r_ref, **kw)
 
 
+def _q8_kernel_rope(x_ref, q_ref, s_ref, p_ref, o_ref, acc_ref, **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, p_ref=p_ref, **kw)
+
+
+def _q8_kernel_norm_rope(x_ref, q_ref, s_ref, g_ref, p_ref, o_ref, acc_ref,
+                         **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+               p_ref=p_ref, **kw)
+
+
+def _rope_rotate_cols(acc, pos_f32, col0, rot_limit: int, head_size: int,
+                      theta: float):
+    """RoPE over fp32 rows whose columns col0..col0+W-1 lie in a
+    q|k|v-concatenated layout: rotate consecutive (even, odd) pairs of the
+    first `rot_limit` columns (q and k segments; both are head_size-aligned
+    so `col % head_size` is the in-head offset), pass the rest (v) through.
+    Mirrors models/llama.py::rope bit-for-bit in fp32 — the pairswap is the
+    same signed permutation matmul, block-local (pairs never straddle an
+    even-width block)."""
+    bn = acc.shape[-1]
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
+    pair = ((col % head_size) // 2).astype(jnp.float32)
+    freq = jnp.exp(pair * jnp.float32(-2.0 * math.log(theta) / head_size))
+    ang = pos_f32 * freq  # (M, 1) * (1, BN)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+    perm = jnp.where(
+        (r_i % 2 == 0) & (c_i == r_i + 1), 1.0,
+        jnp.where((r_i % 2 == 1) & (c_i == r_i - 1), -1.0, 0.0),
+    ).astype(jnp.float32)
+    partner = jnp.dot(acc, perm, preferred_element_type=jnp.float32)
+    rot = acc * jnp.cos(ang) + partner * jnp.sin(ang)
+    return jnp.where(col < rot_limit, rot, acc)
+
+
+def _rope_rows_xla(y, pos, rot_limit: int, head_size: int, theta: float):
+    """XLA fallback of the fused-rope epilogue: rotate the first rot_limit
+    columns per head (same math as models/llama.py::rope), fp32 in/out."""
+    b = y.shape[0]
+    y = y.astype(jnp.float32)
+    seg = y[:, :rot_limit].reshape(b, rot_limit // head_size, head_size)
+    half = head_size // 2
+    freq = 1.0 / (
+        theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / head_size)
+    )
+    ang = pos.astype(jnp.float32)[:, None, None] * freq
+    c = jnp.repeat(jnp.cos(ang), 2, -1)
+    s = jnp.repeat(jnp.sin(ang), 2, -1)
+    j = jnp.arange(head_size)
+    perm = jnp.where(
+        (j[:, None] % 2 == 0) & (j[None, :] == j[:, None] + 1), 1.0,
+        jnp.where(
+            (j[:, None] % 2 == 1) & (j[None, :] == j[:, None] - 1), -1.0, 0.0
+        ),
+    ).astype(jnp.float32)
+    partner = jnp.einsum("bhd,de->bhe", seg, perm)
+    rot = (seg * c + partner * s).reshape(b, rot_limit)
+    return jnp.concatenate([rot, y[:, rot_limit:]], axis=1)
+
+
 def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
     dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None, r_ref=None,
-    norm_eps: float = 1e-5,
+    p_ref=None, rope_spec=None, norm_eps: float = 1e-5,
 ):
     j = pl.program_id(k_axis)
+    # n-block index, needed by the rope epilogue (hoisted: program_id is
+    # unavailable inside pl.when bodies in interpret mode)
+    ni = pl.program_id(k_axis - 1) if p_ref is not None else None
 
     @pl.when(j == 0)
     def _():
@@ -187,6 +251,17 @@ def _q8_kernel(
         acc = acc_ref[:]
         if r_ref is not None:
             acc = acc + r_ref[:].astype(jnp.float32)
+        if p_ref is not None:
+            # fused RoPE epilogue (QKV projections): rotates on the fp32
+            # accumulator before the output cast — kills the 2 standalone
+            # rope ops per layer
+            rot_limit, head_size, theta = rope_spec
+            bn = o_ref.shape[-1]
+            col0 = ni * bn
+            acc = _rope_rotate_cols(
+                acc, p_ref[:].astype(jnp.float32), col0, rot_limit,
+                head_size, theta,
+            )
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -367,7 +442,7 @@ def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     jax.jit,
     static_argnames=(
         "block_n", "block_k", "interpret", "out_dtype", "dequant_mode",
-        "norm_eps",
+        "norm_eps", "rope_limit", "rope_head", "rope_theta",
     ),
 )
 def q8_matmul(
@@ -382,6 +457,10 @@ def q8_matmul(
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
     residual: jax.Array | None = None,
+    rope_pos: jax.Array | None = None,
+    rope_limit: int = 0,
+    rope_head: int = 0,
+    rope_theta: float = 10000.0,
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
 
@@ -389,7 +468,13 @@ def q8_matmul(
     `residual` (B, N) is added in the kernel epilogue on the fp32
     accumulator (o = residual + x @ W) — the decode step's two per-layer
     residual adds otherwise each cost a standalone XLA op dispatch.
+    `rope_pos` (B,) enables the fused RoPE epilogue for QKV projections:
+    the first `rope_limit` output columns (the q|k segments, head-aligned
+    with head size `rope_head`) rotate by position before the cast —
+    killing the 2 standalone rope ops per layer. Mutually exclusive with
+    `residual`.
     """
+    assert residual is None or rope_pos is None
     b, k = x.shape
     kq, n = qt.q.shape
     assert k == kq, (x.shape, qt.q.shape)
@@ -449,11 +534,15 @@ def q8_matmul(
             x = x[:b]
             if residual is not None:
                 residual = residual[:b]
+            if rope_pos is not None:
+                rope_pos = rope_pos[:b]
         if norm_weight is not None:
             x = _rmsnorm_rows(x, norm_weight, norm_eps)
         y = q8_matmul_xla(x, qt)
         if residual is not None:
             y = residual.astype(jnp.float32) + y
+        if rope_pos is not None:
+            y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
         return y.astype(out_dtype)
     if norm_weight is not None and block_k != k:
         # in-kernel rmsnorm needs the whole contraction row resident;
@@ -478,7 +567,8 @@ def q8_matmul(
     ]
     operands = [x, qt.q, s_blocked]
     kw = dict(n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
-              dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps)
+              dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps,
+              rope_spec=(rope_limit, rope_head, rope_theta))
     if norm_weight is not None:
         in_specs.append(
             pl.BlockSpec((1, block_k), lambda m, i, j: (0, j),
@@ -492,13 +582,24 @@ def q8_matmul(
                          memory_space=pltpu.VMEM)
         )
         operands.append(residual)
+    if rope_pos is not None:
+        if pad_m:
+            rope_pos = jnp.pad(rope_pos, ((0, pad_m),))
+        in_specs.append(
+            pl.BlockSpec((block_m, 1), lambda m, i, j: (m, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(rope_pos.astype(jnp.float32).reshape(-1, 1))
     kernel = functools.partial(
         {
-            (False, False): _q8_kernel,
-            (True, False): _q8_kernel_norm,
-            (False, True): _q8_kernel_res,
-            (True, True): _q8_kernel_norm_res,
-        }[(norm_weight is not None, residual is not None)],
+            (False, False, False): _q8_kernel,
+            (True, False, False): _q8_kernel_norm,
+            (False, True, False): _q8_kernel_res,
+            (True, True, False): _q8_kernel_norm_res,
+            (False, False, True): _q8_kernel_rope,
+            (True, False, True): _q8_kernel_norm_rope,
+        }[(norm_weight is not None, residual is not None,
+           rope_pos is not None)],
         **kw,
     )
     out = pl.pallas_call(
@@ -546,11 +647,24 @@ def _q8_kernel_layered_norm_res(layer_ref, x_ref, q_ref, s_ref, g_ref, r_ref,
                r_ref=r_ref, **kw)
 
 
+def _q8_kernel_layered_rope(layer_ref, x_ref, q_ref, s_ref, p_ref, o_ref,
+                            acc_ref, **kw):
+    del layer_ref
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, p_ref=p_ref, **kw)
+
+
+def _q8_kernel_layered_norm_rope(layer_ref, x_ref, q_ref, s_ref, g_ref, p_ref,
+                                 o_ref, acc_ref, **kw):
+    del layer_ref
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+               p_ref=p_ref, **kw)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "block_n", "block_k", "interpret", "out_dtype", "dequant_mode",
-        "norm_eps",
+        "norm_eps", "rope_limit", "rope_head", "rope_theta",
     ),
 )
 def q8_matmul_layered(
@@ -566,6 +680,10 @@ def q8_matmul_layered(
     norm_weight: jax.Array | None = None,  # STACKED (L, K) f32
     norm_eps: float = 1e-5,
     residual: jax.Array | None = None,  # (B, N), added in the epilogue
+    rope_pos: jax.Array | None = None,  # (B,): fused RoPE epilogue (QKV)
+    rope_limit: int = 0,
+    rope_head: int = 0,
+    rope_theta: float = 10000.0,
 ) -> jax.Array:
     """x (B, K) @ dequant(q[layer]) -> (B, N), selecting the layer via a
     scalar-prefetched BlockSpec index — used inside the layer scan so XLA
@@ -619,6 +737,8 @@ def q8_matmul_layered(
         y = q8_matmul_xla(norm_slice(x), QTensor(q=ql, s=sl))
         if residual is not None:
             y = residual.astype(jnp.float32) + y
+        if rope_pos is not None:
+            y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
         return y.astype(out_dtype)
     fuse_norm = norm_weight is not None and block_k == k
     if norm_weight is not None and not fuse_norm:
@@ -644,15 +764,21 @@ def q8_matmul_layered(
     if residual is not None:
         in_specs.append(pl.BlockSpec((b, block_n), lambda i, j, lr: (0, i)))
         operands.append(residual)
+    if rope_pos is not None:
+        in_specs.append(pl.BlockSpec((b, 1), lambda i, j, lr: (0, 0)))
+        operands.append(rope_pos.astype(jnp.float32).reshape(-1, 1))
     kernel = functools.partial(
         {
-            (False, False): _q8_kernel_layered,
-            (True, False): _q8_kernel_layered_norm,
-            (False, True): _q8_kernel_layered_res,
-            (True, True): _q8_kernel_layered_norm_res,
-        }[(fuse_norm, residual is not None)],
+            (False, False, False): _q8_kernel_layered,
+            (True, False, False): _q8_kernel_layered_norm,
+            (False, True, False): _q8_kernel_layered_res,
+            (True, True, False): _q8_kernel_layered_norm_res,
+            (False, False, True): _q8_kernel_layered_rope,
+            (True, False, True): _q8_kernel_layered_norm_rope,
+        }[(fuse_norm, residual is not None, rope_pos is not None)],
         n_groups=n_groups, gs=gs, last_j=grid[1] - 1,
         dequant_mode=dequant_mode, norm_eps=norm_eps,
+        rope_spec=(rope_limit, rope_head, rope_theta),
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

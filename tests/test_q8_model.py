@@ -228,6 +228,38 @@ def test_q8_matmul_fused_residual_matches_separate():
                      msg=f"norm+res {(b, k, n)}")
 
 
+def test_q8_matmul_fused_rope_matches_separate():
+    """q8_matmul(rope_pos=...) == rope() applied to the q|k segments of the
+    plain matmul output — kernel path, padded-M path, XLA fallback, default
+    and Llama-3-era theta."""
+    from hip_llama_tpu.models.llama import rope
+    from hip_llama_tpu.ops.quant import q8_matmul, q8_quantize_weights
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (8, 256, 128, 4, 2, 10000.0),   # kernel path, GQA
+        (8, 256, 64, 4, 4, 500000.0),   # MHA, big theta
+        (4, 96, 8, 4, 2, 10000.0),      # tiny shapes -> XLA fallback
+        (600, 256, 128, 4, 2, 10000.0),  # padded-M path
+    ]
+    for b, k, hs, nh, nkv, theta in cases:
+        d, kvd = nh * hs, nkv * hs
+        x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+        qt = q8_quantize_weights(rng.normal(size=(k, d + 2 * kvd)) * 0.3,
+                                 group_size=32)
+        pos = jnp.asarray(rng.integers(0, 50, (b,)), jnp.int32)
+        fused = q8_matmul(x, qt, rope_pos=pos, rope_limit=d + kvd,
+                          rope_head=hs, rope_theta=theta,
+                          out_dtype=jnp.float32)
+        base = q8_matmul(x, qt, out_dtype=jnp.float32)
+        q = rope(base[:, :d].reshape(b, nh, hs), pos, theta).reshape(b, d)
+        kk = rope(base[:, d:d + kvd].reshape(b, nkv, hs), pos,
+                  theta).reshape(b, kvd)
+        manual = jnp.concatenate([q, kk, base[:, d + kvd:]], axis=1)
+        assert_close(fused, manual, atol=2e-4, rtol=1e-4,
+                     msg=f"{(b, k, hs, theta)}")
+
+
 def test_q8_stacked_fused_matches_unrolled(q8_cfg, q8_weights):
     """The stacked-fused layered-kernel decode branch (weights as (L, K, N)
     arrays + scalar-prefetched layer index) matches the unrolled per-layer

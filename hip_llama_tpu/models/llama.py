@@ -172,6 +172,16 @@ def _mm_norm_rope(x: jax.Array, g: jax.Array, w, eps: float, pos: jax.Array,
             rope_limit=rot_limit, rope_head=head_size, rope_theta=theta,
         )
         return y.reshape(*lead, y.shape[-1])
+    if isinstance(w, Q4Tensor):
+        from hip_llama_tpu.ops.quant4 import q4_matmul
+
+        lead = x.shape[:-1]
+        y = q4_matmul(
+            x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype,
+            norm_weight=g, norm_eps=eps, rope_pos=pos.reshape(-1),
+            rope_limit=rot_limit, rope_head=head_size, rope_theta=theta,
+        )
+        return y.reshape(*lead, y.shape[-1])
     y = _mm_norm(x, g, w, eps)
     lead = y.shape[:-1]
     seg = rope(

@@ -137,9 +137,11 @@ def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):
 def _q4_kernel(
     x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
     *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
-    r_ref=None, norm_eps: float = 1e-5,
+    r_ref=None, p_ref=None, rope_spec=None, norm_eps: float = 1e-5,
 ):
     j = pl.program_id(k_axis)
+    # hoisted: program_id is unavailable inside pl.when bodies in interpret
+    ni = pl.program_id(k_axis - 1) if p_ref is not None else None
 
     @pl.when(j == 0)
     def _():
@@ -165,6 +167,14 @@ def _q4_kernel(
         acc = acc_ref[:]
         if r_ref is not None:
             acc = acc + r_ref[:].astype(jnp.float32)
+        if p_ref is not None:
+            from hip_llama_tpu.ops.quant import _rope_rotate_cols
+
+            rot_limit, head_size, theta = rope_spec
+            acc = _rope_rotate_cols(
+                acc, p_ref[:].astype(jnp.float32),
+                ni * o_ref.shape[-1], rot_limit, head_size, theta,
+            )
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -187,6 +197,18 @@ def _q4_kernel_norm_res(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
                g_ref=g_ref, r_ref=r_ref, **kw)
 
 
+def _q4_kernel_rope(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, p_ref,
+                    o_ref, acc_ref, **kw):
+    _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+               p_ref=p_ref, **kw)
+
+
+def _q4_kernel_norm_rope(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref,
+                         g_ref, p_ref, o_ref, acc_ref, **kw):
+    _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+               g_ref=g_ref, p_ref=p_ref, **kw)
+
+
 def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -195,7 +217,8 @@ def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype",
+                     "norm_eps", "rope_limit", "rope_head", "rope_theta"),
 )
 def q4_matmul(
     x: jax.Array,
@@ -208,10 +231,16 @@ def q4_matmul(
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
     residual: jax.Array | None = None,
+    rope_pos: jax.Array | None = None,
+    rope_limit: int = 0,
+    rope_head: int = 0,
+    rope_theta: float = 10000.0,
 ) -> jax.Array:
     """x (B, K) @ dequant(int4 t) -> (B, N). Packed nibbles are the only
     weight HBM traffic (~0.5 B/weight + scales vs the q8 path's ~1.06).
-    `residual` (B, N) is added in the epilogue (see ops/quant.py)."""
+    `residual` (B, N) is added in the epilogue; `rope_pos` enables the
+    fused RoPE epilogue for QKV projections (see ops/quant.py)."""
+    assert residual is None or rope_pos is None
     b, k = x.shape
     assert k == t.k_dim, (x.shape, t.q.shape)
     n = t.q.shape[-1]
@@ -243,6 +272,10 @@ def q4_matmul(
         y = q4_matmul_xla(x, t)
         if residual is not None:
             y = residual.astype(jnp.float32) + y
+        if rope_pos is not None:
+            from hip_llama_tpu.ops.quant import _rope_rows_xla
+
+            y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
         return y.astype(out_dtype)
 
     block_m = b
@@ -254,6 +287,8 @@ def q4_matmul(
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
             if residual is not None:
                 residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
+            if rope_pos is not None:
+                rope_pos = jnp.pad(rope_pos, ((0, pad_m),))
     bp = b + pad_m
     if norm_weight is not None and bkh != kh:
         x = _rmsnorm_rows(x, norm_weight, norm_eps)
@@ -289,14 +324,24 @@ def q4_matmul(
                          memory_space=pltpu.VMEM)
         )
         operands.append(residual)
+    if rope_pos is not None:
+        in_specs.append(
+            pl.BlockSpec((block_m, 1), lambda m, i, j: (m, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(rope_pos.astype(jnp.float32).reshape(-1, 1))
     kernel = functools.partial(
         {
-            (False, False): _q4_kernel,
-            (True, False): _q4_kernel_norm,
-            (False, True): _q4_kernel_res,
-            (True, True): _q4_kernel_norm_res,
-        }[(norm_weight is not None, residual is not None)],
+            (False, False, False): _q4_kernel,
+            (True, False, False): _q4_kernel_norm,
+            (False, True, False): _q4_kernel_res,
+            (True, True, False): _q4_kernel_norm_res,
+            (False, False, True): _q4_kernel_rope,
+            (True, False, True): _q4_kernel_norm_rope,
+        }[(norm_weight is not None, residual is not None,
+           rope_pos is not None)],
         n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1, norm_eps=norm_eps,
+        rope_spec=(rope_limit, rope_head, rope_theta),
     )
     out = pl.pallas_call(
         kernel,

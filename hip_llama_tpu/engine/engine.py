@@ -411,6 +411,7 @@ class InferenceEngine:
         samplers: list[Sampler] | None = None,
         verbose: bool = False,
         stats: dict | None = None,
+        draft: "InferenceEngine | None" = None,
     ) -> int:
         """Continuous-batching over a request list; fills
         `requests.generations` in place and returns the generated-token count
@@ -418,7 +419,14 @@ class InferenceEngine:
 
         `stats`, if given, is filled with serving metrics: total wall time,
         tok/s, and per-request TTFT p50/p95/max (the reference printed only
-        the aggregate tok/s, llama.cpp:1614-1615)."""
+        the aggregate tok/s, llama.cpp:1614-1615).
+
+        `draft` (requires spec_lookup > 0): a small draft engine sharing the
+        tokenizer/vocab proposes each round's spec_lookup tokens with ONE
+        batched on-device chain instead of prompt-lookup n-grams — the
+        draft's KV cache tracks the committed stream under the same
+        stale-rows-overwritten invariant as generate-mode speculation
+        (engine/speculative.py docstring). Greedy acceptance only."""
         cfg = self.cfg
         b = self.batch_size
         steps = min(steps or self.max_seq_len, self.max_seq_len)
@@ -462,6 +470,21 @@ class InferenceEngine:
         # per-slot token history for prompt-lookup speculation proposals
         hist: list[list[int]] = [[] for _ in range(b)]
         spec_proposed = spec_accepted = 0
+        d_cache = d_chain = None
+        if draft is not None:
+            if not self.spec_lookup:
+                raise ValueError("serve(draft=...) requires spec_lookup > 0")
+            from hip_llama_tpu.models.llama import make_chunked_sampling_step
+
+            d_cache = draft.new_cache(batch=b)
+            d_chain = jax.jit(
+                make_chunked_sampling_step(
+                    draft.cfg, self.spec_lookup, attn_impl=draft.attn_impl,
+                    precision=draft.precision, temperature=0.0,
+                ),
+                donate_argnums=(1,),
+            )
+            _d_key = jax.random.PRNGKey(0)
 
         while True:
             # assign new requests to empty slots (llama.cpp:973-1007)
@@ -545,6 +568,12 @@ class InferenceEngine:
                     cache, b, newly_assigned,
                     {s: prefill_start.get(s, 0) for s in newly_assigned}, bm=bm,
                 )
+                if d_cache is not None:
+                    # the draft's cache tracks every slot's prompt too
+                    _, d_cache = draft._prefill_tokens(
+                        d_cache, b, newly_assigned,
+                        {s: 0 for s in newly_assigned},
+                    )
             if bm is not None and self.prefix_cache:
                 # index the freshly prefilled prompt pages for future sharing
                 for s in newly_assigned:
@@ -653,14 +682,25 @@ class InferenceEngine:
             ):
                 from hip_llama_tpu.engine.speculative import _lookup_propose
 
+                d_all = None
+                if d_chain is not None:
+                    # ONE batched greedy draft chain proposes for all slots
+                    d_dev, d_cache = d_chain(
+                        draft.params, d_cache, jnp.asarray(token),
+                        jnp.asarray(pos), _d_key,
+                    )
+                    d_all = np.asarray(d_dev)  # (B, spec_lookup)
                 spec_props = {}
                 for s in range(b):
                     if req_id[s] == -1:
                         continue
                     kk = min(self.spec_lookup, self.max_seq_len - 1 - int(pos[s]))
-                    spec_props[s] = (
-                        _lookup_propose(hist[s], kk) if kk > 0 else []
-                    )
+                    if d_all is not None:
+                        spec_props[s] = [int(t) for t in d_all[s, :kk]]
+                    else:
+                        spec_props[s] = (
+                            _lookup_propose(hist[s], kk) if kk > 0 else []
+                        )
                 if not any(spec_props.values()):
                     spec_props = None  # nothing proposed: plain step instead
             if spec_props is not None:

@@ -56,10 +56,10 @@ Extra (framework-specific, double-dash):
                              proposes K tokens, the target verifies them in
                              one chunked prefill (-t 0 reproduces the greedy
                              stream, -t > 0 uses distribution-preserving
-                             rejection sampling). In -m test mode, each
-                             continuous-batching slot speculates via prompt
-                             lookup (no draft model), batch-verified in one
-                             prefill per round
+                             rejection sampling). In -m test mode, slots
+                             speculate via prompt lookup, or via one
+                             batched draft-model chain per round with
+                             --draft; batch-verified in one prefill
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
                              'kv' to also keep the KV cache in host RAM
@@ -237,13 +237,6 @@ def main(argv: list[str]) -> int:
                 file=sys.stderr,
             )
             paged = prefix_cache = False
-        if draft_path:
-            print(
-                "note: test-mode speculation uses prompt-lookup proposals; "
-                "ignoring --draft",
-                file=sys.stderr,
-            )
-            draft_path = None
         if chunk_steps > 1 or device_sampling:
             print(
                 "note: --spec is its own dispatch schedule; ignoring "
@@ -524,10 +517,32 @@ def main(argv: list[str]) -> int:
         if input_filename is None or output_filename is None:
             error_usage()
         requests = read_inputfile(input_filename)
+        draft_engine = None
+        if spec_k > 0 and draft_path:
+            d_cfg, d_weights = load_checkpoint(draft_path)
+            if isinstance(d_weights, Q4Weights):
+                from hip_llama_tpu.models.params import qparams_from_q4_weights
+
+                d_params = qparams_from_q4_weights(d_cfg, d_weights)
+            elif not isinstance(d_weights, LlamaWeights):
+                from hip_llama_tpu.models.params import (
+                    qparams_from_quant_weights,
+                )
+
+                d_params = qparams_from_quant_weights(d_cfg, d_weights)
+            else:
+                d_params = params_from_weights(d_weights, dtype=dtype)
+            draft_engine = InferenceEngine(
+                d_cfg, d_params, tokenizer, batch_size=batch,
+                attn_impl=attn_impl,
+                precision="highest" if dtype == jnp.float32 else "default",
+                use_prefill=use_prefill,
+            )
         start = time.perf_counter()
         stats: dict = {}
         num_gen_tokens = engine.serve(
-            requests, steps=cfg.seq_len, verbose=True, stats=stats
+            requests, steps=cfg.seq_len, verbose=True, stats=stats,
+            draft=draft_engine,
         )
         end = time.perf_counter()
         print(f"Total achieved token: {num_gen_tokens}")

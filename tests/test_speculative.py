@@ -179,6 +179,37 @@ def test_serve_spec_lookup_matches_plain_greedy(spec_setup):
     assert stats["spec_proposed"] > 0 and stats["spec_accepted"] > 0
 
 
+def test_serve_spec_draft_matches_plain_greedy(spec_setup):
+    """SERVE-mode speculation with a DRAFT ENGINE: one batched draft chain
+    proposes per round; greedy acceptance must reproduce plain serving
+    byte-for-byte — perfect draft (the target itself) and mismatched
+    draft (different weights) alike."""
+    from hip_llama_tpu.engine import InferenceEngine, Requests
+    from hip_llama_tpu.sampler import Sampler
+
+    cfg, tok, target, draft_other = spec_setup
+    prompts = ["Once upon a time", "The history of", "Once upon a time"]
+
+    def run(draft_eng, spec):
+        eng = InferenceEngine(
+            cfg, target.params, tok, batch_size=2, spec_lookup=spec,
+        )
+        reqs = Requests(prompts=list(prompts), generations=[""] * len(prompts))
+        samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in prompts]
+        stats = {}
+        eng.serve(reqs, steps=36, samplers=samplers, stats=stats,
+                  draft=draft_eng)
+        return reqs.generations, stats
+
+    base, _ = run(None, 0)
+    perfect, st1 = run(target, 4)
+    assert perfect == base
+    assert st1["spec_accepted"] > 0
+    mismatched, st2 = run(draft_other, 3)
+    assert mismatched == base
+    assert st2["spec_proposed"] > 0
+
+
 def test_serve_spec_lookup_stochastic_deterministic(spec_setup):
     """Stochastic serve-mode speculation: per-request fixed-seed samplers
     make the committed streams seed-deterministic (rejection sampling draws

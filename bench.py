@@ -334,9 +334,12 @@ def main():
         dtype = jnp.bfloat16
     else:
         params = rand_params_on_device(cfg, dtype)
-    cache = init_kv_cache(
-        cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
-    )
+    if args.mode != "serve":
+        # serve mode's engine allocates its own cache inside serve();
+        # allocating this one too would pin 2x the KV HBM during the run
+        cache = init_kv_cache(
+            cfg, b, dtype=dtype, seq_len=window, quantized=(args.kv == "int8")
+        )
     if args.mode == "serve":
         # whole-engine continuous-batching throughput: scheduler + chunked
         # prefill + decode + (optionally) multi-step chunks, speculation,
@@ -397,9 +400,12 @@ def main():
             ) if on
         )
         wbytes = param_bytes(params)
-        kv_bytes = 2 * cache.k.size * cache.k.dtype.itemsize
-        if cache.k_scale is not None:
-            kv_bytes += 2 * cache.k_scale.size * cache.k_scale.dtype.itemsize
+        # arithmetic (no allocation): B*L*KVH*S*HS rows for K and V each
+        n_rows = b * cfg.n_layers * cfg.n_kv_heads * window
+        if args.kv == "int8":
+            kv_bytes = 2 * n_rows * (cfg.head_size * 1 + 4)  # int8 + scale
+        else:
+            kv_bytes = 2 * n_rows * cfg.head_size * jnp.dtype(dtype).itemsize
         sol_tok = b / ((wbytes + kv_bytes) / HBM_BW_BYTES)
         print(json.dumps({
             "metric": (

@@ -195,6 +195,12 @@ class InferenceEngine:
                 self._prefill = jax.jit(custom_prefill, donate_argnums=(1,))
             else:
                 self.use_prefill = False
+                if spec_lookup:
+                    # fail NOW, not mid-serve at the first verify dispatch
+                    raise ValueError(
+                        "spec_lookup requires a prefill path, but this "
+                        "custom_step has no custom_prefill (force-feed only)"
+                    )
             return
 
         step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
@@ -683,8 +689,14 @@ class InferenceEngine:
                 from hip_llama_tpu.engine.speculative import _lookup_propose
 
                 d_all = None
-                if d_chain is not None:
-                    # ONE batched greedy draft chain proposes for all slots
+                if d_chain is not None and all(
+                    int(pos[s]) + self.spec_lookup <= d_cache.k.shape[3]
+                    for s in range(b) if req_id[s] != -1
+                ):
+                    # ONE batched greedy draft chain proposes for all slots.
+                    # Skipped (lookup fallback) once any slot is within
+                    # spec_lookup of the DRAFT's window end — the fixed-k
+                    # chain would clamp-write garbage into its last rows
                     d_dev, d_cache = d_chain(
                         draft.params, d_cache, jnp.asarray(token),
                         jnp.asarray(pos), _d_key,
@@ -736,6 +748,13 @@ class InferenceEngine:
                     else:
                         ws = [_warp(r, sp.temperature, sp.topp) for r in rows]
                         commits, n_acc = _verify_round(ws, None, pr, sp.rng)
+                    if d_all is not None and pr and n_acc == len(pr):
+                        # full acceptance with a draft: drop the bonus token
+                        # — the draft never wrote the KV row for its LAST
+                        # proposal, so committing past it would leave a
+                        # permanent hole at that row in the draft cache (the
+                        # next chain re-derives the dropped token instead)
+                        commits = commits[:n_acc]
                     spec_proposed += len(pr)
                     spec_accepted += n_acc
                     done_s = False

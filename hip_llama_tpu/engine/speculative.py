@@ -328,6 +328,13 @@ def speculative_generate(
             while n_acc < kk and d_toks[n_acc] == int(g[n_acc]):
                 n_acc += 1
             commits = d_toks[:n_acc] + [int(g[n_acc])]
+        if draft is not None and n_acc == kk:
+            # full acceptance: drop the bonus — the draft chain never wrote
+            # the KV row for its LAST proposal (it fed tokens 0..kk-2 after
+            # the root), so committing past it would leave a permanent hole
+            # in the draft cache; the next round re-derives the dropped
+            # token with the draft cache intact
+            commits = commits[:n_acc]
         stats.proposed += kk
         stats.accepted += n_acc
         stats.rounds += 1

@@ -738,22 +738,39 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                     b, t, c.n_kv_heads, c.head_size
                 )
 
-            def scatter_seq(c_b, new_b, st, vmask):
+            def scatter_seq(c_b, new_b, st, v):
                 # window-granular write into (L, KVH, S, HS) at (l, :, st);
                 # merge with the old window so positions past valid_len keep
-                # their previous contents (bystander slots stay untouched)
+                # their previous contents (bystander slots stay untouched).
+                # A window whose BUCKET extends past S would be silently
+                # clamped by dynamic_update_slice, landing valid rows at the
+                # wrong positions AND clobbering earlier history — so clamp
+                # the start deliberately and roll the new rows into place
+                # (the same end-of-cache handling as the Pallas chunk
+                # writer, ops/cache.py kv_write_chunk)
+                st_c = jnp.minimum(st, s - t)
+                shift = st - st_c
                 old = lax.dynamic_slice(
-                    c_b, (l, 0, st, 0), (1, c_b.shape[1], t, c_b.shape[3])
+                    c_b, (l, 0, st_c, 0), (1, c_b.shape[1], t, c_b.shape[3])
                 )[0]  # (KVH, T, HS)
-                new_kv = jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype)  # (KVH, T, HS)
-                merged = jnp.where(vmask[None, :, None], new_kv, old)
-                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
+                new_kv = jnp.roll(
+                    jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype), shift, axis=1
+                )
+                w_idx = jnp.arange(t)
+                m = (w_idx >= shift) & (w_idx < shift + v)
+                merged = jnp.where(m[None, :, None], new_kv, old)
+                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st_c, 0))
 
-            def scatter_scale(s_b, new_s, st, vmask):
+            def scatter_scale(s_b, new_s, st, v):
                 # scale plane (L, KVH, S); new_s (T, KVH)
-                old = lax.dynamic_slice(s_b, (l, 0, st), (1, s_b.shape[1], t))[0]
-                merged = jnp.where(vmask[None, :], jnp.swapaxes(new_s, 0, 1), old)
-                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st))
+                st_c = jnp.minimum(st, s - t)
+                shift = st - st_c
+                old = lax.dynamic_slice(s_b, (l, 0, st_c), (1, s_b.shape[1], t))[0]
+                new_sc = jnp.roll(jnp.swapaxes(new_s, 0, 1), shift, axis=1)
+                w_idx = jnp.arange(t)
+                m = (w_idx >= shift) & (w_idx < shift + v)
+                merged = jnp.where(m[None, :], new_sc, old)
+                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st_c))
 
             # chunk writers: one windowed RMW DMA per slot per layer beats
             # the XLA merge + dynamic-update-slice scatter by ~80 ms/step
@@ -785,18 +802,18 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                     ks_c = scale_write_chunk(ks_c, ksc, l, start, valid_len)
                     vs_c = scale_write_chunk(vs_c, vsc, l, start, valid_len)
                 else:
-                    kcache = jax.vmap(scatter_seq)(kcache, kq, start, tvalid)
-                    vcache = jax.vmap(scatter_seq)(vcache, vq, start, tvalid)
-                    ks_c = jax.vmap(scatter_scale)(ks_c, ksc, start, tvalid)
-                    vs_c = jax.vmap(scatter_scale)(vs_c, vsc, start, tvalid)
+                    kcache = jax.vmap(scatter_seq)(kcache, kq, start, valid_len)
+                    vcache = jax.vmap(scatter_seq)(vcache, vq, start, valid_len)
+                    ks_c = jax.vmap(scatter_scale)(ks_c, ksc, start, valid_len)
+                    vs_c = jax.vmap(scatter_scale)(vs_c, vsc, start, valid_len)
             elif pallas_w:
                 from hip_llama_tpu.ops.cache import kv_write_chunk
 
                 kcache = kv_write_chunk(kcache, k, l, start, valid_len)
                 vcache = kv_write_chunk(vcache, v, l, start, valid_len)
             else:
-                kcache = jax.vmap(scatter_seq)(kcache, k, start, tvalid)
-                vcache = jax.vmap(scatter_seq)(vcache, v, start, tvalid)
+                kcache = jax.vmap(scatter_seq)(kcache, k, start, valid_len)
+                vcache = jax.vmap(scatter_seq)(vcache, v, start, valid_len)
 
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_prefill_pallas

@@ -686,7 +686,8 @@ def q8_matmul_layered(
     rope_theta: float = 10000.0,
 ) -> jax.Array:
     """x (B, K) @ dequant(q[layer]) -> (B, N), selecting the layer via a
-    scalar-prefetched BlockSpec index — used inside the layer scan so XLA
+    scalar-prefetched BlockSpec index (residual and rope epilogues are
+    mutually exclusive, as in q8_matmul) — used inside the layer scan so XLA
     never materializes a per-layer copy of the int8 weights (a dynamic-slice
     feeding a pallas_call operand is a real copy: ~8.9 ms/step at 7B,
     measured with tools/profile_step.py). A further benefit vs the unrolled
@@ -698,6 +699,7 @@ def q8_matmul_layered(
     norm_weight: stacked per-layer rmsnorm weights, applied to x in the
     kernel prologue (single-K-block shapes only; see q8_matmul)."""
     b, k = x.shape
+    assert residual is None or rope_pos is None
     n_layers, kq, n = qt.q.shape
     assert k == kq, (x.shape, qt.q.shape)
     gs = qt.group_size

@@ -240,9 +240,6 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
         mb, t, _ = x.shape
         s = kc.shape[3]
         pos = start_mb[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-        tvalid = (
-            lax.broadcasted_iota(jnp.int32, (mb, t), 1) < valid_mb[:, None]
-        )
         xs = (
             pl_.rms_att, pl_.wq, pl_.wk, pl_.wv, pl_.wo, pl_.rms_ffn,
             pl_.w1, pl_.w2, pl_.w3,
@@ -260,16 +257,26 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             k = rope(k, pos, c.rope_theta)
 
             def write_chunk(cache_l, new):
-                # window merge per slot at (i, l, :, start_i)
+                # window merge per slot at (i, l, :, start_i). Clamp + roll
+                # when the bucket extends past the window end — a silently
+                # clamped dynamic_update_slice would land rows at the wrong
+                # positions (see models/llama.py scatter_seq)
                 for i in range(mb):
+                    st_c = jnp.minimum(start_mb[i], s - t)
+                    shift = start_mb[i] - st_c
                     old = lax.dynamic_slice(
-                        cache_l, (i, l, 0, start_mb[i], 0),
+                        cache_l, (i, l, 0, st_c, 0),
                         (1, 1, c.n_kv_heads, t, c.head_size),
                     )[0, 0]
-                    new_i = jnp.swapaxes(new[i], 0, 1).astype(cache_l.dtype)
-                    merged = jnp.where(tvalid[i][None, :, None], new_i, old)
+                    new_i = jnp.roll(
+                        jnp.swapaxes(new[i], 0, 1).astype(cache_l.dtype),
+                        shift, axis=1,
+                    )
+                    w_i = jnp.arange(t)
+                    m = (w_i >= shift) & (w_i < shift + valid_mb[i])
+                    merged = jnp.where(m[None, :, None], new_i, old)
                     cache_l = lax.dynamic_update_slice(
-                        cache_l, merged[None, None], (i, l, 0, start_mb[i], 0)
+                        cache_l, merged[None, None], (i, l, 0, st_c, 0)
                     )
                 return cache_l
 

@@ -244,6 +244,19 @@ def main(argv: list[str]) -> int:
                 file=sys.stderr,
             )
             chunk_steps, device_sampling = 1, False
+    if (pp > 1 or sp > 1) and paged:
+        # the engine's paged branch would route _do_step to the cfg-built
+        # paged step, ignoring the pp/sp custom step's staged/sharded params
+        print(
+            "note: --pp/--sp serve with the contiguous KV cache; ignoring "
+            "--paged" + (" and --prefix-cache" if prefix_cache else ""),
+            file=sys.stderr,
+        )
+        paged = prefix_cache = False
+    if sp > 1 and spec_k > 0 and mode == "test":
+        # the sp step has no prefill path; speculation needs one
+        print("note: --sp has no prefill path; ignoring --spec", file=sys.stderr)
+        spec_k = 0
     if mode == "chat" and paged:
         # the chat loop drives the contiguous decode step directly (one
         # growing conversation, batch 1 — paging has nothing to share)

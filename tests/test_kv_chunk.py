@@ -63,3 +63,51 @@ def test_scale_write_chunk_matches_scatter():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)
+
+
+def test_prefill_bucket_overflow_preserves_history():
+    """A prefill whose BUCKET window extends past the KV window end (valid
+    rows still in range) must write the valid rows at their true positions
+    and leave earlier history untouched. Regression: the XLA scatter path
+    let dynamic_update_slice clamp the window start, landing rows at the
+    wrong positions and clobbering history — hit by speculative verify and
+    chat prefill near the window end (the Pallas chunk writer already
+    handled the clamp via its slack window)."""
+    import jax
+
+    from hip_llama_tpu.config import tiny_config
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.models import (
+        init_kv_cache,
+        make_decode_step,
+        make_prefill,
+        params_from_weights,
+    )
+
+    cfg = tiny_config(seq_len=48)
+    params = params_from_weights(random_weights(cfg, seed=2))
+    pre = jax.jit(make_prefill(cfg))
+    step = jax.jit(make_decode_step(cfg))
+    rng = np.random.default_rng(0)
+
+    cache = init_kv_cache(cfg, 1)
+    for p in range(40):
+        _, cache = step(params, cache, jnp.asarray([5 + p % 7]),
+                        jnp.asarray([p]))
+    before = np.asarray(cache.k[0, :, :, :40, :]).copy()
+
+    # T=16 bucket at start=40: window 40..56 > 48; valid rows 40..44 only
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32)
+    _, cache2 = pre(params, cache, toks, jnp.asarray([40]), jnp.asarray([5]))
+    np.testing.assert_array_equal(
+        before, np.asarray(cache2.k[0, :, :, :40, :]),
+        err_msg="history rows clobbered by overflowing bucket",
+    )
+    # the valid rows must land at 40..44 and match a decode-step oracle
+    cache_o = cache
+    for i in range(5):
+        _, cache_o = step(params, cache_o, toks[:, i], jnp.asarray([40 + i]))
+    np.testing.assert_allclose(
+        np.asarray(cache2.k[0, :, :, 40:45, :]),
+        np.asarray(cache_o.k[0, :, :, 40:45, :]), atol=1e-5,
+    )

@@ -73,15 +73,18 @@ def _decode_kernel(
 
     @pl.when(i * block_k < pos)
     def _block():
+        # normalize tile layouts (free singleton squeezes): contiguous KV
+        # blocks are (1, 1, G, BK, HS), paged blocks are (1, G, 1, BK, HS)
+        kt = k_ref[...].reshape(-1, k_ref.shape[-2], k_ref.shape[-1])
         if quantized:
             # int8 KV: fold the per-row scales into the SMALL tensors —
             # scores columns (k scales) and probability columns (v scales),
             # both lane-aligned broadcasts — instead of dequantizing the
             # (G, BK, HS) tiles (which would cost a relayout per tile).
-            k = k_ref[0, 0].astype(jnp.bfloat16)  # (G, BK, HS)
+            k = kt.astype(jnp.bfloat16)  # (G, BK, HS)
             q = q_ref[0].astype(jnp.bfloat16)
         else:
-            k = k_ref[0, 0]  # (G, BK, HS)
+            k = kt  # (G, BK, HS)
             q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
         # quantized: force DEFAULT precision — an inherited "highest" would
         # request fp32 contraction of the bf16-converted int8 tiles, which
@@ -95,9 +98,11 @@ def _decode_kernel(
             * scale
         )  # (G, M, BK)
         if quantized:
-            # ks block is (1, G, 1, BK) — a view of the (B, L*KVH, 1, S)
-            # reshaped scale plane (block-shape legality: last-two = (1, BK))
-            s = s * ks_ref[0][:, 0, :][:, None, :]  # (G, 1, BK) lane-aligned
+            # ks block: contiguous (1, G, 1, BK) view of (B, L*KVH, 1, S);
+            # paged (1, G, 1, 1, BK) view of (L, KVH, P, 1, PS) — both
+            # squeeze to (G, BK)
+            ks = ks_ref[...].reshape(-1, ks_ref.shape[-1])
+            s = s * ks[:, None, :]  # (G, 1, BK) lane-aligned
         t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
         s = jnp.where(t_idx < pos, s, MASK_VALUE)
 
@@ -110,11 +115,13 @@ def _decode_kernel(
         l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+        vt = v_ref[...].reshape(-1, v_ref.shape[-2], v_ref.shape[-1])
         if quantized:
-            v = v_ref[0, 0].astype(jnp.bfloat16)  # (G, BK, HS)
-            pv = (p * vs_ref[0][:, 0, :][:, None, :]).astype(jnp.bfloat16)
+            v = vt.astype(jnp.bfloat16)  # (G, BK, HS)
+            vs = vs_ref[...].reshape(-1, vs_ref.shape[-1])
+            pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
         else:
-            v = v_ref[0, 0]  # (G, BK, HS)
+            v = vt  # (G, BK, HS)
             pv = p.astype(v.dtype)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             pv, v, (((2,), (1,)), ((0,), (0,))),
@@ -269,7 +276,7 @@ def _prefill_kernel(
 
 
 def _pick_block_t(t: int, target: int = 128) -> int:
-    for bt in (target, 64, 32, 16, 8, 4, 2):
+    for bt in (target, 128, 64, 32, 16, 8, 4, 2):
         if bt <= t and t % bt == 0:
             return bt
     return t
@@ -303,6 +310,13 @@ def attention_prefill_pallas(
         interpret = jax.default_backend() == "cpu"
     bt = block_t or _pick_block_t(t, target=256)
     bk = block_k or _pick_block_k(s, target=512)
+    # sanitize explicit overrides (env/tuning args): a block that does not
+    # divide the array would silently FLOOR the grid and drop the tail from
+    # attention — snap down to a legal divisor instead
+    if t % bt or bt > t:
+        bt = _pick_block_t(t, target=bt)
+    if s % bk or bk > s:
+        bk = _pick_block_k(s, target=bk)
     n_t_blocks = t // bt
     n_k_blocks = s // bk
     scale = 1.0 / (hs ** 0.5)
@@ -427,6 +441,10 @@ def attention_decode_pallas(
             q, k_cache, v_cache, layer, pos, k_cur, v_cur, k_scale, v_scale
         )
     bk = block_k or _ENV_DECODE_BLOCK_K or _pick_block_k(s, target=1024)
+    if s % bk or bk > s:
+        # sanitize overrides: a non-divisor block would FLOOR the grid and
+        # silently drop the KV tail from attention
+        bk = _pick_block_k(s, target=bk)
     if quantized and bk % 128 and bk != s:
         # the (.., 1, bk) scale tile needs a lane-dim multiple of 128
         bk = 128 if s % 128 == 0 else s
@@ -558,6 +576,20 @@ def attention_decode_paged(
     vc4 = v_cur.reshape(b, kvh, 1, hs)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
+    # head-batch KV heads per grid step (same rationale as the contiguous
+    # decode kernel: un-batched MHA left the grid overhead-bound on tiny
+    # page tiles — b*kvh*max_pages steps of one (PS, HS) DMA each). Heads
+    # share the slot's page table, so one step streams G head-slabs of the
+    # SAME physical page.
+    g_blk = 1
+    target_bytes = _ENV_DECODE_TARGET_KB * 1024
+    while (
+        g_blk < kvh
+        and kvh % (g_blk * 2) == 0
+        and g_blk * ps * hs * k_pages.dtype.itemsize < target_bytes
+    ):
+        g_blk *= 2
+
     def q_map(bi, g, i, layer_ref, pos_ref, pt_ref):
         return (bi, g, 0, 0)
 
@@ -570,41 +602,41 @@ def attention_decode_paged(
         return (bi, g, 0, 0)
 
     def scale_map(bi, g, i, layer_ref, pos_ref, pt_ref):
-        # scale plane viewed as (L*KVH, P, 1, PS)
+        # scale plane viewed as (L, KVH, P, 1, PS)
         last_live = jnp.maximum(pos_ref[bi] - 1, 0) // ps
         page = pt_ref[bi, jnp.minimum(i, last_live)]
-        return (layer_ref[0] * kvh + g, page, 0, 0)
+        return (layer_ref[0], g, page, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, kv_mul, hs), q_map),
-        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
-        pl.BlockSpec((1, 1, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
+        pl.BlockSpec((1, g_blk, 1, ps, hs), kv_map),
+        pl.BlockSpec((1, g_blk, 1, ps, hs), kv_map),
     ]
     operands = [qs, k_pages, v_pages]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, ps), scale_map),
-            pl.BlockSpec((1, 1, 1, ps), scale_map),
+            pl.BlockSpec((1, g_blk, 1, 1, ps), scale_map),
+            pl.BlockSpec((1, g_blk, 1, 1, ps), scale_map),
         ]
         operands += [
-            k_scale.reshape(n_layers * kvh, p, 1, ps),
-            v_scale.reshape(n_layers * kvh, p, 1, ps),
+            k_scale.reshape(n_layers, kvh, p, 1, ps),
+            v_scale.reshape(n_layers, kvh, p, 1, ps),
         ]
     in_specs += [
-        pl.BlockSpec((1, 1, 1, hs), cur_map),
-        pl.BlockSpec((1, 1, 1, hs), cur_map),
+        pl.BlockSpec((1, g_blk, 1, hs), cur_map),
+        pl.BlockSpec((1, g_blk, 1, hs), cur_map),
     ]
     operands += [kc4, vc4]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, kvh, max_pages),
+        grid=(b, kvh // g_blk, max_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, kv_mul, hs), q_map),
+        out_specs=pl.BlockSpec((1, g_blk, kv_mul, hs), q_map),
         scratch_shapes=[
-            pltpu.VMEM((1, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((1, kv_mul, 128), jnp.float32),
-            pltpu.VMEM((1, kv_mul, hs), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((g_blk, kv_mul, hs), jnp.float32),
         ],
     )
     kernel = functools.partial(

@@ -124,6 +124,9 @@ def kv_write_rows(
         interpret = jax.default_backend() == "cpu"
     b, n_layers, kvh, s, hs = cache.shape
     w = min(_sublane_window(cache.dtype), s)
+    # window_slice clamps start to s - w and asserts (pl.multiple_of) that
+    # the result is window-aligned — only true when w divides s
+    assert s % w == 0, (s, w)
     l_chunk = _pick_l_chunk(n_layers, kvh, w, hs, cache.dtype.itemsize)
     rows4 = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
 
@@ -167,20 +170,18 @@ def _scale_write_kernel(
         start = pl.multiple_of(jnp.minimum((pos // 128) * 128, s - 128), 128)
         off = pos - start
         ld = pltpu.make_async_copy(
-            sc_out_ref.at[b, :, :, pl.ds(start, 128)],
-            scratch.at[b % 2],
-            sems.at[b % 2],
+            sc_out_ref.at[b, :, :, pl.ds(start, 128)], scratch.at[0],
+            sems.at[0],
         )
         ld.start()
         ld.wait()
-        win = scratch[b % 2]  # (L, KVH, 128)
+        win = scratch[0]  # (L, KVH, 128)
         lane = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
         new = srows_ref[b][:, :, None]  # (L, KVH, 1)
-        scratch[b % 2] = jnp.where(lane == off, new, win)
+        scratch[0] = jnp.where(lane == off, new, win)
         st = pltpu.make_async_copy(
-            scratch.at[b % 2],
-            sc_out_ref.at[b, :, :, pl.ds(start, 128)],
-            sems.at[b % 2],
+            scratch.at[0], sc_out_ref.at[b, :, :, pl.ds(start, 128)],
+            sems.at[0],
         )
         st.start()
         st.wait()
@@ -220,8 +221,8 @@ def scale_write_rows(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_layers, kvh, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, n_layers, kvh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     return pl.pallas_call(
@@ -244,16 +245,16 @@ def _scale_write_kernel_paged(
         page = pt_ref[b, pos // ps]
         off = pos % ps
         ld = pltpu.make_async_copy(
-            sc_out_ref.at[:, :, page, :], scratch.at[b % 2], sems.at[b % 2]
+            sc_out_ref.at[:, :, page, :], scratch.at[0], sems.at[0]
         )
         ld.start()
         ld.wait()
-        win = scratch[b % 2]  # (L, KVH, PS)
+        win = scratch[0]  # (L, KVH, PS)
         lane = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
         new = srows_ref[b][:, :, None]  # (L, KVH, 1)
-        scratch[b % 2] = jnp.where(lane == off, new, win)
+        scratch[0] = jnp.where(lane == off, new, win)
         st = pltpu.make_async_copy(
-            scratch.at[b % 2], sc_out_ref.at[:, :, page, :], sems.at[b % 2]
+            scratch.at[0], sc_out_ref.at[:, :, page, :], sems.at[0]
         )
         st.start()
         st.wait()
@@ -293,8 +294,8 @@ def scale_write_rows_paged(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_layers, kvh, ps), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, n_layers, kvh, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     return pl.pallas_call(
@@ -406,6 +407,7 @@ def kv_write_rows_paged(
     n_layers, kvh, p, ps, hs = pages.shape
     b = rows.shape[1]
     w = min(_sublane_window(pages.dtype), ps)
+    assert ps % w == 0, (ps, w)  # see kv_write_rows: clamp alignment
     l_chunk = _pick_l_chunk(n_layers, kvh, w, hs, pages.dtype.itemsize)
     rows4 = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)
 
@@ -527,6 +529,10 @@ def kv_write_chunk(
     # (callers guard), so the clamp target s - w stays sub-aligned.
     w = -(-t // sub) * sub + 2 * sub
     assert s % sub == 0, (s, sub)
+    # the clamp target s - w must be non-negative or the windowed RMW DMA
+    # would read/write out of bounds (callers gate on this; fail loudly for
+    # any new caller instead of corrupting adjacent HBM)
+    assert s >= w, (s, w, t)
     rows_t = jnp.swapaxes(rows, 1, 2).astype(cache.dtype)  # (B, KVH, T, HS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -613,6 +619,7 @@ def scale_write_chunk(
     t = srows.shape[1]
     w = -(-t // 128) * 128 + 256  # align_up(t, lane) + 2*lane (see above)
     assert s % 128 == 0, s
+    assert s >= w, (s, w, t)  # clamp target s - w must stay in bounds
     srows_t = jnp.swapaxes(srows, 1, 2).astype(jnp.float32)  # (B, KVH, T)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

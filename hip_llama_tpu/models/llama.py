@@ -20,8 +20,6 @@ src/thaDNN.cpp:13-81):
 
 from __future__ import annotations
 
-import functools
-import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -218,41 +216,6 @@ def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
         return y.reshape(*lead, hidden)
     h13 = _mm(rmsnorm(x, g, eps), w13)
     return jax.nn.silu(h13[..., :hidden]) * h13[..., hidden:]
-
-
-_LAYERED_Q8 = os.environ.get("HIPLLAMA_LAYERED_Q8", "0") == "1"
-
-
-def _mm_layer(x: jax.Array, w, l: jax.Array) -> jax.Array:
-    """Layer-selecting matmul for use INSIDE the layer scan.
-
-    Default: slice the layer and use the 2-D kernels — XLA's per-layer
-    operand copies for the pallas path overlap well enough that this is the
-    fastest measured config (292 tok/s at 7B int8). HIPLLAMA_LAYERED_Q8=1
-    instead routes the layer index into the q8 kernel's BlockSpec index map
-    (zero-copy but worse kernel pipelining: 226 tok/s measured)."""
-    if isinstance(w, QTensor):
-        if _LAYERED_Q8:
-            from hip_llama_tpu.ops.quant import q8_matmul_layered
-
-            lead = x.shape[:-1]
-            y = q8_matmul_layered(
-                x.reshape(-1, x.shape[-1]), w, l, out_dtype=x.dtype
-            )
-            return y.reshape(*lead, y.shape[-1])
-        wl = QTensor(
-            q=lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
-            s=lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False),
-        )
-        return _mm(x, wl)
-    if isinstance(w, Q4Tensor):
-        wl = Q4Tensor(
-            q=lax.dynamic_index_in_dim(w.q, l, 0, keepdims=False),
-            s=lax.dynamic_index_in_dim(w.s, l, 0, keepdims=False),
-        )
-        return _mm(x, wl)
-    wl = lax.dynamic_index_in_dim(w, l, 0, keepdims=False)
-    return x @ wl
 
 
 def _embed(params, tokens: jax.Array, act_dtype) -> jax.Array:
@@ -686,9 +649,6 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
         s = cache.seq_len
         x = _embed(params, tokens, _act_dtype(params))  # (B, T, D)
         pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
-        tvalid = (
-            jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid_len[:, None]
-        )  # (B, T)
 
         unrolled = isinstance(params.wq, (tuple, list)) and not isinstance(
             params.wq, (QTensor, Q4Tensor)

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.models.llama import _act_dtype, _embed, _mm, rmsnorm, rope
+from hip_llama_tpu.models.llama import (
+    _act_dtype,
+    _embed,
+    _mm_norm,
+    _mm_norm_rope,
+    _mm_res,
+)
 from hip_llama_tpu.ops.attention import (
     attention_decode_paged,
     attention_prefill_paged,
@@ -158,26 +164,37 @@ def make_paged_decode_step(cfg: ModelConfig, precision: str = "highest"):
         def layer(carry, xs):
             x = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
-            xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = _mm(xb, wq).reshape(b, c.n_heads, c.head_size)
-            k = _mm(xb, wk).reshape(b, c.n_kv_heads, c.head_size)
-            v = _mm(xb, wv).reshape(b, c.n_kv_heads, c.head_size)
-            q = rope(q, pos, c.rope_theta)
-            k = rope(k, pos, c.rope_theta)
+            # same fused helpers as the contiguous decode: norm/rope fold
+            # into the quantized matmul kernels, residual adds into their
+            # epilogues (standalone ops cost ~21 us each on the decode
+            # critical path — see llama.py _mm_norm)
+            q = _mm_norm_rope(
+                x, rms_a, wq, c.norm_eps, pos, c.dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, c.n_heads, c.head_size)
+            k = _mm_norm_rope(
+                x, rms_a, wk, c.norm_eps, pos, c.kv_dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, c.n_kv_heads, c.head_size)
+            v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
+                b, c.n_kv_heads, c.head_size
+            )
             att_out = attention_decode_paged(
                 q, cache.k, cache.v, page_table, l, pos, k, v,
                 cache.k_scale, cache.v_scale,
             ).reshape(b, c.dim)
-            x = x + _mm(att_out, wo)
-            xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
-            x = x + _mm(h, w2)
+            x = _mm_res(x, att_out, wo)
+            h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
+                x, rms_f, w3, c.norm_eps
+            )
+            x = _mm_res(x, h, w2)
             return x, (k, v)
 
         x, (k_rows, v_rows) = lax.scan(layer, x, layer_xs)
         new_cache = _commit_kv_rows_paged(cache, k_rows, v_rows, page_table, pos)
-        x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = _mm(x, params.wcls).astype(jnp.float32)
+        logits = _mm_norm(
+            x, params.rms_final, params.wcls, c.norm_eps
+        ).astype(jnp.float32)
         return logits, new_cache
 
     def step(params, cache, page_table, tokens, pos):
@@ -231,6 +248,9 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
     def prefill_inner(params, cache: PagedKVCache, page_table, tokens, start, valid):
         b, t = tokens.shape
         ps = cache.page_size
+        # documented precondition (fail loudly at trace time, not by silent
+        # KV truncation): each chunk must land in ONE page window
+        assert t <= ps, (t, ps)
         x = _embed(params, tokens, _act_dtype(params))
         pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         tvalid = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid[:, None]
@@ -249,8 +269,18 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
         )
 
         quantized_kv = cache.quantized
+        # Pallas writers: one whole-page RMW DMA per slot per layer instead
+        # of the XLA merge + whole-pool dynamic-update-slice scatter (the
+        # contiguous writer's measured ~80 ms/step class of win at 7B)
+        pallas_w = jax.default_backend() != "cpu" and c.head_size % 128 == 0
 
         def write_chunk(pages, new, l):
+            if pallas_w:
+                from hip_llama_tpu.ops.cache import kv_write_chunk_paged
+
+                return kv_write_chunk_paged(
+                    pages, new, l, page_table, start, valid
+                )
             # new: (B, T, KVH, HS); one page window per slot at offset 0
             win = min(t, ps)
             for i in range(b):
@@ -270,6 +300,12 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
             return pages
 
         def write_scale_chunk(splane, new_s, l):
+            if pallas_w:
+                from hip_llama_tpu.ops.cache import scale_write_chunk_paged
+
+                return scale_write_chunk_paged(
+                    splane, new_s, l, page_table, start, valid
+                )
             # splane (L, KVH, P, PS); new_s (B, T, KVH)
             win = min(t, ps)
             for i in range(b):
@@ -287,12 +323,17 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
         def layer(carry, xs):
             x, kpages, vpages, ks_p, vs_p = carry
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = xs
-            xb = rmsnorm(x, rms_a, c.norm_eps)
-            q = _mm(xb, wq).reshape(b, t, c.n_heads, c.head_size)
-            k = _mm(xb, wk).reshape(b, t, c.n_kv_heads, c.head_size)
-            v = _mm(xb, wv).reshape(b, t, c.n_kv_heads, c.head_size)
-            q = rope(q, pos, c.rope_theta)
-            k = rope(k, pos, c.rope_theta)
+            q = _mm_norm_rope(
+                x, rms_a, wq, c.norm_eps, pos, c.dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, t, c.n_heads, c.head_size)
+            k = _mm_norm_rope(
+                x, rms_a, wk, c.norm_eps, pos, c.kv_dim, c.head_size,
+                c.rope_theta,
+            ).reshape(b, t, c.n_kv_heads, c.head_size)
+            v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
+                b, t, c.n_kv_heads, c.head_size
+            )
             if quantized_kv:
                 from hip_llama_tpu.ops.cache import quantize_kv_rows
 
@@ -310,10 +351,11 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
                 ks_p if quantized_kv else None,
                 vs_p if quantized_kv else None,
             ).reshape(b, t, c.dim).astype(x.dtype)
-            x = x + _mm(att_out, wo)
-            xb = rmsnorm(x, rms_f, c.norm_eps)
-            h = jax.nn.silu(_mm(xb, w1)) * _mm(xb, w3)
-            x = x + _mm(h, w2)
+            x = _mm_res(x, att_out, wo)
+            h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
+                x, rms_f, w3, c.norm_eps
+            )
+            x = _mm_res(x, h, w2)
             return (x, kpages, vpages, ks_p, vs_p), None
 
         ks0 = cache.k_scale if quantized_kv else jnp.zeros((0,), jnp.float32)
@@ -321,8 +363,9 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
         (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
             layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
         )
-        x = rmsnorm(x, params.rms_final, c.norm_eps)
-        logits = _mm(x, params.wcls).astype(jnp.float32)
+        logits = _mm_norm(
+            x, params.rms_final, params.wcls, c.norm_eps
+        ).astype(jnp.float32)
         if quantized_kv:
             return logits, PagedKVCache(new_k, new_v, new_ks, new_vs)
         return logits, PagedKVCache(new_k, new_v)

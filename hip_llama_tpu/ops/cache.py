@@ -646,3 +646,168 @@ def scale_write_chunk(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(layer_arr, start, valid, srows_t, scale_cache)
+
+
+# ---------------------------------------------------------------------------
+# paged chunk writers: prefill commits for the paged cache. The engine
+# guarantees page-aligned chunk starts with T <= page_size, so each slot's
+# chunk lands at offset 0 of exactly ONE physical page — a single
+# whole-page RMW per slot, no clamp/roll needed (cf. kv_write_chunk).
+
+
+def _kv_write_chunk_kernel_paged(
+    layer_ref, start_ref, valid_ref, pt_ref, rows_ref, pages_in_ref,
+    pages_out_ref, scratch, rows_scr, sems, *, batch, t, ps,
+):
+    del pages_in_ref  # aliased with pages_out
+    l = layer_ref[0]
+    for b in range(batch):
+        v = valid_ref[b]
+
+        @pl.when(v > 0)
+        def _():
+            page = pt_ref[b, start_ref[b] // ps]
+            ld = pltpu.make_async_copy(
+                pages_out_ref.at[l, :, page, :, :], scratch.at[0], sems.at[0]
+            )
+            ld.start()
+            ld_rows = pltpu.make_async_copy(
+                rows_ref.at[b], rows_scr.at[0], sems.at[1]
+            )
+            ld_rows.start()
+            ld.wait()
+            ld_rows.wait()
+            win = scratch[0]  # (KVH, PS, HS)
+            new = rows_scr[0]  # (KVH, T, HS)
+            if t < ps:
+                new = jnp.pad(new, ((0, 0), (0, ps - t), (0, 0)))
+            j = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+            scratch[0] = jnp.where(j < v, new, win)
+            st_cp = pltpu.make_async_copy(
+                scratch.at[0], pages_out_ref.at[l, :, page, :, :], sems.at[0]
+            )
+            st_cp.start()
+            st_cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def kv_write_chunk_paged(
+    pages: jax.Array,  # (L, KVH, P, PS, HS) — donated, updated in place
+    rows: jax.Array,  # (B, T, KVH, HS) — this LAYER's chunk rows
+    layer: jax.Array,  # () int32
+    page_table: jax.Array,  # (B, MAX_PAGES) int32
+    start: jax.Array,  # (B,) int32 — PAGE-ALIGNED chunk start per slot
+    valid: jax.Array,  # (B,) int32 — live rows per slot (0 = bystander)
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Paged companion of kv_write_chunk: one whole-page RMW DMA per slot
+    per layer instead of the XLA merge + whole-pool dynamic-update-slice
+    scatter (the same ~80 ms/step class of win measured for the contiguous
+    writer at 7B b8 t511)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_layers, kvh, p, ps, hs = pages.shape
+    b, t = rows.shape[:2]
+    assert t <= ps, (t, ps)
+    rows_t = jnp.swapaxes(rows, 1, 2).astype(pages.dtype)  # (B, KVH, T, HS)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # layer, start, valid, page_table
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pages in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((1, kvh, ps, hs), pages.dtype),
+            pltpu.VMEM((1, kvh, t, hs), pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _kv_write_chunk_kernel_paged, batch=b, t=t, ps=ps
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(layer_arr, start, valid, page_table, rows_t, pages)
+
+
+def _scale_write_chunk_kernel_paged(
+    layer_ref, start_ref, valid_ref, pt_ref, srows_ref, sc_in_ref,
+    sc_out_ref, scratch, sems, *, batch, t, ps,
+):
+    del sc_in_ref
+    l = layer_ref[0]
+    for b in range(batch):
+        v = valid_ref[b]
+
+        @pl.when(v > 0)
+        def _():
+            page = pt_ref[b, start_ref[b] // ps]
+            ld = pltpu.make_async_copy(
+                sc_out_ref.at[l, :, page, :], scratch.at[0], sems.at[0]
+            )
+            ld.start()
+            ld.wait()
+            win = scratch[0]  # (KVH, PS)
+            new = srows_ref[b]  # (KVH, T)
+            if t < ps:
+                new = jnp.pad(new, ((0, 0), (0, ps - t)))
+            j = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+            scratch[0] = jnp.where(j < v, new, win)
+            st_cp = pltpu.make_async_copy(
+                scratch.at[0], sc_out_ref.at[l, :, page, :], sems.at[0]
+            )
+            st_cp.start()
+            st_cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def scale_write_chunk_paged(
+    scale_pages: jax.Array,  # (L, KVH, P, PS) f32 — donated
+    srows: jax.Array,  # (B, T, KVH) f32
+    layer: jax.Array,  # () int32
+    page_table: jax.Array,  # (B, MAX_PAGES) int32
+    start: jax.Array,  # (B,) int32 — page-aligned
+    valid: jax.Array,  # (B,) int32
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_layers, kvh, p, ps = scale_pages.shape
+    b, t = srows.shape[:2]
+    assert t <= ps, (t, ps)
+    srows_t = jnp.swapaxes(srows, 1, 2).astype(jnp.float32)  # (B, KVH, T)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # srows (small)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((1, kvh, ps), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _scale_write_chunk_kernel_paged, batch=b, t=t, ps=ps
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(scale_pages.shape, jnp.float32),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(layer_arr, start, valid, page_table, srows_t, scale_pages)

@@ -340,6 +340,19 @@ def main(argv: list[str]) -> int:
 
         params = qparams_from_quant_weights(cfg, weights)
     if hasattr(params, "tok_emb_q") and tp <= 1 and not paged:
+        if (
+            layout == "stacked"
+            and type(getattr(params, "wq", None)).__name__ == "Q4Tensor"
+        ):
+            # the stacked-fused decode path drives q8_matmul_layered, which
+            # has no int4 counterpart — fused Q4 params would fall through
+            # to the generic scan and crash at the first dispatch
+            print(
+                "note: --layout stacked supports int8 only; using unrolled "
+                "for int4",
+                file=sys.stderr,
+            )
+            layout = "unrolled"
         if layout == "stacked":
             # stacked (L, K, N) arrays + layered kernels: decode parity
             # with unrolled (~565 vs 571 tok/s at 7B) and a far smaller

@@ -111,3 +111,68 @@ def test_prefill_bucket_overflow_preserves_history():
         np.asarray(cache2.k[0, :, :, 40:45, :]),
         np.asarray(cache_o.k[0, :, :, 40:45, :]), atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+def test_kv_write_chunk_paged_matches_scatter(dtype):
+    """Paged chunk writer: page-aligned starts, T <= page_size, whole-page
+    RMW per slot must equal a row-wise scatter into the physical pages."""
+    from hip_llama_tpu.ops.cache import kv_write_chunk_paged
+
+    PB, PL, PKVH, P, PS, PHS, PT = 3, 2, 4, 6, 128, 128, 96
+    rng = np.random.default_rng(3)
+    if dtype == jnp.int8:
+        pages0 = rng.integers(-100, 100, (PL, PKVH, P, PS, PHS)).astype(np.int8)
+        rows = rng.integers(-100, 100, (PB, PT, PKVH, PHS)).astype(np.int8)
+    else:
+        pages0 = rng.normal(size=(PL, PKVH, P, PS, PHS)).astype(np.float32)
+        rows = rng.normal(size=(PB, PT, PKVH, PHS)).astype(np.float32)
+    table = np.array([[1, 4], [2, 5], [3, 0]], np.int32)
+    start = np.array([0, PS, 0], np.int32)  # slot1 writes its SECOND page
+    valid = np.array([PT, 40, 0], np.int32)  # full, partial, bystander
+    layer = 1
+
+    # compare in the cache dtype (bf16 rounds both sides identically)
+    pages0 = np.asarray(jnp.asarray(pages0).astype(dtype).astype(jnp.float32))
+    rows = np.asarray(jnp.asarray(rows).astype(dtype).astype(jnp.float32))
+    expect = pages0.copy().astype(np.float32)
+    for b in range(PB):
+        page = table[b, start[b] // PS]
+        for j in range(valid[b]):
+            expect[layer, :, page, j] = rows[b, j]
+
+    out = kv_write_chunk_paged(
+        jnp.asarray(pages0).astype(dtype), jnp.asarray(rows).astype(dtype),
+        jnp.int32(layer), jnp.asarray(table), jnp.asarray(start),
+        jnp.asarray(valid), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32), expect.astype(np.float32),
+        atol=(0 if dtype == jnp.int8 else 1e-2),
+    )
+
+
+def test_scale_write_chunk_paged_matches_scatter():
+    from hip_llama_tpu.ops.cache import scale_write_chunk_paged
+
+    PB, PL, PKVH, P, PS, PT = 3, 2, 4, 6, 128, 96
+    rng = np.random.default_rng(4)
+    sp0 = rng.normal(size=(PL, PKVH, P, PS)).astype(np.float32)
+    srows = rng.normal(size=(PB, PT, PKVH)).astype(np.float32)
+    table = np.array([[1, 4], [2, 5], [3, 0]], np.int32)
+    start = np.array([0, PS, 0], np.int32)
+    valid = np.array([PT, 40, 0], np.int32)
+    layer = 0
+
+    expect = sp0.copy()
+    for b in range(PB):
+        page = table[b, start[b] // PS]
+        for j in range(valid[b]):
+            expect[layer, :, page, j] = srows[b, j]
+
+    out = scale_write_chunk_paged(
+        jnp.asarray(sp0), jnp.asarray(srows), jnp.int32(layer),
+        jnp.asarray(table), jnp.asarray(start), jnp.asarray(valid),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)

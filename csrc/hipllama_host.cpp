@@ -11,6 +11,7 @@
 // Build: g++ -O2 -fPIC -shared csrc/hipllama_host.cpp -o hipllama_host.so
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -28,7 +29,7 @@ extern "C" {
 struct Tokenizer {
   std::vector<std::string> vocab;
   std::vector<float> scores;
-  std::unordered_map<std::string, int> lookup;  // first id wins
+  std::unordered_map<std::string, int> lookup;  // highest score wins
   uint32_t max_token_length = 0;
 };
 
@@ -146,15 +147,17 @@ int tok_decode_piece(void* p, int prev, int token, uint8_t* out, int max_out) {
     tmp = piece->substr(1);
     piece = &tmp;
   }
-  // raw byte token of the form "<0xXX>"
+  // raw byte token of the form "<0xXX>" — EXACTLY two hex digits, like
+  // tokenizer.py's ^<0x([0-9A-Fa-f]{2})>$ (sscanf "%02X" would accept a
+  // single digit and diverge from the Python path on malformed pieces)
   if (piece->size() == 6 && piece->compare(0, 3, "<0x") == 0 &&
-      (*piece)[5] == '>') {
-    unsigned int byte;
-    if (sscanf(piece->c_str() + 3, "%02X", &byte) == 1) {
-      if (max_out < 1) return 0;
-      out[0] = (uint8_t)byte;
-      return 1;
-    }
+      (*piece)[5] == '>' && isxdigit((unsigned char)(*piece)[3]) &&
+      isxdigit((unsigned char)(*piece)[4])) {
+    unsigned int byte = 0;
+    sscanf(piece->c_str() + 3, "%02X", &byte);
+    if (max_out < 1) return 0;
+    out[0] = (uint8_t)byte;
+    return 1;
   }
   int n = (int)piece->size();
   if (n > max_out) n = max_out;
@@ -292,7 +295,7 @@ void sched_bind(void* p, int slot, int req, const int* prompt, int n_prompt,
 void sched_release(void* p, int slot) { ((Sched*)p)->slots[slot].req = -1; }
 
 // One post-step advance over all slots. `logits` = the (B, vocab) f32 step
-// output (scribbled on by temperature scaling), or NULL when `sampled`
+// output (read-only), or NULL when `sampled`
 // carries on-device-sampled tokens. Per-slot outputs: feed_tok/feed_pos for
 // the next device step; done=1 if the slot retires this step; emit_prev/
 // emit_next = the token pair whose decoded piece appends to the generation

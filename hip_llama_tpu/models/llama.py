@@ -276,26 +276,70 @@ def rope(x: jax.Array, pos: jax.Array, theta: float = 10000.0) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array) -> jax.Array:
+def scatter_kv_chunk(c_b, new_b, st, v, *, l, t, s):
+    """Single-slot windowed KV chunk merge into (L, KVH, S, HS) at
+    (l, :, st) — vmap over the batch. Positions past `v` keep their previous
+    contents. A window whose BUCKET extends past S would be silently clamped
+    by dynamic_update_slice, landing valid rows at the wrong positions AND
+    clobbering earlier history — so the start is clamped deliberately and
+    the new rows rolled into place (the same end-of-cache handling as the
+    Pallas chunk writer, ops/cache.py kv_write_chunk). Shared by the
+    contiguous prefill and the TP shard_map prefill (parallel/tp.py)."""
+    st_c = jnp.minimum(st, s - t)
+    shift = st - st_c
+    old = lax.dynamic_slice(
+        c_b, (l, 0, st_c, 0), (1, c_b.shape[1], t, c_b.shape[3])
+    )[0]  # (KVH, T, HS)
+    new_kv = jnp.roll(
+        jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype), shift, axis=1
+    )
+    w_idx = jnp.arange(t)
+    m = (w_idx >= shift) & (w_idx < shift + v)
+    merged = jnp.where(m[None, :, None], new_kv, old)
+    return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st_c, 0))
+
+
+def scatter_scale_chunk(s_b, new_s, st, v, *, l, t, s):
+    """Chunk-merge companion for the int8 KV scale plane (L, KVH, S)."""
+    st_c = jnp.minimum(st, s - t)
+    shift = st - st_c
+    old = lax.dynamic_slice(s_b, (l, 0, st_c), (1, s_b.shape[1], t))[0]
+    new_sc = jnp.roll(jnp.swapaxes(new_s, 0, 1), shift, axis=1)
+    w_idx = jnp.arange(t)
+    m = (w_idx >= shift) & (w_idx < shift + v)
+    merged = jnp.where(m[None, :], new_sc, old)
+    return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st_c))
+
+
+def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array,
+                   valid: jax.Array | None = None) -> jax.Array:
     """Write one new KV row per slot for ALL layers at once: rows (L, B, KVH,
     HS) into cache (B, L, KVH, S, HS) at (b, :, :, pos[b]).
 
     Done OUTSIDE the layer scan, via the in-place Pallas DMA writer on TPU
     (ops/cache.py — the XLA dynamic-update-slice chain materialized
     whole-cache copies, ~5 ms/step at 7B). The analog of the reference's
-    fused KV-scatter GEMV addressing (thaBLAS.cpp:191-228)."""
+    fused KV-scatter GEMV addressing (thaBLAS.cpp:191-228).
+
+    `valid` (B,) bool: slots with False keep their old row — used by the
+    sequence-parallel step, where only the position's owner shard writes."""
     if jax.default_backend() != "cpu" and cache.shape[-1] % 128 == 0:
         # head_size must fill whole lanes for the DMA (7B/13B/70B: HS=128);
         # smaller heads take the XLA path (their caches are small anyway)
         from hip_llama_tpu.ops.cache import kv_write_rows
 
-        return kv_write_rows(cache, rows, pos)
+        return kv_write_rows(cache, rows, pos, valid=valid)
     b = cache.shape[0]
     upd = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
     for i in range(b):
-        cache = lax.dynamic_update_slice(
-            cache, upd[i][None, :, :, None], (i, 0, 0, pos[i], 0)
-        )
+        new = upd[i][None, :, :, None]
+        if valid is not None:
+            old = lax.dynamic_slice(
+                cache, (i, 0, 0, pos[i], 0),
+                (1, cache.shape[1], cache.shape[2], 1, cache.shape[4]),
+            )
+            new = jnp.where(valid[i], new, old)
+        cache = lax.dynamic_update_slice(cache, new, (i, 0, 0, pos[i], 0))
     return cache
 
 
@@ -699,38 +743,10 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
                 )
 
             def scatter_seq(c_b, new_b, st, v):
-                # window-granular write into (L, KVH, S, HS) at (l, :, st);
-                # merge with the old window so positions past valid_len keep
-                # their previous contents (bystander slots stay untouched).
-                # A window whose BUCKET extends past S would be silently
-                # clamped by dynamic_update_slice, landing valid rows at the
-                # wrong positions AND clobbering earlier history — so clamp
-                # the start deliberately and roll the new rows into place
-                # (the same end-of-cache handling as the Pallas chunk
-                # writer, ops/cache.py kv_write_chunk)
-                st_c = jnp.minimum(st, s - t)
-                shift = st - st_c
-                old = lax.dynamic_slice(
-                    c_b, (l, 0, st_c, 0), (1, c_b.shape[1], t, c_b.shape[3])
-                )[0]  # (KVH, T, HS)
-                new_kv = jnp.roll(
-                    jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype), shift, axis=1
-                )
-                w_idx = jnp.arange(t)
-                m = (w_idx >= shift) & (w_idx < shift + v)
-                merged = jnp.where(m[None, :, None], new_kv, old)
-                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st_c, 0))
+                return scatter_kv_chunk(c_b, new_b, st, v, l=l, t=t, s=s)
 
             def scatter_scale(s_b, new_s, st, v):
-                # scale plane (L, KVH, S); new_s (T, KVH)
-                st_c = jnp.minimum(st, s - t)
-                shift = st - st_c
-                old = lax.dynamic_slice(s_b, (l, 0, st_c), (1, s_b.shape[1], t))[0]
-                new_sc = jnp.roll(jnp.swapaxes(new_s, 0, 1), shift, axis=1)
-                w_idx = jnp.arange(t)
-                m = (w_idx >= shift) & (w_idx < shift + v)
-                merged = jnp.where(m[None, :], new_sc, old)
-                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st_c))
+                return scatter_scale_chunk(s_b, new_s, st, v, l=l, t=t, s=s)
 
             # chunk writers: one windowed RMW DMA per slot per layer beats
             # the XLA merge + dynamic-update-slice scatter by ~80 ms/step

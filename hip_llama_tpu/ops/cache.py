@@ -32,7 +32,7 @@ def _sublane_window(dtype) -> int:
 
 
 def _kv_write_kernel(
-    pos_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems,
+    pos_ref, valid_ref, rows_ref, cache_in_ref, cache_out_ref, scratch, sems,
     *, batch, window, s, l_chunk,
 ):
     del cache_in_ref  # aliased with cache_out
@@ -83,7 +83,8 @@ def _kv_write_kernel(
         win = scratch[idx % 2]  # (l_chunk, KVH, W, HS)
         sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
         new = rows_ref[b, pl.ds(c * l_chunk, l_chunk)][:, :, None, :]
-        scratch[idx % 2] = jnp.where(sub == off, new.astype(win.dtype), win)
+        keep = (sub == off) & (valid_ref[b] != 0)
+        scratch[idx % 2] = jnp.where(keep, new.astype(win.dtype), win)
         st = pltpu.make_async_copy(
             scratch.at[idx % 2],
             cache_out_ref.at[
@@ -117,12 +118,16 @@ def kv_write_rows(
     cache: jax.Array,  # (B, L, KVH, S, HS) — donated, updated in place
     rows: jax.Array,  # (L, B, KVH, HS) — this step's K (or V) rows
     pos: jax.Array,  # (B,) int32
+    valid: jax.Array | None = None,  # (B,) bool/int: False keeps the old row
     *,
     interpret: bool | None = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, n_layers, kvh, s, hs = cache.shape
+    valid_arr = (
+        jnp.ones((b,), jnp.int32) if valid is None else valid.astype(jnp.int32)
+    )
     w = min(_sublane_window(cache.dtype), s)
     # window_slice clamps start to s - w and asserts (pl.multiple_of) that
     # the result is window-aligned — only true when w divides s
@@ -131,7 +136,7 @@ def kv_write_rows(
     rows4 = jnp.moveaxis(rows, 1, 0).astype(cache.dtype)  # (B, L, KVH, HS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # pos, valid
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # rows (B, L, KVH, HS)
@@ -149,10 +154,10 @@ def kv_write_rows(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
-        input_output_aliases={2: 0},  # cache input (after pos, rows) -> output
+        input_output_aliases={3: 0},  # cache input (after pos, valid, rows)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(pos, rows4, cache)
+    )(pos, valid_arr, rows4, cache)
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -33,6 +32,8 @@ from hip_llama_tpu.models.llama import (
     _write_kv_rows,
     rmsnorm,
     rope,
+    scatter_kv_chunk,
+    scatter_scale_chunk,
 )
 from hip_llama_tpu.models.params import LlamaParams, QuantLlamaParams
 from hip_llama_tpu.ops.quant import QTensor
@@ -186,6 +187,8 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
     attention runs fully local (GQA co-location)."""
     c = cfg
     tp = mesh.shape["tp"]
+    assert c.n_kv_heads % tp == 0 and c.n_heads % tp == 0, (c.n_kv_heads, tp)
+    assert c.hidden_dim % tp == 0 and c.vocab_size % tp == 0, (c.hidden_dim, tp)
     p_specs = _param_specs(params_like)
 
     def spmd(params, k_cache, v_cache, k_scale, v_scale, tokens, start, valid):
@@ -193,7 +196,6 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
         s = k_cache.shape[3]
         x = _embed(params, tokens, _act_dtype(params))
         pos = start[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-        tvalid = lax.broadcasted_iota(jnp.int32, (b, t), 1) < valid[:, None]
         n_heads_l = c.n_heads // tp
         n_kv_l = c.n_kv_heads // tp
 
@@ -213,31 +215,26 @@ def make_tp_prefill(cfg: ModelConfig, mesh: Mesh, params_like,
             q = rope(q, pos, c.rope_theta)
             k = rope(k, pos, c.rope_theta)
 
-            def scatter_seq(c_b, new_b, st, vmask):
-                old = lax.dynamic_slice(
-                    c_b, (l, 0, st, 0), (1, c_b.shape[1], t, c_b.shape[3])
-                )[0]
-                new_kv = jnp.swapaxes(new_b, 0, 1).astype(c_b.dtype)
-                merged = jnp.where(vmask[None, :, None], new_kv, old)
-                return lax.dynamic_update_slice(c_b, merged[None], (l, 0, st, 0))
+            # shared chunk-merge helpers (models/llama.py): clamp + roll
+            # handles buckets extending past the window end
+            def scatter_seq(c_b, new_b, st, v):
+                return scatter_kv_chunk(c_b, new_b, st, v, l=l, t=t, s=s)
 
-            def scatter_scale(s_b, new_s, st, vmask):
-                old = lax.dynamic_slice(s_b, (l, 0, st), (1, s_b.shape[1], t))[0]
-                merged = jnp.where(vmask[None, :], jnp.swapaxes(new_s, 0, 1), old)
-                return lax.dynamic_update_slice(s_b, merged[None], (l, 0, st))
+            def scatter_scale(s_b, new_s, st, v):
+                return scatter_scale_chunk(s_b, new_s, st, v, l=l, t=t, s=s)
 
             if kv_quant:
                 from hip_llama_tpu.ops.cache import quantize_kv_rows
 
                 kq, ksc = quantize_kv_rows(k)
                 vq, vsc = quantize_kv_rows(v)
-                kc_all = jax.vmap(scatter_seq)(kc_all, kq, start, tvalid)
-                vc_all = jax.vmap(scatter_seq)(vc_all, vq, start, tvalid)
-                ks_all = jax.vmap(scatter_scale)(ks_all, ksc, start, tvalid)
-                vs_all = jax.vmap(scatter_scale)(vs_all, vsc, start, tvalid)
+                kc_all = jax.vmap(scatter_seq)(kc_all, kq, start, valid)
+                vc_all = jax.vmap(scatter_seq)(vc_all, vq, start, valid)
+                ks_all = jax.vmap(scatter_scale)(ks_all, ksc, start, valid)
+                vs_all = jax.vmap(scatter_scale)(vs_all, vsc, start, valid)
             else:
-                kc_all = jax.vmap(scatter_seq)(kc_all, k, start, tvalid)
-                vc_all = jax.vmap(scatter_seq)(vc_all, v, start, tvalid)
+                kc_all = jax.vmap(scatter_seq)(kc_all, k, start, valid)
+                vc_all = jax.vmap(scatter_seq)(vc_all, v, start, valid)
 
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_prefill_pallas

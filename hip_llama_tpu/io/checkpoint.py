@@ -126,7 +126,7 @@ class Q4Weights:
 def q4_group_size(k: int, group_size: int) -> int:
     """Effective group size along a K-dim of `k`: the half-split packing
     needs group-aligned halves, so awkward dims shrink to a divisor of K/2
-    (all real Llama dims keep the requested size). Must match
+    (all real Llama dims keep the requested size). Shared by
     models/params.py::quantize_params_q4."""
     import math
 
@@ -542,6 +542,14 @@ def write_v4(path: str, cfg: ModelConfig, w: LlamaWeights, group_size: int = 32)
     quantization group error. Weights are transposed to matmul orientation
     (K=in, N=out) and packed exactly as ops/quant4.py::Q4Tensor expects, so
     read_v4 loads them zero-copy."""
+    if cfg.dim % V4_EMB_GROUP:
+        # read_v4 sizes the embedding scales row-aligned as (V, D//64); a
+        # dim that 64 does not divide would silently shift every subsequent
+        # tensor's read offset
+        raise ValueError(
+            f"v4 checkpoints need dim divisible by {V4_EMB_GROUP} "
+            f"(Q8 embedding groups); got dim={cfg.dim}"
+        )
     maxerr = 0.0
     with open(path, "wb") as f:
         _write_header_v12(f, cfg, version=4, group_size=group_size)

@@ -38,6 +38,15 @@ def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
     pytorch_model*.bin shards) into LlamaWeights."""
     with open(os.path.join(model_dir, "config.json")) as f:
         hc = json.load(f)
+    rs = hc.get("rope_scaling")
+    if rs and rs.get("rope_type", rs.get("type")) not in (None, "default"):
+        # Llama-3.1+ long-context scaling schemes (llama3/linear/yarn...) are
+        # not implemented by rope(); loading would silently produce
+        # incoherent output at any context length
+        raise NotImplementedError(
+            f"rope_scaling={rs!r} is not supported (plain RoPE with "
+            "configurable rope_theta only)"
+        )
     cfg = ModelConfig(
         dim=hc["hidden_size"],
         hidden_dim=hc["intermediate_size"],
@@ -137,7 +146,12 @@ def load_meta_llama(ckpt_dir: str) -> tuple[ModelConfig, LlamaWeights]:
 
     def cat(name, dim):
         ts = [st[name].float() for st in states]
-        return (ts[0] if len(ts) == 1 else torch.cat(ts, dim=dim)).numpy()
+        # 1-D tensors (norm weights) are REPLICATED across model-parallel
+        # shards — take shard 0 (reference export.py concat_weights does the
+        # same); concatenating would produce (n_shards*dim,) garbage
+        if ts[0].dim() == 1 or len(ts) == 1:
+            return ts[0].numpy()
+        return torch.cat(ts, dim=dim).numpy()
 
     n_heads = p["n_heads"]
     n_kv_heads = p.get("n_kv_heads", n_heads)
@@ -155,6 +169,7 @@ def load_meta_llama(ckpt_dir: str) -> tuple[ModelConfig, LlamaWeights]:
         seq_len=2048,
         shared_classifier=False,
         norm_eps=p.get("norm_eps", 1e-5),
+        rope_theta=float(p.get("rope_theta", 10000.0)),
     )
 
     def layer(fmt, dim_):

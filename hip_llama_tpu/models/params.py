@@ -14,7 +14,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.io.checkpoint import LlamaWeights, QuantTensor, QuantWeights
+from hip_llama_tpu.io.checkpoint import (
+    LlamaWeights,
+    QuantTensor,
+    QuantWeights,
+    q4_group_size,
+)
 from hip_llama_tpu.ops.quant import QTensor, q8_quantize_weights
 
 
@@ -327,17 +332,13 @@ def quantize_params_q4(
     gs = group_size
     c = cfg
 
-    import math
-
     def qt(arr: np.ndarray):
         a = np.asarray(arr, np.float32)
         a = np.swapaxes(a, -1, -2)  # (…, out, in) -> (…, in, out)
         k = a.shape[-2]
-        # the half-split packing needs group-aligned halves; awkward tiny
-        # dims (test configs) shrink the group to a divisor of K/2 — all
-        # real Llama dims are 32-aligned at K/2
-        g = gs if (k // 2) % gs == 0 else math.gcd(k // 2, gs)
-        return q4_quantize_weights(jnp.asarray(a), g)
+        # shared with the checkpoint layout (io/checkpoint.py): awkward tiny
+        # dims shrink the group to a divisor of K/2
+        return q4_quantize_weights(jnp.asarray(a), q4_group_size(k, gs))
 
     # embedding: Q8_0 per-row groups, same as quantize_params_q8
     egs = 64

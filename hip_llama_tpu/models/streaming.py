@@ -22,6 +22,7 @@ for big models is sharding across an ICI mesh (parallel/sharding.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -68,8 +69,14 @@ def host_params_from_weights(w: LlamaWeights, dtype=jnp.bfloat16) -> HostParams:
     top-level tensors (embedding/classifier stay on device: they're touched
     every step and are small relative to the layer stack)."""
 
-    def t(x):  # (out, in) -> (in, out), keep as numpy (host)
-        return np.ascontiguousarray(np.swapaxes(np.asarray(x), -1, -2))
+    np_dt = np.dtype(dtype)
+
+    def t(x):  # (out, in) -> (in, out), pre-cast to the compute dtype so
+        # the per-layer H2D stream moves half the fp32 bytes (the transfer
+        # is the whole critical path of streaming decode)
+        return np.ascontiguousarray(
+            np.swapaxes(np.asarray(x), -1, -2)
+        ).astype(np_dt)
 
     layers = [
         HostLayer(
@@ -92,16 +99,18 @@ def make_streaming_decode_step(cfg: ModelConfig, dtype=jnp.bfloat16, kv_host: bo
     """Returns step(host_params, cache, tokens (B,), pos (B,)) ->
     (logits (B, V) np, cache).
 
-    cache: KVCache on device, or (k_host, v_host) numpy (B, L, KVH, S, HS)
-    when kv_host=True (the 70B mode: device holds one layer of KV at a time,
-    models.cpp:715-744)."""
+    cache: a LIST of per-layer (k_l, v_l) device arrays (B, KVH, S, HS) —
+    per-layer buffers donate through layer_fn for true in-place updates (a
+    stacked KVCache cost a whole-cache copy + transient 2x alloc per token)
+    — or (k_host, v_host) numpy (B, L, KVH, S, HS) when kv_host=True (the
+    70B mode: device holds one layer of KV at a time, models.cpp:715-744)."""
     c = cfg
 
     @jax.jit
     def embed(tok_emb, tokens):
         return tok_emb[tokens].astype(dtype)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
     def layer_fn(x, wl, k_layer, v_layer, pos):
         rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3 = wl
         b = x.shape[0]
@@ -131,11 +140,9 @@ def make_streaming_decode_step(cfg: ModelConfig, dtype=jnp.bfloat16, kv_host: bo
 
     def put_layer(hl: HostLayer):
         # async H2D of one layer's weights (the reference's 9-tensor copy,
-        # thaDNN.cpp:123-131)
-        return tuple(
-            jax.device_put(a).astype(dtype if a.ndim > 1 else jnp.float32)
-            for a in hl.tree()
-        )
+        # thaDNN.cpp:123-131); host arrays are PRE-CAST to the compute dtype
+        # (host_params_from_weights), so the transfer is half the fp32 bytes
+        return tuple(jax.device_put(a) for a in hl.tree())
 
     def step(hp: HostParams, cache, tokens, pos):
         x = embed(hp.tok_emb, jnp.asarray(tokens))
@@ -156,25 +163,30 @@ def make_streaming_decode_step(cfg: ModelConfig, dtype=jnp.bfloat16, kv_host: bo
             logits = head_fn(x, hp.rms_final, hp.wcls)
             return np.asarray(logits), (k_host, v_host)
         else:
-            new_k, new_v = [], []
+            new_cache = []
             for l in range(n_layers):
                 wl = next_w
                 if l + 1 < n_layers:
                     next_w = put_layer(hp.layers[l + 1])
-                x, k_l, v_l = layer_fn(
-                    x, wl, cache.k[:, l], cache.v[:, l], pos_d
-                )
-                new_k.append(k_l)
-                new_v.append(v_l)
+                k_l, v_l = cache[l]
+                x, k_l, v_l = layer_fn(x, wl, k_l, v_l, pos_d)
+                new_cache.append((k_l, v_l))
             logits = head_fn(x, hp.rms_final, hp.wcls)
-            from hip_llama_tpu.models.llama import KVCache
-
-            cache = KVCache(
-                jnp.stack(new_k, axis=1), jnp.stack(new_v, axis=1)
-            )
-            return np.asarray(logits), cache
+            return np.asarray(logits), new_cache
 
     return step
+
+
+def init_layer_kv(cfg: ModelConfig, batch: int, seq_len: int | None = None,
+                  dtype=jnp.bfloat16):
+    """Per-layer device KV buffers for the streaming step: a list of
+    (k_l, v_l) (B, KVH, S, HS) arrays that donate through layer_fn."""
+    s = seq_len or cfg.seq_len
+    shape = (batch, cfg.n_kv_heads, s, cfg.head_size)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.n_layers)
+    ]
 
 
 def init_host_kv(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype=np.float32):
@@ -197,14 +209,15 @@ def generate_streaming(
     """Single-prompt generation through the streaming step — the engine-side
     counterpart of the reference's test_70B scheduler (llama.cpp:1085-1278,
     forced batch=1 at :1099)."""
-    from hip_llama_tpu.models.llama import init_kv_cache
     from hip_llama_tpu.tokenizer import BOS_ID, printable_piece
 
+    steps = min(steps, cfg.seq_len)  # OOB scatter writes would silently
+    # drop KV rows past the window (JAX clamps), freezing attention history
     step = make_streaming_decode_step(cfg, dtype=dtype, kv_host=kv_host)
     if kv_host:
         cache = init_host_kv(cfg, 1)  # host KV stays fp32 (runq keeps KV fp32)
     else:
-        cache = init_kv_cache(cfg, 1, dtype=dtype)
+        cache = init_layer_kv(cfg, 1, dtype=dtype)
 
     prompt_tokens = tokenizer.encode(prompt or "", bos=True, eos=False)
     token = prompt_tokens[0]

@@ -13,6 +13,7 @@ from hip_llama_tpu.models import init_kv_cache, make_decode_step, params_from_we
 from hip_llama_tpu.models.streaming import (
     host_params_from_weights,
     init_host_kv,
+    init_layer_kv,
     make_streaming_decode_step,
 )
 
@@ -25,7 +26,7 @@ def test_weight_streaming_matches_resident(tiny_cfg, tiny_weights):
     step_r = jax.jit(make_decode_step(cfg))
     step_s = make_streaming_decode_step(cfg, dtype=jnp.float32)
     cache_r = init_kv_cache(cfg, b)
-    cache_s = init_kv_cache(cfg, b)
+    cache_s = init_layer_kv(cfg, b, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     for p in range(4):
         toks = rng.integers(0, cfg.vocab_size, (b,)).astype(np.int32)

@@ -616,7 +616,8 @@ def q8_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b + pad_m) * k * n,
-            bytes_accessed=k * n + (k // gs) * n * 4 + b * k * 2 + b * n * 4,
+            bytes_accessed=k * n + (k // gs) * n * 4
+            + (b + pad_m) * k * 2 + (b + pad_m) * n * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -701,6 +702,24 @@ def q8_matmul_layered(
     b, k = x.shape
     assert residual is None or rope_pos is None
     n_layers, kq, n = qt.q.shape
+    if x.shape[0] > 512:
+        # the layered kernel has no M-blocking (it exists for DECODE's small
+        # row counts); large-row callers route through the 2-D kernel on the
+        # sliced layer, which blocks and pads M itself
+        ql = jax.lax.dynamic_index_in_dim(qt.q, layer, 0, keepdims=False)
+        sl = jax.lax.dynamic_index_in_dim(qt.s, layer, 0, keepdims=False)
+        nw = (
+            None if norm_weight is None
+            else jax.lax.dynamic_index_in_dim(norm_weight, layer, 0,
+                                              keepdims=False)
+        )
+        return q8_matmul(
+            x, QTensor(q=ql, s=sl), block_n=block_n, block_k=block_k,
+            interpret=interpret, out_dtype=out_dtype,
+            dequant_mode=dequant_mode, norm_weight=nw, norm_eps=norm_eps,
+            residual=residual, rope_pos=rope_pos, rope_limit=rope_limit,
+            rope_head=rope_head, rope_theta=rope_theta,
+        )
     assert k == kq, (x.shape, qt.q.shape)
     gs = qt.group_size
     out_dtype = out_dtype or x.dtype

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hip_llama_tpu.ops.quant import _rmsnorm_rows
+
 _ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q4_BLOCK_N", "512"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q4_BLOCK_K", "1024"))
 
@@ -209,12 +211,6 @@ def _q4_kernel_norm_rope(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref,
                g_ref=g_ref, p_ref=p_ref, **kw)
 
 
-def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(ms + eps) * g.astype(jnp.float32)).astype(x.dtype)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "block_k", "interpret", "out_dtype",
@@ -264,7 +260,9 @@ def q4_matmul(
             bkh //= 2
         if kh % bkh or bkh % gs:
             bkh = gs if kh % gs == 0 else kh
-    ok_x = bkh % 128 == 0 or bkh == kh
+    # x blocks are (M, bkh) over a (b, 2*kh) array — bkh can never equal
+    # the array dim, so only lane alignment makes the tile legal
+    ok_x = bkh % 128 == 0
     ok_w = (bkh % 8 == 0 or bkh == kh) and (block_n % 128 == 0 or block_n == n)
     if not (ok_x and ok_w) and not interpret:
         if norm_weight is not None:
@@ -459,7 +457,9 @@ def q4_matmul_silu(
             bkh //= 2
         if kh % bkh or bkh % gs:
             bkh = gs if kh % gs == 0 else kh
-    ok_x = bkh % 128 == 0 or bkh == kh
+    # x blocks are (M, bkh) over a (b, 2*kh) array — bkh can never equal
+    # the array dim, so only lane alignment makes the tile legal
+    ok_x = bkh % 128 == 0
     ok_w = (bkh % 8 == 0 or bkh == kh) and bn % 128 == 0
     if not (ok_x and ok_w) and not interpret:
         return fallback()

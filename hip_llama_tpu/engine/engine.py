@@ -162,9 +162,6 @@ class InferenceEngine:
                 batch_size * -(-self.max_seq_len // page_size)
             )
             self.max_pages = -(-self.max_seq_len // page_size)
-            self.block_manager = BlockManager(
-                num_pages=self.num_pages, page_size=page_size, num_slots=batch_size
-            )
             pstep = make_paged_decode_step(cfg, precision=precision)
             pprefill = make_paged_prefill(cfg, precision=precision)
             self._paged_step = jax.jit(pstep, donate_argnums=(1,))
@@ -173,6 +170,12 @@ class InferenceEngine:
         self._cache_sharding = cache_sharding
         self._sstep = None
         if device_sampling:
+            if paged:
+                # _sstep drives the contiguous cache; every use site gates
+                # on bm is None, so the flag would be silently ignored
+                raise ValueError(
+                    "device_sampling is not supported with paged=True"
+                )
             # sampling on device: the host fetches 4 bytes/slot instead of
             # the (B, V) logits. Greedy == host argmax; stochastic uses the
             # JAX PRNG (not the reference RNG stream — disable for parity
@@ -468,6 +471,9 @@ class InferenceEngine:
                 sched = None
         self.used_native_sched = sched is not None
 
+        # admission-blocked prompts keep their token lists here so each
+        # scheduler iteration does not re-run the BPE encode (O(n^2) merges)
+        tok_cache: dict[int, list[int]] = {}
         req_id = [-1] * b  # batch_token_id
         token = np.zeros(b, np.int32)
         pos = np.zeros(b, np.int32)
@@ -500,15 +506,18 @@ class InferenceEngine:
             for s in range(b):
                 if req_id[s] == -1:
                     if next_idx < requests.num_reqs:
-                        toks = self.tokenizer.encode(
-                            requests.prompts[next_idx], bos=True, eos=False
-                        )
-                        # a prompt longer than the step budget truncates at
-                        # it (the reference's pos < steps bound consumes at
-                        # most `steps` prompt tokens, llama.cpp:1027-1049);
-                        # keeps every KV write inside the window
-                        if len(toks) > steps:
-                            toks = toks[:steps]
+                        toks = tok_cache.pop(next_idx, None)
+                        if toks is None:
+                            toks = self.tokenizer.encode(
+                                requests.prompts[next_idx], bos=True, eos=False
+                            )
+                            # a prompt longer than the step budget truncates
+                            # at it (the reference's pos < steps bound
+                            # consumes at most `steps` prompt tokens,
+                            # llama.cpp:1027-1049); keeps every KV write
+                            # inside the window
+                            if len(toks) > steps:
+                                toks = toks[:steps]
                         n_cached = 0
                         if bm is not None:
                             # prefix cache: attach indexed prompt-prefix pages
@@ -523,6 +532,7 @@ class InferenceEngine:
                                 bm.page_tables[s]
                             )
                             if bm.num_free < need:
+                                tok_cache[next_idx] = toks  # retry later
                                 free_before = bm.num_free
                                 bm.free_slot(s)  # detach matched prefix pages
                                 n_active = sum(1 for r in req_id if r != -1)
@@ -575,9 +585,14 @@ class InferenceEngine:
                     {s: prefill_start.get(s, 0) for s in newly_assigned}, bm=bm,
                 )
                 if d_cache is not None:
-                    # the draft's cache tracks every slot's prompt too
+                    # the draft's cache tracks every slot's prompt too,
+                    # truncated to ITS window (clamp-writes past it would
+                    # scribble on the last row; the decode gate already
+                    # disables draft proposals once pos nears that window)
+                    d_lim = draft.max_seq_len - 1
                     _, d_cache = draft._prefill_tokens(
-                        d_cache, b, newly_assigned,
+                        d_cache, b,
+                        {s: t[:d_lim] for s, t in newly_assigned.items()},
                         {s: 0 for s in newly_assigned},
                     )
             if bm is not None and self.prefix_cache:
@@ -689,25 +704,34 @@ class InferenceEngine:
                 from hip_llama_tpu.engine.speculative import _lookup_propose
 
                 d_all = None
-                if d_chain is not None and all(
-                    int(pos[s]) + self.spec_lookup <= d_cache.k.shape[3]
-                    for s in range(b) if req_id[s] != -1
-                ):
-                    # ONE batched greedy draft chain proposes for all slots.
-                    # Skipped (lookup fallback) once any slot is within
-                    # spec_lookup of the DRAFT's window end — the fixed-k
-                    # chain would clamp-write garbage into its last rows
-                    d_dev, d_cache = d_chain(
-                        draft.params, d_cache, jnp.asarray(token),
-                        jnp.asarray(pos), _d_key,
-                    )
-                    d_all = np.asarray(d_dev)  # (B, spec_lookup)
+                d_ok = [False] * b
+                if d_chain is not None:
+                    # per-slot eligibility: a slot within spec_lookup of the
+                    # DRAFT's window end uses prompt-lookup instead (the
+                    # fixed-k chain would clamp-write garbage into ITS last
+                    # draft rows — harmless for that slot, which never uses
+                    # the draft again before retiring, and slot-local)
+                    d_s = d_cache.k.shape[3]
+                    for s in range(b):
+                        d_ok[s] = (
+                            req_id[s] != -1
+                            and int(pos[s]) + self.spec_lookup <= d_s
+                        )
+                    if any(d_ok):
+                        d_dev, d_cache = d_chain(
+                            draft.params, d_cache, jnp.asarray(token),
+                            jnp.asarray(pos), _d_key,
+                        )
+                        d_all = np.asarray(d_dev)  # (B, spec_lookup)
                 spec_props = {}
+                # verify needs kk+1 slots in one prefill bucket
+                kk_cap = max(self.prefill_buckets) - 1
                 for s in range(b):
                     if req_id[s] == -1:
                         continue
-                    kk = min(self.spec_lookup, self.max_seq_len - 1 - int(pos[s]))
-                    if d_all is not None:
+                    kk = min(self.spec_lookup, kk_cap,
+                             self.max_seq_len - 1 - int(pos[s]))
+                    if d_all is not None and d_ok[s]:
                         spec_props[s] = [int(t) for t in d_all[s, :kk]]
                     else:
                         spec_props[s] = (
@@ -748,7 +772,7 @@ class InferenceEngine:
                     else:
                         ws = [_warp(r, sp.temperature, sp.topp) for r in rows]
                         commits, n_acc = _verify_round(ws, None, pr, sp.rng)
-                    if d_all is not None and pr and n_acc == len(pr):
+                    if d_all is not None and d_ok[s] and pr and n_acc == len(pr):
                         # full acceptance with a draft: drop the bonus token
                         # — the draft never wrote the KV row for its LAST
                         # proposal, so committing past it would leave a

@@ -18,7 +18,10 @@ class XorShift64Star:
     """xorshift64* — identical sequence to random_u32/random_f32 in the C code."""
 
     def __init__(self, seed: int):
-        self.state = seed & _MASK64
+        # xorshift64* requires a nonzero state: seed 0 would freeze the
+        # stream at 0 forever (silent argmax instead of sampling); the C
+        # reference is always seeded nonzero (llama.cpp:1557 time fallback)
+        self.state = (seed & _MASK64) or 0x9E3779B97F4A7C15
 
     def next_u32(self) -> int:
         s = self.state
@@ -56,7 +59,9 @@ def sample_topp(probs: np.ndarray, topp: float, coin: float) -> int:
     """Nucleus sampling with the reference's cutoff pre-filter
     (llama.cpp:309-350)."""
     n = len(probs)
-    cutoff = (1.0 - topp) / (n - 1)
+    # float32 throughout, like the C code — a float64 cutoff/topp classifies
+    # boundary probabilities differently and forks the golden token stream
+    cutoff = (np.float32(1.0) - np.float32(topp)) / np.float32(n - 1)
     idx = np.nonzero(probs >= cutoff)[0]
     if len(idx) == 0:
         return sample_argmax(probs)
@@ -65,7 +70,7 @@ def sample_topp(probs: np.ndarray, topp: float, coin: float) -> int:
     cand_p = probs[cand_idx]
     cum = np.cumsum(cand_p, dtype=np.float32)
     # truncate where cumulative prob exceeds topp (include that element)
-    over = np.nonzero(cum > topp)[0]
+    over = np.nonzero(cum > np.float32(topp))[0]
     last = int(over[0]) if len(over) else len(cand_p) - 1
     r = np.float32(coin) * cum[last]
     pick = int(np.searchsorted(cum[: last + 1], r, side="right"))

@@ -257,6 +257,13 @@ def main(argv: list[str]) -> int:
         # the sp step has no prefill path; speculation needs one
         print("note: --sp has no prefill path; ignoring --spec", file=sys.stderr)
         spec_k = 0
+    if device_sampling and paged:
+        print(
+            "note: --device-sampling drives the contiguous cache; ignoring "
+            "it with --paged",
+            file=sys.stderr,
+        )
+        device_sampling = False
     if mode == "chat" and paged:
         # the chat loop drives the contiguous decode step directly (one
         # growing conversation, batch 1 — paging has nothing to share)

@@ -38,8 +38,14 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # already initialized, or single-process env without coordinator
-        pass
+        # tolerate only the benign cases (already initialized, or a
+        # single-process env without a coordinator). A job that EXPLICITLY
+        # asked for multiple processes but failed to wire them must not
+        # silently degrade into N divergent single-host runs.
+        if num_processes is not None and num_processes > 1 and (
+            jax.process_count() < num_processes
+        ):
+            raise
 
 
 def global_mesh(tp: int | None = None) -> Mesh:

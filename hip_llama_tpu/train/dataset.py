@@ -52,15 +52,21 @@ class PretokDataset:
 
     def batches(self, batch_size: int):
         t = self.max_seq_len
+        # a (tokens, targets) window needs t+1 tokens: valid offsets are
+        # 0..len-t-1 (count len-t). Weight the shard draw by its window
+        # count so tokens are sampled uniformly across the corpus (a
+        # uniform shard draw oversamples short shards).
+        counts = np.array([max(len(s) - t, 0) for s in self.shards], np.float64)
+        if counts.sum() == 0:
+            raise ValueError("every shard is shorter than max_seq_len + 1")
+        shard_p = counts / counts.sum()
         while True:
             toks = np.zeros((batch_size, t), np.int32)
             tgts = np.zeros((batch_size, t), np.int32)
             for i in range(batch_size):
-                shard = self.shards[self.rng.integers(len(self.shards))]
-                n = len(shard) - t - 1
-                if n <= 0:
-                    raise ValueError("shard shorter than max_seq_len")
-                off = int(self.rng.integers(n))
+                si = int(self.rng.choice(len(self.shards), p=shard_p))
+                shard = self.shards[si]
+                off = int(self.rng.integers(len(shard) - t))
                 window = np.asarray(shard[off : off + t + 1], np.int32)
                 toks[i] = window[:-1]
                 tgts[i] = window[1:]

@@ -23,8 +23,13 @@ from hip_llama_tpu.models.llama import _act_dtype, _embed, _mm, rmsnorm, rope
 from hip_llama_tpu.models.params import LlamaParams
 
 
-def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "default"):
-    """Returns forward(params, tokens (B, T)) -> logits fp32 (B, T, V)."""
+def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "default",
+                       act_dtype=None):
+    """Returns forward(params, tokens (B, T)) -> logits fp32 (B, T, V).
+
+    act_dtype: activation dtype (e.g. jnp.bfloat16 for AMP — params and the
+    loss/grad math stay fp32); None keeps the param dtype (used by the
+    fp32 parity oracles, tests/test_hf_import.py)."""
     c = cfg
 
     def layer_fn(x, xs, pos):
@@ -60,7 +65,7 @@ def make_train_forward(cfg: ModelConfig, remat: bool = True, precision: str = "d
     def forward(params, tokens: jax.Array) -> jax.Array:
         with jax.default_matmul_precision(precision):
             b, t = tokens.shape
-            x = _embed(params, tokens, _act_dtype(params))
+            x = _embed(params, tokens, act_dtype or _act_dtype(params))
             pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
             xs = (
                 params.rms_att, params.wq, params.wk, params.wv, params.wo,

@@ -46,6 +46,10 @@ class TrainConfig:
     log_interval: int = 10
     out_dir: str = "out"
     seed: int = 1337
+    # AMP: activations in bf16, params/Adam state/loss in fp32 (the bf16
+    # replacement for the reference's fp16+GradScaler, train.py:124-128);
+    # "float32" for exactness-sensitive comparisons
+    amp_dtype: str = "bfloat16"
 
 
 class Trainer:
@@ -58,6 +62,11 @@ class Trainer:
     ):
         self.cfg = cfg
         self.tcfg = tcfg
+        if tcfg.grad_accum_steps > 1 and tcfg.batch_size % tcfg.grad_accum_steps:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must divide into "
+                f"grad_accum_steps {tcfg.grad_accum_steps} micro-batches"
+            )
         if mesh is None:
             devs = np.array(jax.devices())
             # dp must divide the per-step batch (micro-batch when accumulating)
@@ -81,9 +90,14 @@ class Trainer:
             decay_steps=max(tcfg.max_iters, tcfg.warmup_iters + 1),
             end_value=tcfg.min_lr,
         )
-        # decay only on >=2D weights (train.py configure_optimizers parity:
-        # model.py:279-293 decays matmuls, not norms/biases)
-        decay_mask = jax.tree.map(lambda x: x.ndim >= 2, self.params)
+        # decay matmul weights + embeddings, NOT norm gains (train.py
+        # configure_optimizers parity, model.py:279-293). Masking by field —
+        # an ndim test would wrongly decay the STACKED (L, D) norm weights
+        decay_mask = LlamaParams(
+            tok_emb=True, rms_att=False, wq=True, wk=True, wv=True, wo=True,
+            rms_ffn=False, w1=True, w2=True, w3=True, rms_final=False,
+            wcls=True,
+        )
         self.tx = optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip),
             optax.adamw(
@@ -98,7 +112,9 @@ class Trainer:
         self.step_num = 0
         self._sched = sched
 
-        forward = make_train_forward(cfg)
+        forward = make_train_forward(
+            cfg, act_dtype=jnp.dtype(tcfg.amp_dtype)
+        )
 
         def loss_fn(params, tokens, targets):
             logits = forward(params, tokens)
@@ -142,24 +158,48 @@ class Trainer:
             in_shardings=(self.repl_sharding, self.data_sharding, self.data_sharding),
         )
 
+    def _to_global(self, arr: np.ndarray):
+        """Each host feeds ITS slice of the global batch: on multi-host
+        meshes, assemble the global array from process-local data (the
+        multi-controller path promised by parallel/multihost.py); on one
+        host this is a plain device transfer."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self.data_sharding, np.asarray(arr)
+            )
+        return jnp.asarray(arr)
+
     def step(self, tokens: np.ndarray, targets: np.ndarray) -> float:
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, jnp.asarray(tokens), jnp.asarray(targets)
+            self.params, self.opt_state,
+            self._to_global(tokens), self._to_global(targets),
         )
         self.step_num += 1
         return float(loss)
 
     def eval_loss(self, tokens: np.ndarray, targets: np.ndarray) -> float:
-        return float(self._eval_loss(self.params, jnp.asarray(tokens), jnp.asarray(targets)))
+        return float(self._eval_loss(
+            self.params, self._to_global(tokens), self._to_global(targets)
+        ))
 
-    def fit(self, batches, max_iters: int | None = None, log=print):
-        """batches: iterator of (tokens, targets) np arrays."""
+    def fit(self, batches, max_iters: int | None = None, log=print,
+            eval_batches=None):
+        """batches: iterator of (tokens, targets) np arrays. `eval_batches`
+        (optional iterator of held-out batches) is evaluated every
+        eval_interval steps and logged (train.py's eval loop)."""
         t0 = time.time()
         max_iters = max_iters or self.tcfg.max_iters
         losses = []
         for tokens, targets in batches:
             loss = self.step(tokens, targets)
             losses.append(loss)
+            if (
+                eval_batches is not None
+                and self.step_num % self.tcfg.eval_interval == 0
+            ):
+                ev_t, ev_y = next(eval_batches)
+                log(f"iter {self.step_num}: eval loss "
+                    f"{self.eval_loss(ev_t, ev_y):.4f}")
             if self.step_num % self.tcfg.log_interval == 0:
                 lr = float(self._sched(self.step_num))
                 log(
@@ -174,12 +214,16 @@ class Trainer:
     # -- checkpointing (train.py:300-318 resume parity) ----------------------
 
     def save(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends it; keep load() symmetric
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         flat_p = {f"p_{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(self.params))}
         flat_o = {f"o_{i}": np.asarray(x) for i, x in enumerate(jax.tree.leaves(self.opt_state))}
         np.savez(path, step=self.step_num, **flat_p, **flat_o)
 
     def load(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            path += ".npz"
         z = np.load(path)
         self.step_num = int(z["step"])
         p_leaves = [z[f"p_{i}"] for i in range(len(jax.tree.leaves(self.params)))]
@@ -212,4 +256,9 @@ class Trainer:
         )
 
     def export_v0(self, path: str) -> None:
-        write_v0(path, self.cfg, self.to_weights())
+        # training optimizes wcls and tok_emb as INDEPENDENT params, so
+        # always export the classifier explicitly — a shared_classifier
+        # header would make readers alias wcls to the embedding table and
+        # silently discard the trained head
+        cfg = dataclasses.replace(self.cfg, shared_classifier=False)
+        write_v0(path, cfg, self.to_weights())

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -330,6 +331,12 @@ def main():
             params = rand_qparams_on_device(cfg)
         dtype = jnp.bfloat16  # activations / cache
     elif args.quant == "q4":
+        if args.paged:
+            print(
+                "bench --paged serves q8/none only (no stacked int4 "
+                "param builder)", file=sys.stderr,
+            )
+            return 1
         params = rand_q4params_unrolled_on_device(cfg)
         dtype = jnp.bfloat16
     else:
@@ -455,11 +462,13 @@ def main():
         kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
         if args.kv == "int8":
             kind += "_kv8"
-        # prefill SoL: max(stream all weights once, matmul FLOPs at MXU peak)
-        n_params = sum(
-            x.size for x in jax.tree.leaves(params)
-            if x.dtype in (jnp.int8, jnp.float32, jnp.bfloat16) and x.ndim >= 2
-        )
+        # prefill SoL: max(stream all weights once, matmul FLOPs at MXU
+        # peak). Matmul weight count from the config — leaf-size sums
+        # undercount packed int4 nibbles 2x and overcount scale planes
+        n_params = cfg.n_layers * (
+            cfg.dim * (2 * cfg.dim + 2 * cfg.kv_dim)
+            + 3 * cfg.dim * cfg.hidden_dim
+        ) + cfg.dim * cfg.vocab_size
         sol = max(
             param_bytes(params) / HBM_BW_BYTES,
             2.0 * b * t * n_params / PEAK_FLOPS_BF16,

@@ -29,7 +29,12 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hip_llama_tpu.config import ModelConfig
-from hip_llama_tpu.models.llama import KVCache, rmsnorm, rope
+from hip_llama_tpu.models.llama import (
+    KVCache,
+    rmsnorm,
+    rope,
+    scatter_kv_chunk,
+)
 from hip_llama_tpu.models.params import LlamaParams
 
 
@@ -137,7 +142,8 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
         x_all = pl_.tok_emb[tokens].astype(pl_.wq.dtype)  # (B, D) replicated
 
         act = jnp.zeros((mb, c.dim), pl_.wq.dtype)
-        logits_out = jnp.zeros((b, c.vocab_size), jnp.float32)
+        y_out = jnp.zeros((b, c.dim), pl_.wq.dtype)
+        is_last = sid == n_stages - 1
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         for t in range(n_micro + n_stages - 1):
@@ -176,23 +182,21 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             k_local = write_rows(k_local, k_rows)
             v_local = write_rows(v_local, v_rows)
 
-            # last stage finalizes logits for its microbatch
-            xf = rmsnorm(y, pl_.rms_final, c.norm_eps)
-            lg = (xf @ pl_.wcls).astype(jnp.float32)
-            is_last = sid == n_stages - 1
-            old = lax.dynamic_slice(logits_out, (m_c * mb, 0), (mb, c.vocab_size))
-            logits_out = lax.dynamic_update_slice(
-                logits_out,
-                jnp.where(is_last & valid, lg, old),
-                (m_c * mb, 0),
+            # last stage banks its finished microbatch's activations; the
+            # vocab projection runs ONCE after the tick loop instead of a
+            # (D x V) matmul per stage per tick
+            old = lax.dynamic_slice(y_out, (m_c * mb, 0), (mb, c.dim))
+            y_out = lax.dynamic_update_slice(
+                y_out, jnp.where(is_last & valid, y, old), (m_c * mb, 0)
             )
             # rotate activations around the ring (stage s -> s+1)
             act = lax.ppermute(y, "pp", perm)
 
-        # only the last stage holds real logits; share with everyone
-        logits_out = lax.psum(
-            jnp.where(sid == n_stages - 1, logits_out, 0.0), "pp"
+        xf = rmsnorm(y_out, pl_.rms_final, c.norm_eps)
+        logits_out = jnp.where(
+            is_last, (xf @ pl_.wcls).astype(jnp.float32), 0.0
         )
+        logits_out = lax.psum(logits_out, "pp")
         return logits_out, k_local, v_local
 
     f = shard_map(
@@ -257,28 +261,13 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             k = rope(k, pos, c.rope_theta)
 
             def write_chunk(cache_l, new):
-                # window merge per slot at (i, l, :, start_i). Clamp + roll
-                # when the bucket extends past the window end — a silently
-                # clamped dynamic_update_slice would land rows at the wrong
-                # positions (see models/llama.py scatter_seq)
-                for i in range(mb):
-                    st_c = jnp.minimum(start_mb[i], s - t)
-                    shift = start_mb[i] - st_c
-                    old = lax.dynamic_slice(
-                        cache_l, (i, l, 0, st_c, 0),
-                        (1, 1, c.n_kv_heads, t, c.head_size),
-                    )[0, 0]
-                    new_i = jnp.roll(
-                        jnp.swapaxes(new[i], 0, 1).astype(cache_l.dtype),
-                        shift, axis=1,
+                # shared clamp+roll windowed merge (models/llama.py), vmapped
+                # over the microbatch slots
+                return jax.vmap(
+                    lambda cb, nb, st, v: scatter_kv_chunk(
+                        cb, nb, st, v, l=l, t=t, s=s
                     )
-                    w_i = jnp.arange(t)
-                    m = (w_i >= shift) & (w_i < shift + valid_mb[i])
-                    merged = jnp.where(m[None, :, None], new_i, old)
-                    cache_l = lax.dynamic_update_slice(
-                        cache_l, merged[None, None], (i, l, 0, st_c, 0)
-                    )
-                return cache_l
+                )(cache_l, new, start_mb, valid_mb)
 
             kc = write_chunk(kc, k)
             vc = write_chunk(vc, v)
@@ -328,7 +317,8 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
         x_all = pl_.tok_emb[tokens].astype(pl_.wq.dtype)  # (B, T, D)
 
         act = jnp.zeros((mb, t, c.dim), pl_.wq.dtype)
-        logits_out = jnp.zeros((b, t, c.vocab_size), jnp.float32)
+        y_out = jnp.zeros((b, t, c.dim), pl_.wq.dtype)
+        is_last = sid == n_stages - 1
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
         for tick in range(n_micro + n_stages - 1):
@@ -357,22 +347,18 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
                 v_local, vc, (m_c * mb, 0, 0, 0, 0)
             )
 
-            xf = rmsnorm(y, pl_.rms_final, c.norm_eps)
-            lg = (xf @ pl_.wcls).astype(jnp.float32)
-            is_last = sid == n_stages - 1
-            old = lax.dynamic_slice(
-                logits_out, (m_c * mb, 0, 0), (mb, t, c.vocab_size)
-            )
-            logits_out = lax.dynamic_update_slice(
-                logits_out,
-                jnp.where(is_last & tvalid_tick, lg, old),
+            old = lax.dynamic_slice(y_out, (m_c * mb, 0, 0), (mb, t, c.dim))
+            y_out = lax.dynamic_update_slice(
+                y_out, jnp.where(is_last & tvalid_tick, y, old),
                 (m_c * mb, 0, 0),
             )
             act = lax.ppermute(y, "pp", perm)
 
-        logits_out = lax.psum(
-            jnp.where(sid == n_stages - 1, logits_out, 0.0), "pp"
+        xf = rmsnorm(y_out, pl_.rms_final, c.norm_eps)
+        logits_out = jnp.where(
+            is_last, (xf @ pl_.wcls).astype(jnp.float32), 0.0
         )
+        logits_out = lax.psum(logits_out, "pp")
         return logits_out, k_local, v_local
 
     f = shard_map(

@@ -138,15 +138,24 @@ def main(argv: list[str]) -> int:
             i += 1
             continue
         if a == "--layout":
+            if i + 1 >= len(argv):
+                print("--layout needs a value", file=sys.stderr)
+                return 1
             layout = argv[i + 1]
             assert layout in ("unrolled", "stacked"), layout
             i += 2
             continue
         if a == "--spec":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                print("--spec needs an int", file=sys.stderr)
+                return 1
             spec_k = int(argv[i + 1])
             i += 2
             continue
         if a == "--draft":
+            if i + 1 >= len(argv):
+                print("--draft needs a path", file=sys.stderr)
+                return 1
             draft_path = argv[i + 1]
             i += 2
             continue
@@ -244,6 +253,9 @@ def main(argv: list[str]) -> int:
                 file=sys.stderr,
             )
             chunk_steps, device_sampling = 1, False
+    if prefix_cache and not paged:
+        print("note: --prefix-cache implies --paged", file=sys.stderr)
+        paged = True
     if (pp > 1 or sp > 1) and paged:
         # the engine's paged branch would route _do_step to the cfg-built
         # paged step, ignoring the pp/sp custom step's staged/sharded params
@@ -389,6 +401,19 @@ def main(argv: list[str]) -> int:
     shardings = None
     custom_step = custom_prefill = cache_sharding = None
     is_quant = hasattr(params, "tok_emb_q")
+    if (
+        mode == "generate" and spec_k > 0
+        and (sp > 1 or pp > 1 or (tp > 1 and is_quant))
+    ):
+        # speculative_generate drives its own dense prefill on the target's
+        # params — staged (--pp), sp-custom-step, and shard_map int8-TP
+        # engines can't serve that path
+        print(
+            "note: --spec needs the plain prefill path; ignoring it with "
+            "--sp/--pp/int8 --tp",
+            file=sys.stderr,
+        )
+        spec_k = 0
     if tp > 1 and is_quant:
         # int8 + TP: the fused kernels aren't pjit-auto-partitionable, so
         # run the explicit-SPMD shard_map step (parallel/tp.py)
@@ -496,30 +521,32 @@ def main(argv: list[str]) -> int:
         spec_lookup=spec_k if mode == "test" else 0,
     )
 
+    def load_draft_engine(path, batch_n):
+        d_cfg, d_weights = load_checkpoint(path)
+        if isinstance(d_weights, Q4Weights):
+            from hip_llama_tpu.models.params import qparams_from_q4_weights
+
+            d_params = qparams_from_q4_weights(d_cfg, d_weights)
+        elif not isinstance(d_weights, LlamaWeights):
+            from hip_llama_tpu.models.params import qparams_from_quant_weights
+
+            d_params = qparams_from_quant_weights(d_cfg, d_weights)
+        else:
+            d_params = params_from_weights(d_weights, dtype=dtype)
+        return InferenceEngine(
+            d_cfg, d_params, tokenizer, batch_size=batch_n,
+            attn_impl=attn_impl,
+            precision="highest" if dtype == jnp.float32 else "default",
+            use_prefill=use_prefill,
+        )
+
     if mode == "generate" and spec_k > 0:
         # speculative decoding: greedy prefix-match at temperature 0,
         # distribution-preserving rejection sampling at temperature > 0.
         # Without --draft, proposals come from prompt-lookup (n-grams).
         from hip_llama_tpu.engine.speculative import speculative_generate
 
-        draft_engine = None
-        if draft_path:
-            d_cfg, d_weights = load_checkpoint(draft_path)
-            if isinstance(d_weights, Q4Weights):
-                from hip_llama_tpu.models.params import qparams_from_q4_weights
-
-                d_params = qparams_from_q4_weights(d_cfg, d_weights)
-            elif not isinstance(d_weights, LlamaWeights):
-                from hip_llama_tpu.models.params import qparams_from_quant_weights
-
-                d_params = qparams_from_quant_weights(d_cfg, d_weights)
-            else:
-                d_params = params_from_weights(d_weights, dtype=dtype)
-            draft_engine = InferenceEngine(
-                d_cfg, d_params, tokenizer, batch_size=1, attn_impl=attn_impl,
-                precision="highest" if dtype == jnp.float32 else "default",
-                use_prefill=use_prefill,
-            )
+        draft_engine = load_draft_engine(draft_path, 1) if draft_path else None
         res, spec_stats = speculative_generate(
             engine, draft_engine, prompt, steps, k=spec_k, echo=True,
             temperature=temperature, topp=topp, seed=rng_seed,
@@ -550,27 +577,10 @@ def main(argv: list[str]) -> int:
         if input_filename is None or output_filename is None:
             error_usage()
         requests = read_inputfile(input_filename)
-        draft_engine = None
-        if spec_k > 0 and draft_path:
-            d_cfg, d_weights = load_checkpoint(draft_path)
-            if isinstance(d_weights, Q4Weights):
-                from hip_llama_tpu.models.params import qparams_from_q4_weights
-
-                d_params = qparams_from_q4_weights(d_cfg, d_weights)
-            elif not isinstance(d_weights, LlamaWeights):
-                from hip_llama_tpu.models.params import (
-                    qparams_from_quant_weights,
-                )
-
-                d_params = qparams_from_quant_weights(d_cfg, d_weights)
-            else:
-                d_params = params_from_weights(d_weights, dtype=dtype)
-            draft_engine = InferenceEngine(
-                d_cfg, d_params, tokenizer, batch_size=batch,
-                attn_impl=attn_impl,
-                precision="highest" if dtype == jnp.float32 else "default",
-                use_prefill=use_prefill,
-            )
+        draft_engine = (
+            load_draft_engine(draft_path, batch)
+            if spec_k > 0 and draft_path else None
+        )
         start = time.perf_counter()
         stats: dict = {}
         num_gen_tokens = engine.serve(

@@ -209,7 +209,12 @@ def speculative_generate(
     if len(toks) > 1:
         _, t_cache = target._prefill_tokens(t_cache, 1, {0: toks[:-1]}, {0: 0})
         if draft is not None:
-            _, d_cache = draft._prefill_tokens(d_cache, 1, {0: toks[:-1]}, {0: 0})
+            # truncated to the DRAFT's window: clamp-writes past it would
+            # scribble on its last cache row (proposals just stop once pos
+            # reaches the draft window — see use_draft below)
+            _, d_cache = draft._prefill_tokens(
+                d_cache, 1, {0: toks[:-1][:draft.max_seq_len - 1]}, {0: 0}
+            )
         pos = len(toks) - 1
         token = toks[-1]
         for a, nxt in zip(toks, toks[1:]):
@@ -220,18 +225,22 @@ def speculative_generate(
 
     done = False
     while pos < steps and not done:
-        # the verify chunk writes rows pos..pos+kk, which must fit both
-        # caches; shrink the lookahead near the end of the window
+        # the verify chunk writes rows pos..pos+kk, which must fit the
+        # target cache; shrink the lookahead near the end of the window
         kk = min(k, target.max_seq_len - 1 - pos)
-        if draft is not None:
-            kk = min(kk, draft.max_seq_len - 1 - pos)
         if kk < 1:
             break
+        # a draft whose window is exhausted falls back to prompt-lookup
+        # proposals (the target can keep generating; breaking here silently
+        # capped generation at the DRAFT's seq_len)
+        use_draft = draft is not None and pos + 1 < draft.max_seq_len
+        if use_draft:
+            kk = min(kk, draft.max_seq_len - 1 - pos)
 
         # 1) propose kk tokens from (token, pos); stochastic mode also
         # collects qs = the draft's warped distribution at each position
         qs: list[np.ndarray] | None = None
-        if draft is not None:
+        if use_draft:
             if kk == k:
                 # whole draft chain in one dispatch (fresh key per round —
                 # the chain folds in the step index, we fold in pos)
@@ -328,7 +337,7 @@ def speculative_generate(
             while n_acc < kk and d_toks[n_acc] == int(g[n_acc]):
                 n_acc += 1
             commits = d_toks[:n_acc] + [int(g[n_acc])]
-        if draft is not None and n_acc == kk:
+        if use_draft and n_acc == kk:
             # full acceptance: drop the bonus — the draft chain never wrote
             # the KV row for its LAST proposal (it fed tokens 0..kk-2 after
             # the root), so committing past it would leave a permanent hole

@@ -179,6 +179,29 @@ def test_serve_spec_lookup_matches_plain_greedy(spec_setup):
     assert stats["spec_proposed"] > 0 and stats["spec_accepted"] > 0
 
 
+def test_small_draft_window_falls_back(spec_setup):
+    """A draft with a SMALLER KV window than the target must not cap
+    generation at its own seq_len — past the draft window, proposals fall
+    back to prompt lookup and the greedy stream still matches target-only."""
+    from hip_llama_tpu.engine import InferenceEngine
+
+    cfg, tok, target, _ = spec_setup
+    small = tiny_config(dim=64, hidden_dim=172, n_layers=4, n_heads=8,
+                        n_kv_heads=4, seq_len=24)
+    from hip_llama_tpu.io.checkpoint import random_weights as rw
+    from hip_llama_tpu.models.params import params_from_weights as pfw
+
+    draft = InferenceEngine(
+        small, pfw(rw(small, seed=3), dtype=jnp.float32), tok,
+        batch_size=1, use_prefill=True, max_seq_len=24,
+    )
+    base = target.generate("Once upon a time", steps=60)
+    spec, st = speculative_generate(target, draft, "Once upon a time",
+                                    steps=60, k=4)
+    assert spec.token_ids == base.token_ids
+    assert len(spec.token_ids) > 24  # well past the draft window
+
+
 def test_serve_spec_draft_matches_plain_greedy(spec_setup):
     """SERVE-mode speculation with a DRAFT ENGINE: one batched draft chain
     proposes per round; greedy acceptance must reproduce plain serving

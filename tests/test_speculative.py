@@ -182,17 +182,24 @@ def test_serve_spec_lookup_matches_plain_greedy(spec_setup):
 def test_small_draft_window_falls_back(spec_setup):
     """A draft with a SMALLER KV window than the target must not cap
     generation at its own seq_len — past the draft window, proposals fall
-    back to prompt lookup and the greedy stream still matches target-only."""
+    back to prompt lookup and the greedy stream still matches target-only.
+    (A 2-layer seed-3 model generates a long non-terminating loop, so the
+    stream genuinely crosses the 24-token draft window.)"""
     from hip_llama_tpu.engine import InferenceEngine
-
-    cfg, tok, target, _ = spec_setup
-    small = tiny_config(dim=64, hidden_dim=172, n_layers=4, n_heads=8,
-                        n_kv_heads=4, seq_len=24)
     from hip_llama_tpu.io.checkpoint import random_weights as rw
     from hip_llama_tpu.models.params import params_from_weights as pfw
 
+    _, tok, _, _ = spec_setup
+    cfg_t = tiny_config(dim=64, hidden_dim=172, n_layers=2, n_heads=8,
+                        n_kv_heads=4, seq_len=96)
+    cfg_d = tiny_config(dim=64, hidden_dim=172, n_layers=2, n_heads=8,
+                        n_kv_heads=4, seq_len=24)
+    target = InferenceEngine(
+        cfg_t, pfw(rw(cfg_t, seed=3), dtype=jnp.float32), tok,
+        batch_size=1, use_prefill=True,
+    )
     draft = InferenceEngine(
-        small, pfw(rw(small, seed=3), dtype=jnp.float32), tok,
+        cfg_d, pfw(rw(cfg_d, seed=3), dtype=jnp.float32), tok,
         batch_size=1, use_prefill=True, max_seq_len=24,
     )
     base = target.generate("Once upon a time", steps=60)

@@ -367,11 +367,10 @@ def quantize_params_q4(
     )
 
 
-def params_from_quant_dequant(
-    cfg: ModelConfig, qw: QuantWeights, dtype=jnp.float32
-) -> LlamaParams:
-    """Dequantize a v2 Q8_0 checkpoint into dense params (correctness path;
-    the fused int8 kernel path lives in ops/quant.py)."""
+def dense_weights_from_quant(cfg: ModelConfig, qw: QuantWeights) -> LlamaWeights:
+    """Dequantize a v2 Q8_0 checkpoint to dense fp32 LlamaWeights ON HOST
+    (numpy, file orientation) — re-export and other host-side consumers need
+    no device round-trip (a 7B fp32 model does not fit a 16 GB chip)."""
     gs = cfg.group_size
     assert gs is not None
 
@@ -380,7 +379,7 @@ def params_from_quant_dequant(
 
     tok_emb = qw.q_tokens.dequantize(gs)
     wcls = tok_emb if cfg.shared_classifier else qw.wcls.dequantize(gs)
-    w = LlamaWeights(
+    return LlamaWeights(
         tok_emb=tok_emb,
         rms_att=qw.rms_att,
         wq=dq_stack(qw.wq),
@@ -394,4 +393,44 @@ def params_from_quant_dequant(
         rms_final=qw.rms_final,
         wcls=wcls,
     )
-    return params_from_weights(w, dtype=dtype)
+
+
+def params_from_quant_dequant(
+    cfg: ModelConfig, qw: QuantWeights, dtype=jnp.float32
+) -> LlamaParams:
+    """Dequantize a v2 Q8_0 checkpoint into dense params (correctness path;
+    the fused int8 kernel path lives in ops/quant.py)."""
+    return params_from_weights(dense_weights_from_quant(cfg, qw), dtype=dtype)
+
+
+def dense_weights_from_q4(cfg: ModelConfig, w4) -> LlamaWeights:
+    """Dequantize a v4 int4 checkpoint to dense fp32 LlamaWeights ON HOST
+    (numpy, file (out, in) orientation)."""
+
+    def dq(t) -> np.ndarray:
+        q = np.asarray(t.q).astype(np.int32)
+        lo = (q & 15) - 8
+        hi = ((q >> 4) & 15) - 8
+        codes = np.concatenate([lo, hi], axis=-2).astype(np.float32)
+        k, n = codes.shape[-2], codes.shape[-1]
+        g = t.s.shape[-2]
+        w = codes.reshape(*codes.shape[:-2], g, k // g, n) * np.asarray(
+            t.s, np.float32
+        )[..., :, None, :]
+        return np.swapaxes(w.reshape(*codes.shape), -1, -2)
+
+    egs = w4.emb_q.shape[1] // w4.emb_s.shape[1]
+    v, d = w4.emb_q.shape
+    emb = (
+        w4.emb_q.astype(np.float32).reshape(v, d // egs, egs)
+        * w4.emb_s[..., None]
+    ).reshape(v, d)
+    return LlamaWeights(
+        tok_emb=emb,
+        rms_att=np.asarray(w4.rms_att, np.float32),
+        wq=dq(w4.wq), wk=dq(w4.wk), wv=dq(w4.wv), wo=dq(w4.wo),
+        rms_ffn=np.asarray(w4.rms_ffn, np.float32),
+        w1=dq(w4.w1), w2=dq(w4.w2), w3=dq(w4.w3),
+        rms_final=np.asarray(w4.rms_final, np.float32),
+        wcls=dq(w4.wcls),
+    )

@@ -21,11 +21,14 @@ from hip_llama_tpu.engine.requests import read_inputfile
 def score(path_a: str, path_b: str, verbose: bool = True) -> float:
     a = read_inputfile(path_a)
     b = read_inputfile(path_b)
-    n = min(a.num_reqs, b.num_reqs)
-    if a.num_reqs != b.num_reqs and verbose:
+    # score against the LARGER count: a truncated candidate must not pass
+    # with coverage 1.0 over only the generations it happens to contain
+    n_cmp = min(a.num_reqs, b.num_reqs)
+    n = max(a.num_reqs, b.num_reqs)
+    if a.num_reqs != b.num_reqs:
         print(f"WARNING: count mismatch {a.num_reqs} vs {b.num_reqs}")
     same = 0
-    for i in range(n):
+    for i in range(n_cmp):
         ga, gb = a.prompts[i], b.prompts[i]
         if ga == gb:
             same += 1

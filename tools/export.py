@@ -45,31 +45,17 @@ def main():
         if not isinstance(w, LlamaWeights):
             from hip_llama_tpu.io.checkpoint import Q4Weights
             from hip_llama_tpu.models.params import (
-                params_from_q4_dequant,
-                params_from_quant_dequant,
+                dense_weights_from_q4,
+                dense_weights_from_quant,
             )
 
-            # dequantize a quantized (v2/v4) input back to dense for re-export
-            import numpy as np
-
+            # dequantize a quantized (v2/v4) input back to dense for
+            # re-export — ON HOST: the old device round-trip materialized
+            # the full fp32 model in HBM (a 7B does not fit a 16 GB chip)
             if isinstance(w, Q4Weights):
-                p = params_from_q4_dequant(cfg, w)
+                w = dense_weights_from_q4(cfg, w)
             else:
-                p = params_from_quant_dequant(cfg, w)
-            w = LlamaWeights(
-                tok_emb=np.asarray(p.tok_emb),
-                rms_att=np.asarray(p.rms_att),
-                wq=np.swapaxes(np.asarray(p.wq), 1, 2),
-                wk=np.swapaxes(np.asarray(p.wk), 1, 2),
-                wv=np.swapaxes(np.asarray(p.wv), 1, 2),
-                wo=np.swapaxes(np.asarray(p.wo), 1, 2),
-                rms_ffn=np.asarray(p.rms_ffn),
-                w1=np.swapaxes(np.asarray(p.w1), 1, 2),
-                w2=np.swapaxes(np.asarray(p.w2), 1, 2),
-                w3=np.swapaxes(np.asarray(p.w3), 1, 2),
-                rms_final=np.asarray(p.rms_final),
-                wcls=np.asarray(p.wcls).T,
-            )
+                w = dense_weights_from_quant(cfg, w)
     elif args.hf:
         from hip_llama_tpu.io.hf import load_hf_llama
 

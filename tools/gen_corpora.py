@@ -12,6 +12,7 @@ Usage: python tools/gen_corpora.py [outdir]  (default assets/in)
 import itertools
 import os
 import random
+import zlib
 import sys
 
 SIZES = (8, 32, 64, 128, 256, 512)
@@ -90,7 +91,10 @@ def main():
     )
     os.makedirs(outdir, exist_ok=True)
     for cat in ("gen", "tinystories", "sciq", "truthful_qa", "wikipedia"):
-        rng = random.Random(hash(cat) & 0xFFFF)
+        # zlib.crc32 is stable across processes — Python's str hash
+        # is randomized per process (PYTHONHASHSEED), which made
+        # 'seeded' corpora differ on every regeneration
+        rng = random.Random(zlib.crc32(cat.encode()) & 0xFFFF)
         gen = prompts_for(cat, rng)
         for n in SIZES:
             path = os.path.join(outdir, f"{cat}_in_{n}.txt")

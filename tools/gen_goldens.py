@@ -8,7 +8,7 @@ Example:
   # produce goldens from the fp32 oracle-precision engine
   python tools/gen_goldens.py model.bin -z tokenizer.bin -o assets/out/golden
   # run a candidate config and score it
-  python tools/gen_goldens.py model.bin -z tokenizer.bin -o /tmp/cand --attn pallas
+  python tools/gen_goldens.py model.bin -z tokenizer.bin -o /tmp/cand -- --attn pallas
   python tools/eval_output.py assets/out/golden/gen_in_8.out /tmp/cand/gen_in_8.out
 """
 

@@ -71,7 +71,14 @@ def main():
             else params_from_weights(w, dtype=jnp.bfloat16)
         )
     else:
-        params = qparams_from_quant_weights(cfg, w)
+        from hip_llama_tpu.io.checkpoint import Q4Weights
+
+        if isinstance(w, Q4Weights):
+            from hip_llama_tpu.models.params import qparams_from_q4_weights
+
+            params = qparams_from_q4_weights(cfg, w)
+        else:
+            params = qparams_from_quant_weights(cfg, w)
     tok = Tokenizer.from_file(args.tokenizer, cfg.vocab_size)
     with open(args.corpus, errors="replace") as f:
         text = f.read()

@@ -49,11 +49,18 @@ def op_table(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
 
 
 def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
-           chip: str = "v5e", measured_tok_s: float | None = None):
-    bw, flops_bf16, _ = CHIPS[chip]
+           chip: str = "v5e", measured_tok_s: float | None = None,
+           compute_dtype: str = "bfloat16"):
+    bw, flops_bf16, _flops_int8 = CHIPS[chip]
+    # our int8 kernels dequantize to bf16 before the MXU, so bf16 peak is
+    # the honest compute ceiling for int8 weights too; fp32 matmuls run at
+    # roughly half the bf16 rate
+    if compute_dtype == "float32":
+        flops_bf16 = flops_bf16 / 2
     rows = op_table(cfg, b, window, wbytes_per, cache_bytes)
     ridge = flops_bf16 / bw
-    print(f"chip {chip}: HBM {bw/1e9:.0f} GB/s, bf16 {flops_bf16/1e12:.0f} TF/s, "
+    print(f"chip {chip}: HBM {bw/1e9:.0f} GB/s, {compute_dtype} "
+          f"{flops_bf16/1e12:.0f} TF/s, "
           f"ridge AI = {ridge:.0f} flop/byte")
     print(f"{'op':14s} {'GFLOP':>9s} {'MB':>9s} {'AI':>7s} {'bound':>8s} {'SoL us':>8s}")
     tot_f = tot_b = 0.0
@@ -94,4 +101,6 @@ if __name__ == "__main__":
     a = ap.parse_args()
     wb = {"int8": 1.0625, "bfloat16": 2, "float32": 4}[a.dtype]  # int8 + f32 scales/64
     cb = {"bfloat16": 2, "float32": 4}[a.cache_dtype]
-    report(CONFIGS[a.model], a.batch, a.window, wb, cb, measured_tok_s=a.measured_tok_s)
+    report(CONFIGS[a.model], a.batch, a.window, wb, cb,
+           measured_tok_s=a.measured_tok_s,
+           compute_dtype="float32" if a.dtype == "float32" else "bfloat16")

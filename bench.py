@@ -17,6 +17,8 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -243,7 +245,60 @@ def param_bytes(p) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(p))
 
 
-def main():
+class BackendUnavailable(RuntimeError):
+    pass
+
+
+def wait_for_backend(max_wait_s: float) -> int:
+    """Wait for the JAX backend to come up, probing in SUBPROCESSES.
+
+    The dev environment reaches its TPU through a tunnel that is
+    sometimes down; backend-init failure is cached inside a JAX process,
+    so retrying in-process is useless. A fresh interpreter per probe
+    sidesteps the cache; when the tunnel is down the interpreter start
+    itself can hang (sitecustomize dials the pool), hence the per-probe
+    timeout. Returns the number of attempts used; raises
+    BackendUnavailable with the last error line when the window closes.
+    """
+    probe = "import jax; assert jax.devices()"
+    deadline = time.monotonic() + max_wait_s
+    attempt, last = 0, "unknown"
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode == 0:
+                return attempt
+            lines = (r.stderr or "").strip().splitlines()
+            if lines:
+                last = lines[-1]
+        except subprocess.TimeoutExpired:
+            last = "backend probe timed out after 120 s (tunnel hang)"
+        if time.monotonic() >= deadline:
+            raise BackendUnavailable(last)
+        print(
+            f"bench: backend unavailable (attempt {attempt}): {last}; "
+            f"retrying...", file=sys.stderr,
+        )
+        time.sleep(min(10.0 * attempt, 60.0))
+
+
+def emit_error(metric: str, unit: str, stage: str, err: BaseException) -> None:
+    """One parseable JSON line on ANY failure (VERDICT r1: the driver got
+    a raw traceback and recorded parsed=null)."""
+    print(json.dumps({
+        "metric": metric,
+        "value": None,
+        "unit": unit,
+        "vs_baseline": None,
+        "error": f"{stage}: {type(err).__name__}: {err}",
+    }))
+
+
+def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=list(CONFIGS))
     ap.add_argument("--batch", type=int, default=8)
@@ -251,8 +306,22 @@ def main():
                     help="KV window (seq_len); default 512 (decode) or "
                          "2*prompt-len (ttft: a real serving window leaves "
                          "room to generate past the prompt)")
-    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="timed decode steps (default 32; 16 with --quick)")
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument(
+        "--quick", action="store_true",
+        help="fast headline number: --layout stacked (compiles in ~1 min "
+        "where the unrolled layout takes several; measured perf parity, "
+        "BASELINE.md) and 16 timed steps. Use when the run window is short.",
+    )
+    ap.add_argument(
+        "--backend-wait", type=float,
+        default=float(os.environ.get("BENCH_BACKEND_WAIT_S", "900")),
+        help="seconds to keep retrying TPU backend init before emitting a "
+        "JSON error line (the dev tunnel flaps; default 900, env "
+        "BENCH_BACKEND_WAIT_S)",
+    )
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     ap.add_argument(
@@ -306,7 +375,43 @@ def main():
     args.unroll = not args.no_unroll
     if args.quant == "none":
         args.quant = None
+    if args.quick:
+        args.layout = "stacked"
+        if args.steps is None:
+            args.steps = 16
+    if args.steps is None:
+        args.steps = 32
+    return args
 
+
+def metric_name(args) -> tuple[str, str]:
+    """Predict the metric/unit this invocation reports, so the error path
+    emits the same metric the success path would."""
+    kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
+    if args.kv == "int8":
+        kind += "_kv8"
+    b = args.batch
+    if args.mode == "serve":
+        feats = "".join(
+            f for f, on in (
+                (f"_chunk{args.chunk}", args.chunk > 1),
+                (f"_spec{args.spec}", args.spec > 0),
+                ("_paged", args.paged), ("_pfx", args.prefix_cache),
+            ) if on
+        )
+        return (
+            f"serve_tok_per_s_llama2_{args.model}_{kind}_b{b}"
+            f"_prompt{args.prompt_len}{feats}", "tok/s",
+        )
+    if args.mode == "ttft":
+        return (
+            f"ttft_p50_ms_llama2_{args.model}_{kind}_b{b}"
+            f"_prompt{args.prompt_len}", "ms",
+        )
+    return f"decode_tok_per_s_per_chip_llama2_{args.model}_{kind}_b{b}", "tok/s"
+
+
+def run_bench(args):
     cfg = CONFIGS[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.window is None:
@@ -553,5 +658,23 @@ def main():
     print(json.dumps(result))
 
 
+def main():
+    args = parse_args()
+    metric, unit = metric_name(args)
+    try:
+        wait_for_backend(args.backend_wait)
+    except BackendUnavailable as e:
+        emit_error(metric, unit, "backend-init", e)
+        return 1
+    try:
+        run_bench(args)
+    except Exception as e:  # noqa: BLE001 — one JSON line, whatever died
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        emit_error(metric, unit, "run", e)
+        return 1
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

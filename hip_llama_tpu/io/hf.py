@@ -60,20 +60,31 @@ def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
         rope_theta=float(hc.get("rope_theta", 10000.0)),
     )
 
-    tensors: dict[str, np.ndarray] = {}
+    # Lazy per-tensor access (ADVICE r1): materializing every shard as fp32
+    # before stacking peaks at ~2x model fp32 bytes. safetensors are read
+    # tensor-by-tensor through open handles (peak ~= one fp32 copy + one
+    # layer); torch shards stay in their on-disk dtype (fp16/bf16) and each
+    # tensor is popped + converted only as it is consumed.
     st_files = sorted(
         f for f in os.listdir(model_dir) if f.endswith(".safetensors")
     )
     if st_files:
         from safetensors import safe_open  # available via transformers dep
 
-        for fn in st_files:
-            with safe_open(os.path.join(model_dir, fn), framework="np") as f:
-                for k in f.keys():
-                    tensors[k] = f.get_tensor(k)
+        handles = {
+            fn: safe_open(os.path.join(model_dir, fn), framework="np")
+            for fn in st_files
+        }
+        where = {k: fn for fn, h in handles.items() for k in h.keys()}
+
+        def fetch(name):
+            return handles[where[name]].get_tensor(name)
+
+        has = where.__contains__
     else:
         import torch
 
+        tensors: dict = {}
         for fn in sorted(
             f for f in os.listdir(model_dir)
             if f.startswith("pytorch_model") and f.endswith(".bin")
@@ -81,13 +92,17 @@ def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
             sd = torch.load(
                 os.path.join(model_dir, fn), map_location="cpu", weights_only=True
             )
-            for k, v in sd.items():
-                tensors[k] = v.float().numpy()
-    if not tensors:
-        raise FileNotFoundError(f"no weight files in {model_dir}")
+            tensors.update(sd)
+        if not tensors:
+            raise FileNotFoundError(f"no weight files in {model_dir}")
+
+        def fetch(name):
+            return tensors.pop(name).float().numpy()
+
+        has = tensors.__contains__
 
     def t(name):
-        return np.asarray(tensors[name], np.float32)
+        return np.asarray(fetch(name), np.float32)
 
     L = cfg.n_layers
     hd = cfg.head_size
@@ -109,7 +124,7 @@ def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
     tok_emb = t("model.embed_tokens.weight")
     wcls = (
         tok_emb
-        if cfg.shared_classifier or "lm_head.weight" not in tensors
+        if cfg.shared_classifier or not has("lm_head.weight")
         else t("lm_head.weight")
     )
     return cfg, LlamaWeights(

@@ -544,7 +544,7 @@ def kv_write_chunk(
         num_scalar_prefetch=3,  # layer, start, valid
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows (B, KVH, T, HS)
+            pl.BlockSpec(memory_space=pl.ANY),  # rows (B, KVH, T, HS)
             pl.BlockSpec(memory_space=pltpu.HBM),  # cache in
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -721,7 +721,7 @@ def kv_write_chunk_paged(
         num_scalar_prefetch=4,  # layer, start, valid, page_table
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows
+            pl.BlockSpec(memory_space=pl.ANY),  # rows
             pl.BlockSpec(memory_space=pltpu.HBM),  # pages in
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),

@@ -69,14 +69,37 @@ def pp_shardings(cfg: ModelConfig, mesh: Mesh):
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    n_stages = mesh.shape["pp"]
     params = LlamaParams(
         tok_emb=ns(),
         rms_att=ns("pp"), wq=ns("pp"), wk=ns("pp"), wv=ns("pp"), wo=ns("pp"),
         rms_ffn=ns("pp"), w1=ns("pp"), w2=ns("pp"), w3=ns("pp"),
-        rms_final=ns(), wcls=ns(),
+        rms_final=ns(),
+        # vocab-dim shard: every stage projects V/S columns (see
+        # _project_logits); replicated only when V doesn't divide
+        wcls=ns(None, "pp") if cfg.vocab_size % n_stages == 0 else ns(),
     )
     cache = KVCache(k=ns(None, "pp"), v=ns(None, "pp"))
     return params, cache
+
+
+def _project_logits(c: ModelConfig, n_stages: int, y_out, pl_, is_last):
+    """Final norm + vocab projection at the end of the tick loop.
+
+    Only the last stage holds finished activations. Instead of every stage
+    computing the full (D, V) matmul and psumming full fp32 logits (the
+    largest possible collective — ADVICE r1), psum the (..., D) hidden
+    state (V/D = 8x smaller) to all stages, project each stage's V/S
+    vocab shard, and all-gather the shards."""
+    if c.vocab_size % n_stages == 0:
+        y_all = lax.psum(jnp.where(is_last, y_out, 0.0), "pp")
+        xf = rmsnorm(y_all, pl_.rms_final, c.norm_eps)
+        return lax.all_gather(
+            (xf @ pl_.wcls).astype(jnp.float32), "pp", axis=-1, tiled=True
+        )
+    xf = rmsnorm(y_out, pl_.rms_final, c.norm_eps)
+    logits_out = jnp.where(is_last, (xf @ pl_.wcls).astype(jnp.float32), 0.0)
+    return lax.psum(logits_out, "pp")
 
 
 def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
@@ -192,13 +215,10 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             # rotate activations around the ring (stage s -> s+1)
             act = lax.ppermute(y, "pp", perm)
 
-        xf = rmsnorm(y_out, pl_.rms_final, c.norm_eps)
-        logits_out = jnp.where(
-            is_last, (xf @ pl_.wcls).astype(jnp.float32), 0.0
-        )
-        logits_out = lax.psum(logits_out, "pp")
+        logits_out = _project_logits(c, n_stages, y_out, pl_, is_last)
         return logits_out, k_local, v_local
 
+    wcls_spec = P(None, "pp") if c.vocab_size % n_stages == 0 else P()
     f = shard_map(
         spmd,
         mesh=mesh,
@@ -206,7 +226,7 @@ def make_pp_decode_step(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             LlamaParams(
                 tok_emb=P(), rms_att=P("pp"), wq=P("pp"), wk=P("pp"),
                 wv=P("pp"), wo=P("pp"), rms_ffn=P("pp"), w1=P("pp"),
-                w2=P("pp"), w3=P("pp"), rms_final=P(), wcls=P(),
+                w2=P("pp"), w3=P("pp"), rms_final=P(), wcls=wcls_spec,
             ),
             P(None, "pp"),
             P(None, "pp"),
@@ -354,13 +374,10 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             )
             act = lax.ppermute(y, "pp", perm)
 
-        xf = rmsnorm(y_out, pl_.rms_final, c.norm_eps)
-        logits_out = jnp.where(
-            is_last, (xf @ pl_.wcls).astype(jnp.float32), 0.0
-        )
-        logits_out = lax.psum(logits_out, "pp")
+        logits_out = _project_logits(c, n_stages, y_out, pl_, is_last)
         return logits_out, k_local, v_local
 
+    wcls_spec = P(None, "pp") if c.vocab_size % n_stages == 0 else P()
     f = shard_map(
         spmd,
         mesh=mesh,
@@ -368,7 +385,7 @@ def make_pp_prefill(cfg: ModelConfig, mesh: Mesh, n_micro: int = 4,
             LlamaParams(
                 tok_emb=P(), rms_att=P("pp"), wq=P("pp"), wk=P("pp"),
                 wv=P("pp"), wo=P("pp"), rms_ffn=P("pp"), w1=P("pp"),
-                w2=P("pp"), w3=P("pp"), rms_final=P(), wcls=P(),
+                w2=P("pp"), w3=P("pp"), rms_final=P(), wcls=wcls_spec,
             ),
             P(None, "pp"),
             P(None, "pp"),

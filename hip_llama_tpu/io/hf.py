@@ -33,6 +33,108 @@ def _unpermute(w: np.ndarray, n_heads: int, dim1: int, dim2: int) -> np.ndarray:
     )
 
 
+def _permute(w: np.ndarray, n_heads: int, dim1: int, dim2: int) -> np.ndarray:
+    """HF's rotary row permutation (inverse of _unpermute): regroup each
+    head's interleaved (e0, o0, e1, o1, ...) rows as [evens..., odds...]."""
+    return (
+        w.reshape(n_heads, dim1 // n_heads // 2, 2, dim2)
+        .swapaxes(1, 2)
+        .reshape(dim1, dim2)
+    )
+
+
+def save_hf_llama(
+    out_dir: str, cfg: ModelConfig, w: LlamaWeights, dtype: str = "float32"
+) -> None:
+    """Export LlamaWeights to a HuggingFace-format model directory
+    (config.json + model.safetensors) loadable by
+    transformers.LlamaForCausalLM.from_pretrained and by load_hf_llama.
+
+    Parity with the reference's hf_export (train/export.py:262-354,
+    dispatched at :492-510): wq/wk rows get HF's half-rotation permutation
+    applied so HF's rotate-half RoPE reproduces the Meta interleaved-pair
+    convention this framework computes (models/llama.py rope())."""
+    os.makedirs(out_dir, exist_ok=True)
+    hd = cfg.head_size
+
+    tensors: dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": w.tok_emb,
+        "model.norm.weight": w.rms_final,
+    }
+    for l in range(cfg.n_layers):
+        p = f"model.layers.{l}"
+        tensors[f"{p}.input_layernorm.weight"] = w.rms_att[l]
+        tensors[f"{p}.self_attn.q_proj.weight"] = _permute(
+            w.wq[l], cfg.n_heads, cfg.dim, cfg.dim
+        )
+        tensors[f"{p}.self_attn.k_proj.weight"] = _permute(
+            w.wk[l], cfg.n_kv_heads, cfg.n_kv_heads * hd, cfg.dim
+        )
+        tensors[f"{p}.self_attn.v_proj.weight"] = w.wv[l]
+        tensors[f"{p}.self_attn.o_proj.weight"] = w.wo[l]
+        tensors[f"{p}.post_attention_layernorm.weight"] = w.rms_ffn[l]
+        tensors[f"{p}.mlp.gate_proj.weight"] = w.w1[l]
+        tensors[f"{p}.mlp.down_proj.weight"] = w.w2[l]
+        tensors[f"{p}.mlp.up_proj.weight"] = w.w3[l]
+    if not cfg.shared_classifier:
+        tensors["lm_head.weight"] = w.wcls
+
+    st_path = os.path.join(out_dir, "model.safetensors")
+    if dtype == "bfloat16":
+        # numpy has no native bf16 — go through torch for the payload
+        import torch
+        from safetensors.torch import save_file as save_torch
+
+        save_torch(
+            {
+                k: torch.from_numpy(
+                    np.ascontiguousarray(np.asarray(v, np.float32))
+                ).to(torch.bfloat16)
+                for k, v in tensors.items()
+            },
+            st_path, metadata={"format": "pt"},
+        )
+    else:
+        from safetensors.numpy import save_file
+
+        np_dtype = {"float32": np.float32, "float16": np.float16}[dtype]
+        save_file(
+            {
+                k: np.ascontiguousarray(np.asarray(v, np_dtype))
+                for k, v in tensors.items()
+            },
+            # "pt": transformers rejects format "np"; the payload bytes are
+            # framework-agnostic either way
+            st_path, metadata={"format": "pt"},
+        )
+
+    config = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "hidden_size": cfg.dim,
+        "intermediate_size": cfg.hidden_dim,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "head_dim": hd,
+        "vocab_size": cfg.vocab_size,
+        "max_position_embeddings": cfg.seq_len,
+        "rms_norm_eps": cfg.norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "hidden_act": "silu",
+        "tie_word_embeddings": bool(cfg.shared_classifier),
+        "bos_token_id": 1,
+        "eos_token_id": 2,
+        "torch_dtype": dtype,
+        "attention_bias": False,
+        "mlp_bias": False,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    with open(os.path.join(out_dir, "generation_config.json"), "w") as f:
+        json.dump({"bos_token_id": 1, "eos_token_id": 2}, f, indent=2)
+
+
 def load_hf_llama(model_dir: str) -> tuple[ModelConfig, LlamaWeights]:
     """Load a local HF-format Llama directory (config.json + safetensors or
     pytorch_model*.bin shards) into LlamaWeights."""

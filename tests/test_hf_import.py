@@ -89,6 +89,71 @@ def test_hf_import_rope_theta(tmp_path_factory):
     assert_close(got, want, atol=2e-3, rtol=2e-3)
 
 
+def test_hf_export_roundtrip(tmp_path):
+    """save_hf_llama(load_hf_llama(save_hf_llama(w))) == w bit-exactly at
+    fp32 (VERDICT r2 item 5; reference train/export.py:262-354 hf_export)."""
+    from hip_llama_tpu.config import ModelConfig
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.io.hf import save_hf_llama
+
+    cfg = ModelConfig(dim=64, hidden_dim=172, n_layers=3, n_heads=4,
+                      n_kv_heads=2, vocab_size=256, seq_len=64,
+                      rope_theta=50000.0)
+    w = random_weights(cfg, seed=7)
+    d = str(tmp_path / "hf_out")
+    save_hf_llama(d, cfg, w)
+    cfg2, w2 = load_hf_llama(d)
+    assert cfg2 == cfg
+    for name in w.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(w2, name), np.float32),
+            np.asarray(getattr(w, name), np.float32), err_msg=name,
+        )
+
+
+def test_hf_export_shared_classifier_roundtrip(tmp_path):
+    from hip_llama_tpu.config import ModelConfig
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.io.hf import save_hf_llama
+
+    cfg = ModelConfig(dim=32, hidden_dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=4, vocab_size=128, seq_len=32,
+                      shared_classifier=True)
+    w = random_weights(cfg, seed=9)
+    d = str(tmp_path / "hf_tied")
+    save_hf_llama(d, cfg, w)
+    cfg2, w2 = load_hf_llama(d)
+    assert cfg2.shared_classifier
+    np.testing.assert_array_equal(w2.wcls, w2.tok_emb)
+
+
+def test_hf_export_loads_in_transformers(tmp_path):
+    """transformers must accept our exported dir and produce the same
+    logits as our own forward on the same weights — the re-entry-to-the-
+    ecosystem guarantee the round-trip test alone can't give."""
+    from hip_llama_tpu.config import ModelConfig
+    from hip_llama_tpu.io.checkpoint import random_weights
+    from hip_llama_tpu.io.hf import save_hf_llama
+    from hip_llama_tpu.models import params_from_weights
+
+    cfg = ModelConfig(dim=64, hidden_dim=172, n_layers=2, n_heads=4,
+                      n_kv_heads=2, vocab_size=256, seq_len=64)
+    w = random_weights(cfg, seed=11)
+    d = str(tmp_path / "hf_xcheck")
+    save_hf_llama(d, cfg, w)
+
+    model = transformers.LlamaForCausalLM.from_pretrained(d)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, cfg.vocab_size, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = model(torch.from_numpy(toks)).logits.float().numpy()
+
+    params = params_from_weights(w, dtype=jnp.float32)
+    fwd = jax.jit(make_train_forward(cfg, precision="highest"))
+    got = np.asarray(fwd(params, jnp.asarray(toks, jnp.int32)))
+    assert_close(got, want, atol=2e-3, rtol=2e-3)
+
+
 def test_hf_import_decode_path(hf_dir):
     """Step-by-step decode on imported weights matches HF's full forward."""
     path, hf_model = hf_dir

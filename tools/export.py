@@ -29,9 +29,14 @@ from hip_llama_tpu.io.checkpoint import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("filepath", help="output .bin")
-    ap.add_argument("--version", type=int, default=0, choices=[0, 1, 2, 4],
-                    help="4 = int4 (Q4_0-style, beyond-reference format)")
+    ap.add_argument("filepath", help="output .bin (or model dir for --version hf)")
+    ap.add_argument("--version", default="0", choices=["0", "1", "2", "4", "hf"],
+                    help="4 = int4 (Q4_0-style, beyond-reference format); "
+                    "hf = HuggingFace model dir (config.json + safetensors, "
+                    "parity with reference train/export.py:262 hf_export)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float16", "bfloat16"],
+                    help="payload dtype for --version hf")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--checkpoint", help="input llama2.c .bin (v0/v1/v2)")
     src.add_argument("--hf", help="input HuggingFace model dir")
@@ -65,17 +70,21 @@ def main():
 
         cfg, w = load_meta_llama(args.meta)
 
-    if cfg.rope_theta != 10000.0:
+    if cfg.rope_theta != 10000.0 and args.version != "hf":
         print(
             f"note: source model uses rope_theta={cfg.rope_theta:g}; the "
             ".bin header cannot carry it — load with run.py "
             f"--rope-theta {cfg.rope_theta:g}"
         )
-    if args.version == 0:
+    if args.version == "hf":
+        from hip_llama_tpu.io.hf import save_hf_llama
+
+        save_hf_llama(args.filepath, cfg, w, dtype=args.dtype)
+    elif args.version == "0":
         write_v0(args.filepath, cfg, w)
-    elif args.version == 1:
+    elif args.version == "1":
         write_v1(args.filepath, cfg, w)
-    elif args.version == 4:
+    elif args.version == "4":
         err = write_v4(args.filepath, cfg, w, group_size=args.group_size or 32)
         print(f"max quantization group error: {err:.6f}")
     else:

@@ -69,6 +69,9 @@ class InferenceEngine:
         num_pages: int | None = None,
         custom_step=None,
         custom_prefill=None,
+        host_step=None,
+        host_prefill=None,
+        cache_factory=None,
         cache_sharding=None,
         device_sampling: bool = False,
         ds_temperature: float = 0.0,
@@ -189,6 +192,27 @@ class InferenceEngine:
             self._sstep = jax.jit(sstep, donate_argnums=(1,))
             self._ds_key = jax.random.PRNGKey(ds_seed)
             self._ds_ctr = 0
+        self._cache_factory = cache_factory
+        if host_step is not None:
+            # host-driven step (weight streaming, models/streaming.py): a
+            # plain Python callable with the step/prefill signatures that
+            # internally drives per-layer jitted compute + H2D transfers.
+            # NOT wrapped in jax.jit — the layer loop IS host code (the
+            # reference's test_70B scheduler shape, llama.cpp:1085-1278).
+            if paged or spec_lookup or chunk_steps > 1 or device_sampling:
+                raise ValueError(
+                    "host_step (weight streaming) is incompatible with "
+                    "paged/spec_lookup/chunk_steps/device_sampling — each "
+                    "drives the resident jitted step"
+                )
+            if cache_factory is None:
+                raise ValueError("host_step requires cache_factory")
+            self._step = host_step
+            if host_prefill is not None:
+                self._prefill = host_prefill
+            else:
+                self.use_prefill = False
+            return
         if custom_step is not None:
             # externally built step (e.g. the shard_map TP step for int8,
             # parallel/tp.py); prefill falls back to force-feeding via the
@@ -230,6 +254,8 @@ class InferenceEngine:
 
     def new_cache(self, batch: int | None = None):
         b = batch or self.batch_size
+        if self._cache_factory is not None:
+            return self._cache_factory(b)
         if self.paged:
             from hip_llama_tpu.models.paged import init_paged_kv_cache
 

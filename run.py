@@ -62,7 +62,10 @@ Extra (framework-specific, double-dash):
                              --draft; batch-verified in one prefill
   --stream [kv]              weight streaming for models bigger than HBM
                              (per-layer host->device, the 70B path); add
-                             'kv' to also keep the KV cache in host RAM
+                             'kv' to also keep the KV cache in host RAM.
+                             Works in generate AND -m test (batched corpus
+                             serving); streams fp32/bf16 (v0/v1), int8 (v2)
+                             checkpoints, or --quant q8 host-quantized int8
 """
 
 from __future__ import annotations
@@ -299,40 +302,59 @@ def main(argv: list[str]) -> int:
 
         cfg = _dc.replace(cfg, rope_theta=rope_theta)
 
-    if stream:
-        # weight-streaming path (models > HBM): weights stay host-resident
-        # numpy/mmap views, one layer on device at a time (the 70B mode)
-        if mode != "generate":
-            print("--stream supports generate mode only", file=sys.stderr)
-            return 1
-        if not isinstance(weights, LlamaWeights):
-            print("--stream requires an fp32 checkpoint (v0/v1)", file=sys.stderr)
-            return 1
-        if kv_quant:
-            print("--kv int8 is not supported with --stream yet", file=sys.stderr)
-            return 1
-        from hip_llama_tpu.models.streaming import (
-            generate_streaming,
-            host_params_from_weights,
-        )
-
-        if steps == 0 or steps > cfg.seq_len:
-            steps = cfg.seq_len
-        tokenizer = Tokenizer.from_file(tokenizer_path, cfg.vocab_size)
-        hp = host_params_from_weights(weights, dtype=dtype)
-        sampler = Sampler(cfg.vocab_size, temperature, topp, rng_seed)
-        t0 = time.perf_counter()
-        generate_streaming(
-            cfg, hp, tokenizer, sampler, prompt, steps,
-            kv_host=stream_kv, dtype=dtype, echo=True,
-        )
-        print()
-        print(f"total elapsed time(s): {time.perf_counter()-t0:.6f}")
-        return 0
-
     from hip_llama_tpu.io.checkpoint import Q4Weights
 
-    if isinstance(weights, LlamaWeights):
+    host_fns = None
+    if stream:
+        # weight-streaming path (models > HBM): weights stay host-resident,
+        # one layer on device at a time (the 70B mode, thaDNN.cpp:83-189).
+        # Serves generate AND -m test (batched continuous batching through
+        # the streaming step — the reference's test_70B, llama.cpp:1085).
+        # fp32/bf16 (v0/v1), Q8_0 (v2, int8 stream = 1/4 the reference's
+        # fp32 H2D bytes), and host-side --quant q8 of an fp32 file.
+        from hip_llama_tpu.io.checkpoint import QuantWeights
+        from hip_llama_tpu.models.streaming import (
+            host_params_from_weights,
+            host_qparams_from_quant_weights,
+            host_quantize_params,
+            make_streaming_engine_fns,
+        )
+
+        if mode == "chat":
+            print("--stream supports generate and test modes", file=sys.stderr)
+            return 1
+        if isinstance(weights, Q4Weights):
+            print("--stream supports fp32 (v0/v1) and Q8_0 (v2) checkpoints",
+                  file=sys.stderr)
+            return 1
+        if kv_quant:
+            # the streaming KV stays in the compute dtype: attention HBM
+            # traffic is not the streaming bottleneck (the weight H2D is)
+            print("note: --stream keeps the KV cache in the compute dtype; "
+                  "ignoring --kv int8", file=sys.stderr)
+            kv_quant = False
+        for flag, name in ((paged, "--paged"), (prefix_cache, "--prefix-cache"),
+                           (chunk_steps > 1, "--chunk"),
+                           (device_sampling, "--device-sampling"),
+                           (spec_k > 0, "--spec"),
+                           (tp > 1, "--tp"), (pp > 1, "--pp"), (sp > 1, "--sp")):
+            if flag:
+                print(f"note: {name} drives the resident jitted step; "
+                      "ignoring it with --stream", file=sys.stderr)
+        paged = prefix_cache = device_sampling = False
+        chunk_steps, spec_k, tp, pp, sp = 1, 0, 1, 1, 1
+        if isinstance(weights, QuantWeights):
+            params = host_qparams_from_quant_weights(cfg, weights)
+            dtype = jnp.bfloat16
+        elif quant == "q8":
+            params = host_quantize_params(cfg, weights)
+            dtype = jnp.bfloat16
+        else:
+            params = host_params_from_weights(weights, dtype=dtype)
+        host_fns = make_streaming_engine_fns(
+            cfg, dtype=dtype, kv_host=stream_kv, attn_impl=attn_impl,
+        )
+    elif isinstance(weights, LlamaWeights):
         if quant == "q8":
             from hip_llama_tpu.models.params import quantize_params_q8
 
@@ -497,6 +519,11 @@ def main(argv: list[str]) -> int:
             precision="highest" if dtype == jnp.float32 else "default",
         )
 
+    h_step = h_prefill = h_cache = None
+    if host_fns is not None:
+        h_step, h_prefill, h_cache = host_fns
+        if not use_prefill:
+            h_prefill = None
     engine = InferenceEngine(
         cfg,
         params,
@@ -505,6 +532,10 @@ def main(argv: list[str]) -> int:
         attn_impl=attn_impl,
         use_prefill=use_prefill,
         precision="highest" if dtype == jnp.float32 else "default",
+        cache_dtype=dtype if host_fns is not None else None,
+        host_step=h_step,
+        host_prefill=h_prefill,
+        cache_factory=h_cache,
         shardings=shardings,
         paged=paged,
         page_size=page_size,

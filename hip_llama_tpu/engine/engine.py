@@ -447,6 +447,7 @@ class InferenceEngine:
         verbose: bool = False,
         stats: dict | None = None,
         draft: "InferenceEngine | None" = None,
+        stop_on_eos: bool = True,
     ) -> int:
         """Continuous-batching over a request list; fills
         `requests.generations` in place and returns the generated-token count
@@ -455,6 +456,12 @@ class InferenceEngine:
         `stats`, if given, is filled with serving metrics: total wall time,
         tok/s, and per-request TTFT p50/p95/max (the reference printed only
         the aggregate tok/s, llama.cpp:1614-1615).
+
+        `stop_on_eos`: True retires a slot on EOS like the reference's GPU
+        scheduler (llama.cpp:1052-1056); False stops on BOS only — the
+        reference's CPU benchmark engine prints EOS and keeps sampling
+        (run.cc:1075-1077), which the golden-corpus regression tier
+        (tests/test_goldens.py) must reproduce byte-for-byte.
 
         `draft` (requires spec_lookup > 0): a small draft engine sharing the
         tokenizer/vocab proposes each round's spec_lookup tokens with ONE
@@ -653,7 +660,9 @@ class InferenceEngine:
                     feed_tok, feed_pos, done_n, eprev, enext = sched.advance(
                         logits=logits_h,
                         sampled=nxt_h if logits_h is None else None,
-                        bos_id=BOS_ID, eos_id=EOS_ID,
+                        bos_id=BOS_ID,
+                        # -1 never matches a token id: disables EOS retirement
+                        eos_id=EOS_ID if stop_on_eos else -1,
                     )
                     for s in range(b):
                         if req_id[s] == -1:
@@ -687,7 +696,7 @@ class InferenceEngine:
                                     time.perf_counter() - assign_time[req_id[s]]
                                 )
                         pos[s] += 1
-                        if nxt == BOS_ID or nxt == EOS_ID:
+                        if nxt == BOS_ID or (stop_on_eos and nxt == EOS_ID):
                             done[s] = True
                         else:
                             piece = printable_piece(
@@ -814,7 +823,7 @@ class InferenceEngine:
                                 time.perf_counter() - assign_time[req_id[s]]
                             )
                         pos[s] += 1
-                        if nxt == BOS_ID or nxt == EOS_ID:
+                        if nxt == BOS_ID or (stop_on_eos and nxt == EOS_ID):
                             done_s = True
                             break
                         piece = printable_piece(

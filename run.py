@@ -108,6 +108,7 @@ def main(argv: list[str]) -> int:
     paged, page_size = False, 128
     device_sampling = False
     stream, stream_kv = False, False
+    stop_on_eos = True
     kv_quant = False
     chunk_steps = 1
     layout = "unrolled"
@@ -134,6 +135,13 @@ def main(argv: list[str]) -> int:
             continue
         if a == "--device-sampling":
             device_sampling = True
+            i += 1
+            continue
+        if a == "--no-eos-stop":
+            # run.cc CPU-engine parity: test mode stops on BOS only, EOS is
+            # printed and generation continues (run.cc:1075-1077) — needed
+            # to reproduce the committed reference goldens byte-for-byte
+            stop_on_eos = False
             i += 1
             continue
         if a == "--prefix-cache":
@@ -608,6 +616,16 @@ def main(argv: list[str]) -> int:
         if input_filename is None or output_filename is None:
             error_usage()
         requests = read_inputfile(input_filename)
+        samplers = None
+        if temperature == 0.0:
+            # extension: -t 0 in test mode serves the corpus GREEDILY —
+            # byte-stable across hosts/thread counts (the reference's own
+            # byte-exact tier is greedy, test_all.py; its test mode
+            # hardcodes temp-1.0 samplers whose draws flip on last-ulp
+            # logit differences between environments)
+            samplers = [
+                Sampler(cfg.vocab_size, 0.0) for _ in requests.prompts
+            ]
         draft_engine = (
             load_draft_engine(draft_path, batch)
             if spec_k > 0 and draft_path else None
@@ -616,7 +634,7 @@ def main(argv: list[str]) -> int:
         stats: dict = {}
         num_gen_tokens = engine.serve(
             requests, steps=cfg.seq_len, verbose=True, stats=stats,
-            draft=draft_engine,
+            draft=draft_engine, stop_on_eos=stop_on_eos, samplers=samplers,
         )
         end = time.perf_counter()
         print(f"Total achieved token: {num_gen_tokens}")

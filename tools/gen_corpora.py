@@ -15,7 +15,8 @@ import random
 import zlib
 import sys
 
-SIZES = (8, 32, 64, 128, 256, 512)
+SIZES = (8, 32, 64, 128, 173, 256, 512)  # 173 = the reference's odd size
+# (assets/in/*_in_173.txt — exercises a non-power-of-two request count)
 
 GEN_STEMS = [
     "Once upon a time", "The history of computing began", "In a distant galaxy",

@@ -33,9 +33,15 @@ CANDIDATES = {
     "baseline": None,
     "inefficient_ratio": {"xla_tpu_msa_inefficient_use_to_copy_ratio": "1000.0"},
     "copy_bw_0.1": {"xla_tpu_async_copy_bandwidth_scaling_factor": "0.1"},
-    "both": {
-        "xla_tpu_msa_inefficient_use_to_copy_ratio": "1000.0",
+    "no_prefetch": {"xla_msa_max_outstanding_prefetches": "0"},
+    "vf_no_prefetch": {"xla_vf_vmem_max_outstanding_prefetches": "0"},
+    "overlap_ratio": {"xla_msa_min_overlap_to_async_copy_ratio": "100.0"},
+    "vf_overlap_ratio": {"xla_vf_vmem_min_overlap_to_async_copy_ratio": "100.0"},
+    "copy_bw_0.02": {"xla_tpu_async_copy_bandwidth_scaling_factor": "0.02"},
+    "copy_bw_0.3": {"xla_tpu_async_copy_bandwidth_scaling_factor": "0.3"},
+    "bw_plus_nopf": {
         "xla_tpu_async_copy_bandwidth_scaling_factor": "0.1",
+        "xla_msa_max_outstanding_prefetches": "0",
     },
 }
 

@@ -537,13 +537,16 @@ def run_bench(args):
         from hip_llama_tpu.models.llama import make_prefill
 
         t = min(args.prompt_len, window - 1)
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        copts = decode_compiler_options()
         prefill = jax.jit(
             make_prefill(cfg, attn_impl=args.attn, precision="default"),
-            donate_argnums=(1,),
+            donate_argnums=(1,), compiler_options=copts,
         )
         step = jax.jit(
             make_decode_step(cfg, attn_impl=args.attn, precision="default"),
-            donate_argnums=(1,),
+            donate_argnums=(1,), compiler_options=copts,
         )
         toks = jnp.zeros((b, t), jnp.int32)
         start = jnp.zeros((b,), jnp.int32)
@@ -598,7 +601,12 @@ def run_bench(args):
         # a production host dispatches in ~10 us.
         n_steps = args.steps
 
-        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(1,))
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        @functools.partial(
+            jax.jit, static_argnums=(4,), donate_argnums=(1,),
+            compiler_options=decode_compiler_options(),
+        )
         def chain(params, cache, tokens, pos_start, n):
             def body(i, carry):
                 cache, tokens = carry
@@ -618,7 +626,10 @@ def run_bench(args):
         np.asarray(out)
         dt = time.perf_counter() - t0
     else:
-        step = jax.jit(step_fn, donate_argnums=(1,))
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        step = jax.jit(step_fn, donate_argnums=(1,),
+                       compiler_options=decode_compiler_options())
         # warmup / compile. NOTE: sync via host fetch of the logits — on the
         # tunneled 'axon' platform block_until_ready does not actually wait.
         for i in range(args.warmup):

@@ -84,6 +84,12 @@ class InferenceEngine:
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        # measured-on-chip XLA MSA tuning (hip_llama_tpu/xla_tuning.py);
+        # None on CPU / when disabled
+        copts = decode_compiler_options()
+
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -107,7 +113,7 @@ class InferenceEngine:
                         cfg, chunk_steps, precision=precision,
                         temperature=ds_temperature, topp=ds_topp,
                     ),
-                    donate_argnums=(1,),
+                    donate_argnums=(1,), compiler_options=copts,
                 )
             else:
                 from hip_llama_tpu.models.llama import make_chunked_sampling_step
@@ -118,7 +124,7 @@ class InferenceEngine:
                         precision=precision,
                         temperature=ds_temperature, topp=ds_topp,
                     ),
-                    donate_argnums=(1,),
+                    donate_argnums=(1,), compiler_options=copts,
                 )
             self._ds_key = jax.random.PRNGKey(ds_seed)
             self._ds_ctr = 0
@@ -167,8 +173,8 @@ class InferenceEngine:
             self.max_pages = -(-self.max_seq_len // page_size)
             pstep = make_paged_decode_step(cfg, precision=precision)
             pprefill = make_paged_prefill(cfg, precision=precision)
-            self._paged_step = jax.jit(pstep, donate_argnums=(1,))
-            self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,))
+            self._paged_step = jax.jit(pstep, donate_argnums=(1,), compiler_options=copts)
+            self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,), compiler_options=copts)
 
         self._cache_sharding = cache_sharding
         self._sstep = None
@@ -189,7 +195,7 @@ class InferenceEngine:
                 cfg, attn_impl=attn_impl, precision=precision,
                 temperature=ds_temperature, topp=ds_topp,
             )
-            self._sstep = jax.jit(sstep, donate_argnums=(1,))
+            self._sstep = jax.jit(sstep, donate_argnums=(1,), compiler_options=copts)
             self._ds_key = jax.random.PRNGKey(ds_seed)
             self._ds_ctr = 0
         self._cache_factory = cache_factory
@@ -217,9 +223,9 @@ class InferenceEngine:
             # externally built step (e.g. the shard_map TP step for int8,
             # parallel/tp.py); prefill falls back to force-feeding via the
             # step when no custom prefill is given
-            self._step = jax.jit(custom_step, donate_argnums=(1,))
+            self._step = jax.jit(custom_step, donate_argnums=(1,), compiler_options=copts)
             if custom_prefill is not None:
-                self._prefill = jax.jit(custom_prefill, donate_argnums=(1,))
+                self._prefill = jax.jit(custom_prefill, donate_argnums=(1,), compiler_options=copts)
             else:
                 self.use_prefill = False
                 if spec_lookup:
@@ -232,7 +238,7 @@ class InferenceEngine:
 
         step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
         prefill = make_prefill(cfg, attn_impl=attn_impl, precision=precision)
-        donate = dict(donate_argnums=(1,))
+        donate = dict(donate_argnums=(1,), compiler_options=copts)
         if shardings is not None:
             self._step = jax.jit(
                 step,
@@ -521,12 +527,15 @@ class InferenceEngine:
                 raise ValueError("serve(draft=...) requires spec_lookup > 0")
             from hip_llama_tpu.models.llama import make_chunked_sampling_step
 
+            from hip_llama_tpu.xla_tuning import decode_compiler_options
+
             d_cache = draft.new_cache(batch=b)
             d_chain = jax.jit(
                 make_chunked_sampling_step(
                     draft.cfg, self.spec_lookup, attn_impl=draft.attn_impl,
                     precision=draft.precision, temperature=0.0,
                 ),
+                compiler_options=decode_compiler_options(),
                 donate_argnums=(1,),
             )
             _d_key = jax.random.PRNGKey(0)

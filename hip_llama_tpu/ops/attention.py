@@ -43,6 +43,12 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # ops/quant.py for why micro-benchmarks don't work through the tunnel)
 _ENV_DECODE_BLOCK_K = int(os.environ.get("HIPLLAMA_ATTN_BLOCK_K", "0")) or None
 _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
+# batch-folded decode grid: the batch axis moves from the grid into the
+# kernel (static unroll), so each grid step issues ONE big KV DMA covering
+# every slot instead of B small ones — fewer grid steps, less per-step
+# bookkeeping. Dead-block skipping then clamps on max(pos) over the batch
+# rather than per slot (ragged batches read up to the deepest slot's block).
+_ENV_DECODE_BFOLD = os.environ.get("HIPLLAMA_ATTN_BFOLD", "")
 
 
 def _decode_kernel(
@@ -154,6 +160,110 @@ def _decode_kernel(
         )
         l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
         o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def _decode_kernel_bfold(
+    layer_ref,  # (1,) int32 scalar-prefetch
+    pos_ref,  # (B,) int32 scalar-prefetch
+    maxpos_ref,  # (1,) int32 scalar-prefetch: max(pos) (index-map clamping)
+    q_ref,  # (B, G, M, HS)
+    k_ref,  # (B, 1, G, BK, HS) — one DMA covers every slot's block
+    v_ref,
+    *rest,  # [ks_ref, vs_ref (B, G, 1, BK) if quantized,] kc, vc, o, m, l, acc
+    block_k: int,
+    n_blocks: int,
+    scale: float,
+    quantized: bool = False,
+    batch: int = 0,
+):
+    """_decode_kernel with the batch loop INSIDE the kernel (static unroll):
+    the math per slot is identical; only the DMA granularity and grid shape
+    change (see _ENV_DECODE_BFOLD)."""
+    if quantized:
+        ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    prec = jax.lax.Precision.DEFAULT if quantized else None
+    for b in range(batch):  # static unroll: per-slot scalar pos/masking
+        pos = pos_ref[b]
+
+        @pl.when(i * block_k < pos)
+        def _block(b=b, pos=pos):
+            kt = k_ref[b].reshape(-1, k_ref.shape[-2], k_ref.shape[-1])
+            if quantized:
+                k = kt.astype(jnp.bfloat16)
+                q = q_ref[b].astype(jnp.bfloat16)
+            else:
+                k = kt
+                q = q_ref[b].astype(k.dtype)
+            s = (
+                jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                * scale
+            )  # (G, M, BK)
+            if quantized:
+                ks = ks_ref[b].reshape(-1, ks_ref.shape[-1])
+                s = s * ks[:, None, :]
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * block_k
+            s = jnp.where(t_idx < pos, s, MASK_VALUE)
+
+            m_prev = m_scr[b, :, :, :1]
+            l_prev = l_scr[b, :, :, :1]
+            m_curr = jnp.max(s, axis=2, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+            m_scr[b] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+            l_scr[b] = jnp.broadcast_to(l_next, l_scr.shape[1:])
+            vt = v_ref[b].reshape(-1, v_ref.shape[-2], v_ref.shape[-1])
+            if quantized:
+                v = vt.astype(jnp.bfloat16)
+                vs = vs_ref[b].reshape(-1, vs_ref.shape[-1])
+                pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+            else:
+                v = vt
+                pv = p.astype(v.dtype)
+            acc_scr[b] = acc_scr[b] * alpha + jax.lax.dot_general(
+                pv, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+    @pl.when(i == n_blocks - 1)
+    def _final():
+        for b in range(batch):
+            q = q_ref[b]
+            kc = kc_ref[b].astype(q.dtype)
+            vc = vc_ref[b].astype(jnp.float32)
+            s_cur = (
+                jax.lax.dot_general(
+                    q, kc, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            m_prev = m_scr[b, :, :, :1]
+            l_prev = l_scr[b, :, :, :1]
+            m_next = jnp.maximum(m_prev, s_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p_cur = jnp.exp(s_cur - m_next)
+            l_next = alpha * l_prev + p_cur
+            acc = acc_scr[b] * alpha + jax.lax.dot_general(
+                p_cur, vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+            o_ref[b] = (acc / l_safe).astype(o_ref.dtype)
 
 
 def _decode_kernel_paged(layer_ref, pos_ref, pt_ref, *rest, **kw):
@@ -465,6 +575,79 @@ def attention_decode_pallas(
     kc4 = k_cur.reshape(b, kvh, 1, hs)
     vc4 = v_cur.reshape(b, kvh, 1, hs)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    if _ENV_DECODE_BFOLD == "1":
+        # batch-folded grid: (head-groups, kv-blocks); every tile carries
+        # the full batch dim, the kernel unrolls the per-slot math
+        maxpos = jnp.max(pos).reshape(1).astype(jnp.int32)
+
+        def bq_map(g, i, layer_ref, pos_ref, maxpos_ref):
+            return (0, g, 0, 0)
+
+        def bkv_map(g, i, layer_ref, pos_ref, maxpos_ref):
+            last_live = jnp.maximum(maxpos_ref[0] - 1, 0) // bk
+            return (0, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+
+        def bscale_map(g, i, layer_ref, pos_ref, maxpos_ref):
+            last_live = jnp.maximum(maxpos_ref[0] - 1, 0) // bk
+            return (0, layer_ref[0] * (kvh // g_blk) + g, 0,
+                    jnp.minimum(i, last_live))
+
+        in_specs = [
+            pl.BlockSpec((b, g_blk, kv_mul, hs), bq_map),
+            pl.BlockSpec((b, 1, g_blk, bk, hs), bkv_map),
+            pl.BlockSpec((b, 1, g_blk, bk, hs), bkv_map),
+        ]
+        operands = [qs, k_cache, v_cache]
+        if quantized:
+            in_specs += [
+                pl.BlockSpec((b, g_blk, 1, bk), bscale_map),
+                pl.BlockSpec((b, g_blk, 1, bk), bscale_map),
+            ]
+            operands += [
+                k_scale.reshape(b, n_layers * kvh, 1, s),
+                v_scale.reshape(b, n_layers * kvh, 1, s),
+            ]
+        in_specs += [
+            pl.BlockSpec((b, g_blk, 1, hs), bq_map),
+            pl.BlockSpec((b, g_blk, 1, hs), bq_map),
+        ]
+        operands += [kc4, vc4]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(kvh // g_blk, n_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((b, g_blk, kv_mul, hs), bq_map),
+            scratch_shapes=[
+                pltpu.VMEM((b, g_blk, kv_mul, 128), jnp.float32),
+                pltpu.VMEM((b, g_blk, kv_mul, 128), jnp.float32),
+                pltpu.VMEM((b, g_blk, kv_mul, hs), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _decode_kernel_bfold, block_k=bk, n_blocks=n_blocks, scale=scale,
+            quantized=quantized, batch=b,
+        )
+        kv_tile = b * g_blk * bk * hs * k_cache.dtype.itemsize
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, kvh, kv_mul, hs), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                # double-buffered (B, G, BK, HS) K+V tiles outgrow the
+                # default scoped-VMEM budget at b=8 g=32 bk=128
+                vmem_limit_bytes=min(8 * kv_tile + 8 * 2**20, 100 * 2**20),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s * hs,
+                bytes_accessed=2 * b * kvh * s * hs * k_cache.dtype.itemsize
+                + 2 * b * h * hs * q.dtype.itemsize,
+                transcendentals=b * h * s,
+            ),
+            interpret=interpret,
+        )(layer_arr, pos, maxpos, *operands)
+        return out.reshape(b, h, hs)
 
     def q_map(bi, g, i, layer_ref, pos_ref):
         return (bi, g, 0, 0)

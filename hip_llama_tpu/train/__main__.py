@@ -8,6 +8,12 @@ Examples:
       --data=synthetic --out_dir=/tmp/run
   python -m hip_llama_tpu.train --data=shards --shard_glob='data/*.bin' \
       --tokenizer=assets/tokenizer.bin --vocab_size=32000
+  # full text pipeline (the reference's tinystories.py train_vocab ->
+  # pretokenize -> train, tinystories.py:71-173): trains a BPE vocab of
+  # --vocab_size on the text, writes out_dir/tokenizer.bin + uint16 shards,
+  # then trains on them
+  python -m hip_llama_tpu.train --data=text --text_glob='corpus/*.txt' \
+      --vocab_size=512 --out_dir=/tmp/run
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ def main(argv):
         vocab_size=32000, seq_len=256,
     )
     tkw = {f.name: f.default for f in dataclasses.fields(TrainConfig)}
-    data, shard_glob, resume = "synthetic", "", ""
+    data, shard_glob, text_glob, resume = "synthetic", "", "", ""
 
     for a in argv:
         if not a.startswith("--") or "=" not in a:
@@ -44,6 +50,8 @@ def main(argv):
             data = v
         elif k == "shard_glob":
             shard_glob = v
+        elif k == "text_glob":
+            text_glob = v
         elif k == "resume":
             resume = v
         else:
@@ -59,6 +67,24 @@ def main(argv):
 
     if data == "synthetic":
         batches = synthetic_batches(cfg.vocab_size, tcfg.batch_size, cfg.seq_len)
+    elif data == "text":
+        # custom-vocab pipeline: train vocab -> tokenizer.bin -> shards
+        from hip_llama_tpu.tokenizer import Tokenizer
+        from hip_llama_tpu.train.dataset import pretokenize
+        from hip_llama_tpu.train.vocab import train_vocab_file
+
+        texts = sorted(glob.glob(text_glob))
+        if not texts:
+            print(f"no text files match {text_glob!r}", file=sys.stderr)
+            return 1
+        os.makedirs(tcfg.out_dir, exist_ok=True)
+        tok_path = os.path.join(tcfg.out_dir, "tokenizer.bin")
+        n_lines = train_vocab_file(texts, cfg.vocab_size, tok_path)
+        print(f"trained {cfg.vocab_size}-token vocab on {n_lines} lines "
+              f"-> {tok_path}")
+        tok = Tokenizer.from_file(tok_path, cfg.vocab_size)
+        shards = pretokenize(texts, tok, os.path.join(tcfg.out_dir, "shards"))
+        batches = PretokDataset(shards, cfg.seq_len).batches(tcfg.batch_size)
     else:
         paths = sorted(glob.glob(shard_glob))
         if not paths:

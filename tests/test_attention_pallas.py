@@ -177,3 +177,21 @@ def test_prefill_pallas_then_decode_consistent(tiny_cfg, tiny_weights):
             params, cache_b, jnp.asarray(toks[:, p]), jnp.full((1,), p, jnp.int32)
         )
     assert_close(la[:, n - 1], lb, atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_bfold_matches_xla(monkeypatch):
+    """Batch-folded grid variant (HIPLLAMA_ATTN_BFOLD=1): per-slot math is
+    identical to the default grid; only DMA granularity / grid shape and the
+    max(pos) clamping change. Kept env-gated (measured 4% slower than the
+    default grid on a real v5e at 7B b8 — BASELINE.md round-2 notes)."""
+    import hip_llama_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_ENV_DECODE_BFOLD", "1")
+    rng = np.random.default_rng(7)
+    b, l, h, kvh, s, hs = 3, 2, 8, 4, 64, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    pos = jnp.asarray([0, 17, 63], jnp.int32)  # ragged incl. empty history
+    for layer in range(l):
+        want = attention_decode_xla(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        got = attention_decode_pallas(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"layer {layer}")

@@ -58,9 +58,11 @@ def main():
         from hip_llama_tpu.models.llama import make_prefill
 
         t = min(args.prompt_len, args.window - 1)
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
         prefill = jax.jit(
             make_prefill(cfg, attn_impl=args.attn, precision="default"),
-            donate_argnums=(1,),
+            donate_argnums=(1,), compiler_options=decode_compiler_options(),
         )
         toks2 = jnp.zeros((args.batch, t), jnp.int32)
         start = jnp.zeros((args.batch,), jnp.int32)
@@ -72,10 +74,51 @@ def main():
             logits, cache = prefill(params, cache, toks2, start, valid)
         np.asarray(logits)
         jax.profiler.stop_trace()
+    elif args.mode == "chain":
+        # the bench.py device-loop serving config: one jitted greedy chain
+        # (argmax feeds the next step) — profiles the while-loop overhead the
+        # per-step mode cannot see
+        import functools
+
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        step_fn = make_decode_step(cfg, attn_impl=args.attn, precision="default")
+        b = args.batch
+
+        @functools.partial(
+            jax.jit, static_argnums=(4,), donate_argnums=(1,),
+            compiler_options=decode_compiler_options(),
+        )
+        def chain(params, cache, tokens, pos_start, n):
+            def body(i, carry):
+                cache, tokens = carry
+                logits, cache = step_fn(
+                    params, cache, tokens,
+                    jnp.full((b,), pos_start + i, jnp.int32),
+                )
+                return (cache, jnp.argmax(logits, -1).astype(jnp.int32))
+
+            cache, tokens = jax.lax.fori_loop(0, n, body, (cache, tokens))
+            return cache, tokens
+
+        tokens = jnp.zeros((b,), jnp.int32)
+        pos0 = args.window // 2
+        cache, out = chain(params, cache, tokens, jnp.int32(pos0), args.steps)
+        np.asarray(out)
+        cache2 = init_kv_cache(
+            cfg, b, dtype=jnp.bfloat16, seq_len=args.window,
+            quantized=(args.kv == "int8"),
+        )
+        jax.profiler.start_trace(args.outdir)
+        cache2, out = chain(params, cache2, tokens, jnp.int32(pos0), args.steps)
+        np.asarray(out)
+        jax.profiler.stop_trace()
     else:
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
         step = jax.jit(
             make_decode_step(cfg, attn_impl=args.attn, precision="default"),
-            donate_argnums=(1,),
+            donate_argnums=(1,), compiler_options=decode_compiler_options(),
         )
         toks = jnp.zeros((args.batch,), jnp.int32)
         pos0 = args.window // 2

@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
     ap.add_argument("--layout", default="unrolled", choices=["unrolled", "stacked"])
-    ap.add_argument("--mode", default="decode", choices=["decode", "prefill"])
+    ap.add_argument("--mode", default="decode", choices=["decode", "prefill", "chain"])
     ap.add_argument("--prompt-len", type=int, default=512)
     args = ap.parse_args()
 

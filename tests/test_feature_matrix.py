@@ -61,3 +61,27 @@ def matrix_setup(toy_tokenizer):
 def test_config_matches_oracle(matrix_setup, name):
     run, oracle = matrix_setup
     assert run(**CONFIGS[name]) == oracle, f"config {name!r} diverged"
+
+
+def test_streaming_engine_matches_oracle(matrix_setup, toy_tokenizer):
+    """Weight streaming (host_step engine) joins the matrix: byte-identical
+    greedy generations vs the resident oracle."""
+    import jax.numpy as jnp
+
+    from hip_llama_tpu.models.streaming import (
+        host_params_from_weights,
+        make_streaming_engine_fns,
+    )
+
+    _, oracle = matrix_setup
+    cfg = tiny_config(seq_len=96)
+    hp = host_params_from_weights(random_weights(cfg, seed=11), dtype=jnp.float32)
+    h_step, h_prefill, h_cache = make_streaming_engine_fns(cfg, dtype=jnp.float32)
+    eng = InferenceEngine(
+        cfg, hp, toy_tokenizer, batch_size=2, cache_dtype=jnp.float32,
+        host_step=h_step, host_prefill=h_prefill, cache_factory=h_cache,
+    )
+    reqs = Requests(prompts=list(PROMPTS), generations=[""] * len(PROMPTS))
+    samplers = [Sampler(cfg.vocab_size, temperature=0.0) for _ in PROMPTS]
+    eng.serve(reqs, steps=28, samplers=samplers)
+    assert reqs.generations == oracle, "streaming engine diverged"

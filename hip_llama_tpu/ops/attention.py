@@ -43,12 +43,15 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # ops/quant.py for why micro-benchmarks don't work through the tunnel)
 _ENV_DECODE_BLOCK_K = int(os.environ.get("HIPLLAMA_ATTN_BLOCK_K", "0")) or None
 _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
-# batch-folded decode grid: the batch axis moves from the grid into the
-# kernel (static unroll), so each grid step issues ONE big KV DMA covering
-# every slot instead of B small ones — fewer grid steps, less per-step
-# bookkeeping. Dead-block skipping then clamps on max(pos) over the batch
-# rather than per slot (ragged batches read up to the deepest slot's block).
+# batch-folded decode grid: HIPLLAMA_ATTN_BB slots share one grid step (the
+# kernel unrolls their per-slot math), so each step issues ONE bigger KV DMA
+# covering BB slots instead of BB small ones — fewer grid steps, less
+# per-step bookkeeping. Dead-block skipping then clamps on max(pos) over the
+# BB-slot group rather than per slot. BB=batch == HIPLLAMA_ATTN_BFOLD=1
+# (measured 4% slower at 7B b8 — full fold serializes too much in-kernel
+# work per step; intermediate BB values trade the two costs).
 _ENV_DECODE_BFOLD = os.environ.get("HIPLLAMA_ATTN_BFOLD", "")
+_ENV_DECODE_BB = int(os.environ.get("HIPLLAMA_ATTN_BB", "0"))
 
 
 def _decode_kernel(
@@ -165,25 +168,26 @@ def _decode_kernel(
 def _decode_kernel_bfold(
     layer_ref,  # (1,) int32 scalar-prefetch
     pos_ref,  # (B,) int32 scalar-prefetch
-    maxpos_ref,  # (1,) int32 scalar-prefetch: max(pos) (index-map clamping)
-    q_ref,  # (B, G, M, HS)
-    k_ref,  # (B, 1, G, BK, HS) — one DMA covers every slot's block
+    maxpos_ref,  # (B//BB,) int32 scalar-prefetch: per-group max(pos) clamp
+    q_ref,  # (BB, G, M, HS)
+    k_ref,  # (BB, 1, G, BK, HS) — one DMA covers the whole slot group
     v_ref,
-    *rest,  # [ks_ref, vs_ref (B, G, 1, BK) if quantized,] kc, vc, o, m, l, acc
+    *rest,  # [ks_ref, vs_ref (BB, G, 1, BK) if quantized,] kc, vc, o, m, l, acc
     block_k: int,
     n_blocks: int,
     scale: float,
     quantized: bool = False,
-    batch: int = 0,
+    batch: int = 0,  # slots per grid step (BB)
 ):
-    """_decode_kernel with the batch loop INSIDE the kernel (static unroll):
-    the math per slot is identical; only the DMA granularity and grid shape
-    change (see _ENV_DECODE_BFOLD)."""
+    """_decode_kernel with a BB-slot batch group INSIDE the kernel (static
+    unroll): the math per slot is identical; only the DMA granularity and
+    grid shape change (see _ENV_DECODE_BB / _ENV_DECODE_BFOLD)."""
     if quantized:
         ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    i = pl.program_id(1)
+    bi = pl.program_id(0)
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
@@ -193,7 +197,7 @@ def _decode_kernel_bfold(
 
     prec = jax.lax.Precision.DEFAULT if quantized else None
     for b in range(batch):  # static unroll: per-slot scalar pos/masking
-        pos = pos_ref[b]
+        pos = pos_ref[bi * batch + b]
 
         @pl.when(i * block_k < pos)
         def _block(b=b, pos=pos):
@@ -576,67 +580,70 @@ def attention_decode_pallas(
     vc4 = v_cur.reshape(b, kvh, 1, hs)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
-    if _ENV_DECODE_BFOLD == "1":
-        # batch-folded grid: (head-groups, kv-blocks); every tile carries
-        # the full batch dim, the kernel unrolls the per-slot math
-        maxpos = jnp.max(pos).reshape(1).astype(jnp.int32)
+    bb = b if _ENV_DECODE_BFOLD == "1" else _ENV_DECODE_BB
+    if bb > 1 and b % bb == 0:
+        # batch-grouped grid: (batch-groups, head-groups, kv-blocks); tiles
+        # carry BB slots, the kernel unrolls the per-slot math
+        maxpos = jnp.max(
+            pos.reshape(b // bb, bb), axis=1
+        ).astype(jnp.int32)
 
-        def bq_map(g, i, layer_ref, pos_ref, maxpos_ref):
-            return (0, g, 0, 0)
+        def bq_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+            return (bi, g, 0, 0)
 
-        def bkv_map(g, i, layer_ref, pos_ref, maxpos_ref):
-            last_live = jnp.maximum(maxpos_ref[0] - 1, 0) // bk
-            return (0, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+        def bkv_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+            last_live = jnp.maximum(maxpos_ref[bi] - 1, 0) // bk
+            return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
 
-        def bscale_map(g, i, layer_ref, pos_ref, maxpos_ref):
-            last_live = jnp.maximum(maxpos_ref[0] - 1, 0) // bk
-            return (0, layer_ref[0] * (kvh // g_blk) + g, 0,
+        def bscale_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+            last_live = jnp.maximum(maxpos_ref[bi] - 1, 0) // bk
+            return (bi, layer_ref[0] * (kvh // g_blk) + g, 0,
                     jnp.minimum(i, last_live))
 
         in_specs = [
-            pl.BlockSpec((b, g_blk, kv_mul, hs), bq_map),
-            pl.BlockSpec((b, 1, g_blk, bk, hs), bkv_map),
-            pl.BlockSpec((b, 1, g_blk, bk, hs), bkv_map),
+            pl.BlockSpec((bb, g_blk, kv_mul, hs), bq_map),
+            pl.BlockSpec((bb, 1, g_blk, bk, hs), bkv_map),
+            pl.BlockSpec((bb, 1, g_blk, bk, hs), bkv_map),
         ]
         operands = [qs, k_cache, v_cache]
         if quantized:
             in_specs += [
-                pl.BlockSpec((b, g_blk, 1, bk), bscale_map),
-                pl.BlockSpec((b, g_blk, 1, bk), bscale_map),
+                pl.BlockSpec((bb, g_blk, 1, bk), bscale_map),
+                pl.BlockSpec((bb, g_blk, 1, bk), bscale_map),
             ]
             operands += [
                 k_scale.reshape(b, n_layers * kvh, 1, s),
                 v_scale.reshape(b, n_layers * kvh, 1, s),
             ]
         in_specs += [
-            pl.BlockSpec((b, g_blk, 1, hs), bq_map),
-            pl.BlockSpec((b, g_blk, 1, hs), bq_map),
+            pl.BlockSpec((bb, g_blk, 1, hs), bq_map),
+            pl.BlockSpec((bb, g_blk, 1, hs), bq_map),
         ]
         operands += [kc4, vc4]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(kvh // g_blk, n_blocks),
+            grid=(b // bb, kvh // g_blk, n_blocks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((b, g_blk, kv_mul, hs), bq_map),
+            out_specs=pl.BlockSpec((bb, g_blk, kv_mul, hs), bq_map),
             scratch_shapes=[
-                pltpu.VMEM((b, g_blk, kv_mul, 128), jnp.float32),
-                pltpu.VMEM((b, g_blk, kv_mul, 128), jnp.float32),
-                pltpu.VMEM((b, g_blk, kv_mul, hs), jnp.float32),
+                pltpu.VMEM((bb, g_blk, kv_mul, 128), jnp.float32),
+                pltpu.VMEM((bb, g_blk, kv_mul, 128), jnp.float32),
+                pltpu.VMEM((bb, g_blk, kv_mul, hs), jnp.float32),
             ],
         )
         kernel = functools.partial(
             _decode_kernel_bfold, block_k=bk, n_blocks=n_blocks, scale=scale,
-            quantized=quantized, batch=b,
+            quantized=quantized, batch=bb,
         )
-        kv_tile = b * g_blk * bk * hs * k_cache.dtype.itemsize
+        kv_tile = bb * g_blk * bk * hs * k_cache.dtype.itemsize
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, kvh, kv_mul, hs), q.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
-                # double-buffered (B, G, BK, HS) K+V tiles outgrow the
-                # default scoped-VMEM budget at b=8 g=32 bk=128
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                # double-buffered (BB, G, BK, HS) K+V tiles outgrow the
+                # default scoped-VMEM budget at bb>=4 g=32 bk=128
                 vmem_limit_bytes=min(8 * kv_tile + 8 * 2**20, 100 * 2**20),
             ),
             cost_estimate=pl.CostEstimate(

@@ -195,3 +195,19 @@ def test_pallas_bfold_matches_xla(monkeypatch):
         want = attention_decode_xla(q, kf, vf, jnp.int32(layer), pos, kc, vc)
         got = attention_decode_pallas(q, kf, vf, jnp.int32(layer), pos, kc, vc)
         assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"layer {layer}")
+
+
+def test_pallas_batch_block_matches_xla(monkeypatch):
+    """HIPLLAMA_ATTN_BB=2: two slots share a grid step (per-group max(pos)
+    clamping); numerics must match the oracle."""
+    import hip_llama_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_ENV_DECODE_BB", 2)
+    rng = np.random.default_rng(11)
+    b, l, h, kvh, s, hs = 4, 2, 8, 4, 64, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    pos = jnp.asarray([5, 60, 0, 33], jnp.int32)
+    for layer in range(l):
+        want = attention_decode_xla(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        got = attention_decode_pallas(q, kf, vf, jnp.int32(layer), pos, kc, vc)
+        assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"layer {layer}")

@@ -55,8 +55,6 @@ def test_process_local_batch():
 def test_sharded_forward_on_global_mesh(tiny_cfg, tiny_weights):
     """The dp/tp mesh from global_mesh drives the same sharded decode step
     the 2-host BASELINE target uses (parallel/sharding.py shardings)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from hip_llama_tpu.models import (
         init_kv_cache, make_decode_step, params_from_weights,
     )

@@ -3,7 +3,6 @@ engine tokenizer — parity with the reference's custom-vocab pipeline
 (train/tinystories.py:71 train_vocab, train/tokenizer.py:62-70 export,
 consumed by src/llama.cpp:52-76)."""
 
-import numpy as np
 import pytest
 
 from hip_llama_tpu.tokenizer import Tokenizer, BOS_ID

@@ -22,7 +22,6 @@ Prints a markdown table; exits nonzero if the q8 delta exceeds the gate.
 from __future__ import annotations
 
 import argparse
-import itertools
 import os
 import random
 import sys

@@ -251,8 +251,11 @@ def q4_matmul(
     if n % block_n:
         block_n = n
     # single-K-block fast path (see q8_matmul): guard on the UNPACKED tile
-    # footprint so in-kernel VMEM pressure matches the proven q8 shapes
-    if kh % gs == 0 and k * block_n <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+    # footprint. The nibble unpack materializes an extra (K, BN)-scale
+    # intermediate on the scoped-VMEM stack that q8 doesn't have, so the
+    # budget is HALF q8's 8 MB — measured: k=11008 x bn=512 (w2) blew the
+    # 16 MB scoped limit by 1.5 MB on a real v5e under the q8-equal budget
+    if kh % gs == 0 and k * block_n <= 4 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
         bkh = kh  # packed rows per block
     else:
         bkh = block_k // 2
@@ -449,7 +452,7 @@ def q4_matmul_silu(
         bn //= 2
     if h % bn:
         return fallback()
-    if kh % gs == 0 and k * bn <= 8 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:
+    if kh % gs == 0 and k * bn <= 4 * 2 ** 20 and b * k * 2 <= 2 * 2 ** 20:  # see q4_matmul: half q8's budget (unpack intermediate)
         bkh = kh
     else:
         bkh = block_k // 2

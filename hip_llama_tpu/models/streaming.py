@@ -239,19 +239,19 @@ def _embed_dense(tok_emb, tokens):
     return tok_emb[tokens]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _embed_q8(emb_q, emb_s, tokens, gs):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _embed_q8(emb_q, emb_s, tokens, gs, dtype):
     q = emb_q[tokens]
     s = emb_s[tokens]
     d = q.shape[-1]
     g = q.astype(jnp.float32).reshape(*q.shape[:-1], d // gs, gs)
-    return (g * s[..., None]).reshape(q.shape).astype(jnp.bfloat16)
+    return (g * s[..., None]).reshape(q.shape).astype(dtype)
 
 
 def _embed_host(hp: HostParams, tokens, dtype):
     if isinstance(hp.tok_emb, tuple):
         gs = hp.tok_emb[0].shape[-1] // hp.tok_emb[1].shape[-1]
-        return _embed_q8(hp.tok_emb[0], hp.tok_emb[1], tokens, gs)
+        return _embed_q8(hp.tok_emb[0], hp.tok_emb[1], tokens, gs, dtype)
     return _embed_dense(hp.tok_emb, tokens).astype(dtype)
 
 

@@ -130,22 +130,36 @@ def train_vocab(
 
 def train_vocab_file(
     corpus_paths: list[str], vocab_size: int, out_path: str,
+    header: bool | None = None,
 ) -> int:
-    """Train on text files (one document per line; the eval-corpus format's
-    leading count line is skipped automatically) and write tokenizer.bin.
-    Returns the number of corpus lines consumed."""
+    """Train on text files (one document per line) and write tokenizer.bin.
+    Returns the number of corpus lines consumed.
+
+    header: True  -> every file starts with a count line (eval-corpus format);
+            False -> plain text, first line is data even if it is a number;
+            None  -> auto: treat an all-digit first line as a count header
+            only if it actually equals the number of remaining lines (so a
+            plain-text corpus whose first document happens to be a number is
+            not silently dropped)."""
+
+    def file_lines(p):
+        nonlocal consumed
+        with open(p, encoding="utf-8") as f:
+            rows = f.read().splitlines()
+        skip = False
+        if rows and rows[0].strip().isdigit():
+            if header is True:
+                skip = True
+            elif header is None:
+                skip = int(rows[0].strip()) == len(rows) - 1
+        if skip:
+            rows = rows[1:]
+        consumed += len(rows)
+        return rows
 
     def lines():
-        nonlocal consumed
         for p in corpus_paths:
-            with open(p, encoding="utf-8") as f:
-                first = f.readline()
-                if not first.strip().isdigit():  # not a count header
-                    yield first.rstrip("\n")
-                    consumed += 1
-                for line in f:
-                    yield line.rstrip("\n")
-                    consumed += 1
+            yield from file_lines(p)
 
     consumed = 0
     vocab, scores = train_vocab(lines(), vocab_size)

@@ -45,8 +45,19 @@ def decode_compiler_options() -> dict | None:
     env = os.environ.get("HIPLLAMA_XLA_OPTS")
     if env == "off":
         return None
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() != "tpu":
+        # xla_tpu_* options are TPU-backend-only; any other backend
+        # (cpu, gpu, ...) would reject them as unknown flags.
         return None
     if env:
-        return dict(kv.split("=", 1) for kv in env.split(","))
+        opts = {}
+        for kv in env.split(","):
+            if "=" not in kv:
+                raise ValueError(
+                    f"HIPLLAMA_XLA_OPTS entry {kv!r} is not of the form key=value "
+                    f"(full value: {env!r}; use 'off' to disable tuning)"
+                )
+            k, v = kv.split("=", 1)
+            opts[k] = v
+        return opts
     return dict(_BEST)

@@ -335,6 +335,12 @@ def main(argv: list[str]) -> int:
             print("--stream supports fp32 (v0/v1) and Q8_0 (v2) checkpoints",
                   file=sys.stderr)
             return 1
+        if quant == "q4":
+            # only q8 host-quantization is supported on the streaming path;
+            # fall back to it rather than silently streaming 4x the H2D bytes
+            print("note: --stream has no q4 host layers; using --quant q8 "
+                  "(int8 host quantization) instead", file=sys.stderr)
+            quant = "q8"
         if kv_quant:
             # the streaming KV stays in the compute dtype: attention HBM
             # traffic is not the streaming bottleneck (the weight H2D is)

@@ -91,6 +91,7 @@ def test_cross_engine_coverage_vs_reference(stochastic_outputs):
              os.path.join(REF, f"{c}_in_8.out"), out],
             capture_output=True, text=True, timeout=60,
         )
+        assert r.returncode == 0, f"eval_output.py failed on {c}: {r.stderr}"
         line = [l for l in r.stdout.splitlines() if "COVERAGE" in l][-1]
         scores[c] = float(line.split("=")[1].split()[0])
     full = sum(1 for v in scores.values() if v == 1.0)

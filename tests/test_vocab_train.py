@@ -71,6 +71,26 @@ def test_train_vocab_file_and_engine_load(tmp_path):
     assert out_b.decode() == "the fox ran"
 
 
+def test_train_vocab_file_numeric_first_line_kept(tmp_path):
+    # a plain-text corpus whose first document happens to be a number must
+    # NOT be treated as a count header (auto mode verifies the line count)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("42\n" + "\n".join(CORPUS))
+    n = train_vocab_file([str(corpus)], 300, str(tmp_path / "t.bin"))
+    assert n == len(CORPUS) + 1
+
+    # explicit header=True drops it regardless
+    n = train_vocab_file([str(corpus)], 300, str(tmp_path / "t2.bin"),
+                         header=True)
+    assert n == len(CORPUS)
+
+    # a real count header is auto-detected
+    corpus2 = tmp_path / "c2.txt"
+    corpus2.write_text(f"{len(CORPUS)}\n" + "\n".join(CORPUS))
+    n = train_vocab_file([str(corpus2)], 300, str(tmp_path / "t3.bin"))
+    assert n == len(CORPUS)
+
+
 def test_vocab_size_exact_and_layout():
     vocab, scores = train_vocab(CORPUS, 280)
     assert len(vocab) == len(scores) == 280

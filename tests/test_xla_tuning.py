@@ -27,6 +27,20 @@ def test_custom_options_parse(monkeypatch):
     assert xla_tuning.decode_compiler_options() == {"a": "1", "b": "x=y"}
 
 
+def test_non_tpu_backend_returns_none(monkeypatch):
+    # xla_tpu_* options would be unknown flags on any non-TPU backend
+    monkeypatch.delenv("HIPLLAMA_XLA_OPTS", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+    assert xla_tuning.decode_compiler_options() is None
+
+
+def test_malformed_env_raises_clearly(monkeypatch):
+    monkeypatch.setenv("HIPLLAMA_XLA_OPTS", "a=1,oops")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="oops.*key=value"):
+        xla_tuning.decode_compiler_options()
+
+
 def test_default_on_tpu(monkeypatch):
     monkeypatch.delenv("HIPLLAMA_XLA_OPTS", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")

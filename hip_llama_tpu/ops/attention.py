@@ -51,7 +51,26 @@ _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
 # (measured 4% slower at 7B b8 — full fold serializes too much in-kernel
 # work per step; intermediate BB values trade the two costs).
 _ENV_DECODE_BFOLD = os.environ.get("HIPLLAMA_ATTN_BFOLD", "")
-_ENV_DECODE_BB = int(os.environ.get("HIPLLAMA_ATTN_BB", "0"))
+# -1 = auto: BB=2 when the batch divides (measured r3, 7B int8-KV b8 128-step
+# chain: BB=2 677-686 vs per-slot 668-673 tok/s across two days; BB=4
+# regresses). HIPLLAMA_ATTN_BB=0/1 forces the per-slot grid, >=2 forces BB.
+_ENV_DECODE_BB = int(os.environ.get("HIPLLAMA_ATTN_BB", "-1"))
+# int8 KV decode: feed the int8 K/V tiles STRAIGHT to the MXU
+# (int8 x int8 -> int32 dots) instead of converting every (G, BK, HS) tile
+# to bf16 on the VPU. The big tiles do zero element-wise work; the
+# quantization moves to the TINY tensors: q is rowwise-quantized to int8
+# (absmax/127 per (g, m)) and the probability rows are quantized jointly
+# with the folded v scales. Measured r3 (7B int8-KV b8 chain): the bf16
+# converts were ~0.7 us/grid-step of critical-path VPU work.
+_ENV_I8MXU = os.environ.get("HIPLLAMA_ATTN_I8MXU", "1") == "1"
+
+
+def _quant_rows_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Rowwise (last-axis) absmax/127 int8 quantization; returns (qi, scale)
+    with scale shaped like x[..., :1]."""
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) * (1.0 / 127.0)
+    s = jnp.where(s == 0.0, 1.0, s)
+    return jnp.round(x / s).astype(jnp.int8), s
 
 
 def _decode_kernel(
@@ -65,6 +84,7 @@ def _decode_kernel(
     n_blocks: int,
     scale: float,
     quantized: bool = False,
+    i8mxu: bool = False,
 ):
     if quantized:
         ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
@@ -85,27 +105,38 @@ def _decode_kernel(
         # normalize tile layouts (free singleton squeezes): contiguous KV
         # blocks are (1, 1, G, BK, HS), paged blocks are (1, G, 1, BK, HS)
         kt = k_ref[...].reshape(-1, k_ref.shape[-2], k_ref.shape[-1])
-        if quantized:
-            # int8 KV: fold the per-row scales into the SMALL tensors —
-            # scores columns (k scales) and probability columns (v scales),
-            # both lane-aligned broadcasts — instead of dequantizing the
-            # (G, BK, HS) tiles (which would cost a relayout per tile).
-            k = kt.astype(jnp.bfloat16)  # (G, BK, HS)
-            q = q_ref[0].astype(jnp.bfloat16)
-        else:
-            k = kt  # (G, BK, HS)
-            q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
         # quantized: force DEFAULT precision — an inherited "highest" would
         # request fp32 contraction of the bf16-converted int8 tiles, which
         # Mosaic rejects (and int8 KV is already lossy)
         prec = jax.lax.Precision.DEFAULT if quantized else None
-        s = (
-            jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec,
+        if quantized and i8mxu:
+            # int8 MXU path (default on TPU): the (G, BK, HS) K tile feeds
+            # the MXU as int8 — no per-tile VPU convert. q is rowwise
+            # int8-quantized instead (a (G, M, HS) tensor, ~100x smaller).
+            qi, sq = _quant_rows_i8(q_ref[0].astype(jnp.float32))
+            s_i = jax.lax.dot_general(
+                qi, kt, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
             )
-            * scale
-        )  # (G, M, BK)
+            s = s_i.astype(jnp.float32) * (sq * scale)  # (G,M,BK)*(G,M,1)
+        else:
+            if quantized:
+                # int8 KV, bf16 MXU (HIPLLAMA_ATTN_I8MXU=0): fold the
+                # per-row scales into the SMALL tensors — scores columns
+                # (k scales) and probability columns (v scales) — instead
+                # of dequantizing the (G, BK, HS) tiles.
+                k = kt.astype(jnp.bfloat16)  # (G, BK, HS)
+                q = q_ref[0].astype(jnp.bfloat16)
+            else:
+                k = kt  # (G, BK, HS)
+                q = q_ref[0].astype(k.dtype)  # (G, M, HS) — match cache dtype
+            s = (
+                jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                * scale
+            )  # (G, M, BK)
         if quantized:
             # ks block: contiguous (1, G, 1, BK) view of (B, L*KVH, 1, S);
             # paged (1, G, 1, 1, BK) view of (L, KVH, P, 1, PS) — both
@@ -125,17 +156,29 @@ def _decode_kernel(
         m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
         vt = v_ref[...].reshape(-1, v_ref.shape[-2], v_ref.shape[-1])
-        if quantized:
-            v = vt.astype(jnp.bfloat16)  # (G, BK, HS)
+        if quantized and i8mxu:
+            # fold the v scales into p, then rowwise-quantize (p * vs) so
+            # the int8 V tile feeds the MXU directly. p <= 1 by softmax, so
+            # the joint row absmax keeps full int8 headroom.
             vs = vs_ref[...].reshape(-1, vs_ref.shape[-1])
-            pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+            pi, sp = _quant_rows_i8(p * vs[:, None, :])
+            pv_i = jax.lax.dot_general(
+                pi, vt, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha + pv_i.astype(jnp.float32) * sp
         else:
-            v = vt  # (G, BK, HS)
-            pv = p.astype(v.dtype)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            pv, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+            if quantized:
+                v = vt.astype(jnp.bfloat16)  # (G, BK, HS)
+                vs = vs_ref[...].reshape(-1, vs_ref.shape[-1])
+                pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+            else:
+                v = vt  # (G, BK, HS)
+                pv = p.astype(v.dtype)
+            acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+                pv, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
 
     @pl.when(i == n_blocks - 1)
     def _final():
@@ -178,6 +221,7 @@ def _decode_kernel_bfold(
     scale: float,
     quantized: bool = False,
     batch: int = 0,  # slots per grid step (BB)
+    i8mxu: bool = False,
 ):
     """_decode_kernel with a BB-slot batch group INSIDE the kernel (static
     unroll): the math per slot is identical; only the DMA granularity and
@@ -202,19 +246,28 @@ def _decode_kernel_bfold(
         @pl.when(i * block_k < pos)
         def _block(b=b, pos=pos):
             kt = k_ref[b].reshape(-1, k_ref.shape[-2], k_ref.shape[-1])
-            if quantized:
-                k = kt.astype(jnp.bfloat16)
-                q = q_ref[b].astype(jnp.bfloat16)
-            else:
-                k = kt
-                q = q_ref[b].astype(k.dtype)
-            s = (
-                jax.lax.dot_general(
-                    q, k, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32, precision=prec,
+            if quantized and i8mxu:
+                # int8 MXU path: see _decode_kernel
+                qi, sq = _quant_rows_i8(q_ref[b].astype(jnp.float32))
+                s_i = jax.lax.dot_general(
+                    qi, kt, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
                 )
-                * scale
-            )  # (G, M, BK)
+                s = s_i.astype(jnp.float32) * (sq * scale)
+            else:
+                if quantized:
+                    k = kt.astype(jnp.bfloat16)
+                    q = q_ref[b].astype(jnp.bfloat16)
+                else:
+                    k = kt
+                    q = q_ref[b].astype(k.dtype)
+                s = (
+                    jax.lax.dot_general(
+                        q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    * scale
+                )  # (G, M, BK)
             if quantized:
                 ks = ks_ref[b].reshape(-1, ks_ref.shape[-1])
                 s = s * ks[:, None, :]
@@ -231,17 +284,26 @@ def _decode_kernel_bfold(
             m_scr[b] = jnp.broadcast_to(m_next, m_scr.shape[1:])
             l_scr[b] = jnp.broadcast_to(l_next, l_scr.shape[1:])
             vt = v_ref[b].reshape(-1, v_ref.shape[-2], v_ref.shape[-1])
-            if quantized:
-                v = vt.astype(jnp.bfloat16)
+            if quantized and i8mxu:
                 vs = vs_ref[b].reshape(-1, vs_ref.shape[-1])
-                pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+                pi, sp = _quant_rows_i8(p * vs[:, None, :])
+                pv_i = jax.lax.dot_general(
+                    pi, vt, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )
+                acc_scr[b] = acc_scr[b] * alpha + pv_i.astype(jnp.float32) * sp
             else:
-                v = vt
-                pv = p.astype(v.dtype)
-            acc_scr[b] = acc_scr[b] * alpha + jax.lax.dot_general(
-                pv, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+                if quantized:
+                    v = vt.astype(jnp.bfloat16)
+                    vs = vs_ref[b].reshape(-1, vs_ref.shape[-1])
+                    pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+                else:
+                    v = vt
+                    pv = p.astype(v.dtype)
+                acc_scr[b] = acc_scr[b] * alpha + jax.lax.dot_general(
+                    pv, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
 
     @pl.when(i == n_blocks - 1)
     def _final():
@@ -580,7 +642,12 @@ def attention_decode_pallas(
     vc4 = v_cur.reshape(b, kvh, 1, hs)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
 
-    bb = b if _ENV_DECODE_BFOLD == "1" else _ENV_DECODE_BB
+    if _ENV_DECODE_BFOLD == "1":
+        bb = b
+    elif _ENV_DECODE_BB >= 0:
+        bb = _ENV_DECODE_BB
+    else:
+        bb = 2  # auto default; the b % bb gate below skips odd batches
     if bb > 1 and b % bb == 0:
         # batch-grouped grid: (batch-groups, head-groups, kv-blocks); tiles
         # carry BB slots, the kernel unrolls the per-slot math
@@ -633,7 +700,7 @@ def attention_decode_pallas(
         )
         kernel = functools.partial(
             _decode_kernel_bfold, block_k=bk, n_blocks=n_blocks, scale=scale,
-            quantized=quantized, batch=bb,
+            quantized=quantized, batch=bb, i8mxu=quantized and _ENV_I8MXU,
         )
         kv_tile = bb * g_blk * bk * hs * k_cache.dtype.itemsize
         out = pl.pallas_call(
@@ -708,7 +775,7 @@ def attention_decode_pallas(
 
     kernel = functools.partial(
         _decode_kernel, block_k=bk, n_blocks=n_blocks, scale=scale,
-        quantized=quantized,
+        quantized=quantized, i8mxu=quantized and _ENV_I8MXU,
     )
     out = pl.pallas_call(
         kernel,
@@ -831,7 +898,7 @@ def attention_decode_paged(
     )
     kernel = functools.partial(
         _decode_kernel_paged, block_k=ps, n_blocks=max_pages, scale=scale,
-        quantized=quantized,
+        quantized=quantized, i8mxu=quantized and _ENV_I8MXU,
     )
     out = pl.pallas_call(
         kernel,

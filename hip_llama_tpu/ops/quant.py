@@ -88,30 +88,36 @@ def _q8_kernel_layered(layer_ref, *rest, **kw):
     _q8_kernel(*rest, **kw)
 
 
-def _q8_kernel_norm(x_ref, q_ref, s_ref, g_ref, o_ref, acc_ref, **kw):
+def _q8_kernel_norm(x_ref, q_ref, s_ref, g_ref, o_ref, acc_ref, *a8_scr,
+                    **kw):
     # fused-rmsnorm variant: the norm weight is the 4th operand
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
+               **kw)
 
 
-def _q8_kernel_res(x_ref, q_ref, s_ref, r_ref, o_ref, acc_ref, **kw):
+def _q8_kernel_res(x_ref, q_ref, s_ref, r_ref, o_ref, acc_ref, *a8_scr,
+                   **kw):
     # fused-residual variant: o = residual + x @ W (epilogue add on the
     # fp32 accumulator; kills the standalone XLA residual-add op per layer)
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, r_ref=r_ref, **kw)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, r_ref=r_ref,
+               **kw)
 
 
 def _q8_kernel_norm_res(x_ref, q_ref, s_ref, g_ref, r_ref, o_ref, acc_ref,
-                        **kw):
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+                        *a8_scr, **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
                r_ref=r_ref, **kw)
 
 
-def _q8_kernel_rope(x_ref, q_ref, s_ref, p_ref, o_ref, acc_ref, **kw):
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, p_ref=p_ref, **kw)
+def _q8_kernel_rope(x_ref, q_ref, s_ref, p_ref, o_ref, acc_ref, *a8_scr,
+                    **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, p_ref=p_ref,
+               **kw)
 
 
 def _q8_kernel_norm_rope(x_ref, q_ref, s_ref, g_ref, p_ref, o_ref, acc_ref,
-                         **kw):
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+                         *a8_scr, **kw):
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
                p_ref=p_ref, **kw)
 
 
@@ -166,7 +172,8 @@ def _rope_rows_xla(y, pos, rot_limit: int, head_size: int, theta: float):
 
 
 def _q8_kernel(
-    x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_groups: int, gs: int, last_j: int,
+    x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, n_groups: int, gs: int,
+    last_j: int,
     dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None, r_ref=None,
     p_ref=None, rope_spec=None, norm_eps: float = 1e-5,
 ):
@@ -179,7 +186,9 @@ def _q8_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if g_ref is not None:
+    def _normed_x():
+        if g_ref is None:
+            return x_ref[:]
         # fused rmsnorm prologue (requires block_k == K: the whole row is
         # resident). The norm weight rides the kernel's pipelined operand
         # fetch — as a standalone XLA op, each of the ~2L+1 norm vectors
@@ -190,15 +199,48 @@ def _q8_kernel(
         ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
         g = g_ref[...].reshape(1, g_ref.shape[-1]).astype(jnp.float32)
         xn = xf * jax.lax.rsqrt(ms + norm_eps) * g
-        x_val = xn.astype(x_ref.dtype)
-    else:
-        x_val = x_ref[:]
+        return xn.astype(x_ref.dtype)
+
+    if dequant_mode != "a8":
+        x_val = _normed_x()
 
     # scales arrive pre-blocked as (..., K//BK, n_groups, N) so the
     # BlockSpec's group dim equals the array dim (legal tile, any n_groups);
     # collapse any leading layer/block singleton dims (free reshapes)
     s = s_ref[...].reshape(n_groups, s_ref.shape[-1])  # (n_groups, BN)
-    if dequant_mode == "group_dot":
+    if dequant_mode == "a8":
+        # w8a8: the int8 weight tile feeds the MXU DIRECTLY — zero VPU
+        # passes over the big (BK, BN) tile. Activations are quantized per
+        # (row, K-group) exactly like the reference int8 engine
+        # (runq.c:367: absmax/127 per group of gs along K), the per-group
+        # int8xint8 dots accumulate in int32, and the fp32 rescale+sum
+        # follows runq's grouped accumulation order (runq.c:332-337).
+        # Mosaic can't lane-split (M, K) -> (M, G, gs), so the quantizer
+        # transposes x once (K to sublanes; the (G, gs, M) split is then
+        # layout-free) and stashes xi/sx in scratch on the FIRST n-block
+        # step — later n-blocks reuse them. Requires block_k == K and
+        # GEMV-like M (the wrapper gates both).
+        xi_scr, sx_scr = a8_scr
+        ni_a8 = pl.program_id(k_axis - 1)
+
+        @pl.when(ni_a8 == 0)
+        def _quant_x():
+            xt = _normed_x().astype(jnp.float32).T  # (K, M)
+            x3 = xt.reshape(n_groups, gs, xt.shape[-1])  # sublane split
+            sx = jnp.max(jnp.abs(x3), axis=1, keepdims=True) * (1.0 / 127.0)
+            sx = jnp.where(sx == 0.0, 1.0, sx)
+            xi_scr[...] = jnp.round(x3 / sx).astype(jnp.int8)
+            sx_scr[...] = sx
+
+        wq = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # int8
+        w3 = wq.reshape(n_groups, gs, wq.shape[-1])  # sublane split
+        partial = jax.lax.dot_general(
+            xi_scr[...], w3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (G, M, BN) int32
+        ps = partial.astype(jnp.float32) * sx_scr[...].transpose(0, 2, 1)
+        acc_ref[:] += jnp.sum(ps * s[:, None, :], axis=0)
+    elif dequant_mode == "group_dot":
         # scale AFTER the matmul: the weight tile costs ONE VPU pass
         # (int8->bf16); per-group partial dots run batched on the MXU and
         # the rescale touches only (n_groups, B, BN) — ~gs x less VPU work
@@ -267,8 +309,8 @@ def _q8_kernel(
 
 def _q8_kernel_silu(
     x_ref, q1_ref, s1_ref, q2_ref, s2_ref, o_ref, acc1_ref, acc2_ref,
-    *, n_groups: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
-    norm_eps: float = 1e-5,
+    *a8_scr, n_groups: int, gs: int, last_j: int, k_axis: int = 2,
+    g_ref=None, norm_eps: float = 1e-5, dequant_mode: str = "reshape",
 ):
     """Fused SwiGLU matmul: o = silu(x @ W1) * (x @ W3) with W1/W3 as two
     column views of the concatenated (K, 2H) Q8 weight. The gate product
@@ -281,24 +323,59 @@ def _q8_kernel_silu(
         acc1_ref[:] = jnp.zeros_like(acc1_ref)
         acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
-    if g_ref is not None:
+    def _normed_x():
+        if g_ref is None:
+            return x_ref[:]
         xf = x_ref[:].astype(jnp.float32)
         ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
         g = g_ref[...].reshape(1, g_ref.shape[-1]).astype(jnp.float32)
-        x_val = (xf * jax.lax.rsqrt(ms + norm_eps) * g).astype(x_ref.dtype)
+        return (xf * jax.lax.rsqrt(ms + norm_eps) * g).astype(x_ref.dtype)
+
+    if dequant_mode == "a8":
+        # w8a8 (see _q8_kernel): W1 and W3 share one activation
+        # quantization, stashed in scratch on the first h-block step and
+        # reused by the rest (transposed: Mosaic can't lane-split
+        # (M, K) -> (M, G, gs), but the post-transpose sublane split is
+        # layout-free).
+        xi_scr, sx_scr = a8_scr
+        ni_a8 = pl.program_id(k_axis - 1)
+
+        @pl.when(ni_a8 == 0)
+        def _quant_x():
+            xt = _normed_x().astype(jnp.float32).T  # (K, M)
+            x3 = xt.reshape(n_groups, gs, xt.shape[-1])
+            sx = jnp.max(jnp.abs(x3), axis=1, keepdims=True) * (1.0 / 127.0)
+            sx = jnp.where(sx == 0.0, 1.0, sx)
+            xi_scr[...] = jnp.round(x3 / sx).astype(jnp.int8)
+            sx_scr[...] = sx
+
+        sxt = sx_scr[...].transpose(0, 2, 1)  # (G, M, 1)
+
+        def mm(q_ref, s_ref):
+            s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
+            wq = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+            w3 = wq.reshape(n_groups, gs, wq.shape[-1])
+            partial = jax.lax.dot_general(
+                xi_scr[...], w3, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (G, M, BN) int32
+            return jnp.sum(partial.astype(jnp.float32) * sxt * s[:, None, :],
+                           axis=0)
+
+        acc1_ref[:] += mm(q1_ref, s1_ref)
+        acc2_ref[:] += mm(q2_ref, s2_ref)
     else:
-        x_val = x_ref[:]
-    xb = x_val.astype(jnp.bfloat16)
+        xb = _normed_x().astype(jnp.bfloat16)
 
-    def dq(q_ref, s_ref):
-        s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
-        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)
-        bk, bn = w.shape
-        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
-        return w.reshape(bk, bn).astype(jnp.bfloat16)
+        def dq(q_ref, s_ref):
+            s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
+            w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)
+            bk, bn = w.shape
+            w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+            return w.reshape(bk, bn).astype(jnp.bfloat16)
 
-    acc1_ref[:] += jnp.dot(xb, dq(q1_ref, s1_ref), preferred_element_type=jnp.float32)
-    acc2_ref[:] += jnp.dot(xb, dq(q2_ref, s2_ref), preferred_element_type=jnp.float32)
+        acc1_ref[:] += jnp.dot(xb, dq(q1_ref, s1_ref), preferred_element_type=jnp.float32)
+        acc2_ref[:] += jnp.dot(xb, dq(q2_ref, s2_ref), preferred_element_type=jnp.float32)
 
     @pl.when(j == last_j)
     def _():
@@ -316,6 +393,7 @@ def q8_matmul_silu(
     out_dtype=None,
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
+    dequant_mode: str = _ENV_MODE,
 ) -> jax.Array:
     """silu(x @ W1) * (x @ W3) -> (B, H) in one fused Q8 kernel (see
     _q8_kernel_silu). Falls back to q8_matmul + XLA silu when the shape
@@ -355,6 +433,11 @@ def q8_matmul_silu(
         return fallback()
     block_m = b
     pad_m = 0
+    if dequant_mode == "a8" and (
+        b > 64 or bk != k or (bk // gs) * b * bn * 4 > 4 * 2 ** 20
+    ):
+        # see q8_matmul: a8 is a decode (GEMV) optimization
+        dequant_mode = "reshape"
     if b > 512:
         block_m = 512
         if b % 512:
@@ -383,7 +466,7 @@ def q8_matmul_silu(
     if norm_weight is not None:
         kernel = functools.partial(
             _q8_kernel_silu_norm, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
-            norm_eps=norm_eps,
+            norm_eps=norm_eps, dequant_mode=dequant_mode,
         )
         in_specs.append(
             pl.BlockSpec((1, bk), lambda m, i, j: (0, j), memory_space=pltpu.VMEM)
@@ -392,7 +475,20 @@ def q8_matmul_silu(
     else:
         kernel = functools.partial(
             _q8_kernel_silu, n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
+            dequant_mode=dequant_mode,
         )
+    scratch_shapes = [
+        pltpu.VMEM((block_m, bn), jnp.float32),
+        pltpu.VMEM((block_m, bn), jnp.float32),
+    ]
+    dim_sem = ("parallel", "parallel", "arbitrary")
+    if dequant_mode == "a8":
+        # see q8_matmul: stash reused across h-blocks -> sequential axis
+        scratch_shapes += [
+            pltpu.VMEM((n_groups, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups, 1, block_m), jnp.float32),
+        ]
+        dim_sem = ("parallel", "arbitrary", "arbitrary")
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -400,12 +496,9 @@ def q8_matmul_silu(
         out_specs=pl.BlockSpec((block_m, bn), lambda m, i, j: (m, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_m, bn), jnp.float32),
-            pltpu.VMEM((block_m, bn), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * k * h,
@@ -418,16 +511,17 @@ def q8_matmul_silu(
 
 
 def _q8_kernel_silu_norm(x_ref, q1_ref, s1_ref, q2_ref, s2_ref, g_ref, o_ref,
-                         acc1_ref, acc2_ref, **kw):
+                         acc1_ref, acc2_ref, *a8_scr, **kw):
     _q8_kernel_silu(
         x_ref, q1_ref, s1_ref, q2_ref, s2_ref, o_ref, acc1_ref, acc2_ref,
-        g_ref=g_ref, **kw
+        *a8_scr, g_ref=g_ref, **kw
     )
 
 
 q8_matmul_silu = jax.jit(
     q8_matmul_silu,
-    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype",
+                     "norm_eps", "dequant_mode"),
 )
 
 
@@ -494,7 +588,7 @@ def q8_matmul(
     # extra (BK, BN) bf16 tile on the scoped-vmem stack and bust the 16 MiB
     # limit at (11008, 512) — observed on a real v5e.
     if (
-        dequant_mode == "reshape"
+        dequant_mode in ("reshape", "a8")
         and k % gs == 0
         and k * block_n <= 8 * 2 ** 20
         and b * k * 2 <= 2 * 2 ** 20
@@ -517,6 +611,14 @@ def q8_matmul(
     # chunked prefill measured 6.9 s/layer-pass vs 0.6 s at 4096 rows).
     block_m = b
     pad_m = 0
+    if dequant_mode == "a8" and (
+        b > 64 or block_k != k
+        or (block_k // gs) * b * block_n * 4 > 4 * 2 ** 20
+    ):
+        # w8a8's (G, M, BN) int32 partials grow with M — a8 is a decode
+        # (GEMV) optimization; large-M callers (prefill) keep dequant+MXU.
+        # block_k == K required: the quantized x stash covers the whole row.
+        dequant_mode = "reshape"
     if b > 512:
         block_m = 512
         if b % 512:
@@ -602,6 +704,16 @@ def q8_matmul(
            rope_pos is not None)],
         **kw,
     )
+    scratch_shapes = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+    dim_sem = ("parallel", "parallel", "arbitrary")
+    if dequant_mode == "a8":
+        # quantized-x stash, written at n-block 0 and reused by later
+        # n-blocks — the n axis therefore carries a sequential dependence
+        scratch_shapes += [
+            pltpu.VMEM((n_groups, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups, 1, block_m), jnp.float32),
+        ]
+        dim_sem = ("parallel", "arbitrary", "arbitrary")
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -610,9 +722,9 @@ def q8_matmul(
             (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b + pad_m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b + pad_m) * k * n,
@@ -628,36 +740,39 @@ def q8_matmul(
 
 
 def _q8_kernel_layered_norm(layer_ref, x_ref, q_ref, s_ref, g_ref, o_ref,
-                            acc_ref, **kw):
+                            acc_ref, *a8_scr, **kw):
     # layered + fused-rmsnorm: layer index feeds the index maps only; the
     # norm weight is the 4th tensor operand
     del layer_ref
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref, **kw)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
+               **kw)
 
 
 def _q8_kernel_layered_res(layer_ref, x_ref, q_ref, s_ref, r_ref, o_ref,
-                           acc_ref, **kw):
+                           acc_ref, *a8_scr, **kw):
     del layer_ref
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, r_ref=r_ref, **kw)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, r_ref=r_ref,
+               **kw)
 
 
 def _q8_kernel_layered_norm_res(layer_ref, x_ref, q_ref, s_ref, g_ref, r_ref,
-                                o_ref, acc_ref, **kw):
+                                o_ref, acc_ref, *a8_scr, **kw):
     del layer_ref
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
                r_ref=r_ref, **kw)
 
 
 def _q8_kernel_layered_rope(layer_ref, x_ref, q_ref, s_ref, p_ref, o_ref,
-                            acc_ref, **kw):
+                            acc_ref, *a8_scr, **kw):
     del layer_ref
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, p_ref=p_ref, **kw)
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, p_ref=p_ref,
+               **kw)
 
 
 def _q8_kernel_layered_norm_rope(layer_ref, x_ref, q_ref, s_ref, g_ref, p_ref,
-                                 o_ref, acc_ref, **kw):
+                                 o_ref, acc_ref, *a8_scr, **kw):
     del layer_ref
-    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, g_ref=g_ref,
+    _q8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, g_ref=g_ref,
                p_ref=p_ref, **kw)
 
 
@@ -739,7 +854,7 @@ def q8_matmul_layered(
     # single-K-block fast path (see q8_matmul): no accumulator round-trips,
     # and the whole row is resident so rmsnorm can fuse into the prologue
     if (
-        dequant_mode == "reshape"
+        dequant_mode in ("reshape", "a8")
         and k % gs == 0
         and k * block_n <= 8 * 2 ** 20
         and b * k * 2 <= 2 * 2 ** 20
@@ -761,6 +876,12 @@ def q8_matmul_layered(
         if rope_pos is not None:
             y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
         return y.astype(out_dtype)
+    if dequant_mode == "a8" and (
+        b > 64 or block_k != k
+        or (block_k // gs) * b * block_n * 4 > 4 * 2 ** 20
+    ):
+        # see q8_matmul: a8 is a decode (GEMV) optimization
+        dequant_mode = "reshape"
     fuse_norm = norm_weight is not None and block_k == k
     if norm_weight is not None and not fuse_norm:
         x = norm_slice(x)
@@ -802,19 +923,28 @@ def q8_matmul_layered(
         rope_spec=(rope_limit, rope_head, rope_theta),
     )
 
+    scratch_shapes = [pltpu.VMEM((b, block_n), jnp.float32)]
+    dim_sem = ("parallel", "arbitrary")
+    if dequant_mode == "a8":
+        # see q8_matmul: stash reused across n-blocks -> sequential n axis
+        scratch_shapes += [
+            pltpu.VMEM((n_groups, gs, b), jnp.int8),
+            pltpu.VMEM((n_groups, 1, b), jnp.float32),
+        ]
+        dim_sem = ("arbitrary", "arbitrary")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, block_n), lambda i, j, lr: (0, i)),
-        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+        scratch_shapes=scratch_shapes,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,

@@ -211,3 +211,60 @@ def test_pallas_batch_block_matches_xla(monkeypatch):
         want = attention_decode_xla(q, kf, vf, jnp.int32(layer), pos, kc, vc)
         got = attention_decode_pallas(q, kf, vf, jnp.int32(layer), pos, kc, vc)
         assert_close(got, want, atol=1e-5, rtol=1e-4, msg=f"layer {layer}")
+
+
+def _quant_kv(kf, vf):
+    """Rowwise absmax/127 int8 quantization of (B, L, KVH, S, HS) caches."""
+    def one(c):
+        s = jnp.max(jnp.abs(c), axis=-1) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        qi = jnp.round(c / s[..., None]).astype(jnp.int8)
+        return qi, s.astype(jnp.float32)
+    kq, ks = one(kf.astype(jnp.float32))
+    vq, vs = one(vf.astype(jnp.float32))
+    return kq, ks, vq, vs
+
+
+@pytest.mark.parametrize("i8mxu", [True, False])
+def test_pallas_int8_kv_i8mxu_paths(monkeypatch, i8mxu):
+    """int8-KV decode kernel, both MXU feeds: i8mxu=True quantizes q and the
+    probability rows so the int8 K/V tiles hit the MXU directly
+    (int8xint8->int32); False folds scales into the small tensors with bf16
+    dots. Both must track the dequantized-cache oracle within the int8-KV
+    noise budget."""
+    import hip_llama_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_ENV_I8MXU", i8mxu)
+    rng = np.random.default_rng(13)
+    b, l, h, kvh, s, hs = 3, 2, 8, 4, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    kq, ks, vq, vs = _quant_kv(kf, vf)
+    pos = jnp.asarray([0, 37, 128], jnp.int32)
+    for layer in range(l):
+        want = attention_decode_xla(
+            q, kq, vq, jnp.int32(layer), pos, kc, vc, ks, vs)
+        got = attention_decode_pallas(
+            q, kq, vq, jnp.int32(layer), pos, kc, vc, ks, vs)
+        tol = 0.03 if i8mxu else 0.02  # bf16-dot rounding in the fold path
+        assert_close(got, want, atol=tol, rtol=tol, msg=f"layer {layer}")
+
+
+@pytest.mark.parametrize("i8mxu", [True, False])
+def test_pallas_int8_kv_bfold_i8mxu(monkeypatch, i8mxu):
+    """Batch-folded (BB=2) int8-KV grid under both MXU feeds."""
+    import hip_llama_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_ENV_I8MXU", i8mxu)
+    monkeypatch.setattr(attn_mod, "_ENV_DECODE_BB", 2)
+    rng = np.random.default_rng(17)
+    b, l, h, kvh, s, hs = 4, 2, 8, 4, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    kq, ks, vq, vs = _quant_kv(kf, vf)
+    pos = jnp.asarray([5, 93, 0, 128], jnp.int32)
+    for layer in range(l):
+        want = attention_decode_xla(
+            q, kq, vq, jnp.int32(layer), pos, kc, vc, ks, vs)
+        got = attention_decode_pallas(
+            q, kq, vq, jnp.int32(layer), pos, kc, vc, ks, vs)
+        tol = 0.03 if i8mxu else 0.02  # bf16-dot rounding in the fold path
+        assert_close(got, want, atol=tol, rtol=tol, msg=f"layer {layer}")

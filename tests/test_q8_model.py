@@ -304,3 +304,65 @@ def test_q8_matmul_silu_matches_separate():
         ref = jax.nn.silu(h13[:, :h]) * h13[:, h:]
         assert_close(fused.astype(jnp.float32), ref, atol=0.1, rtol=0.05,
                      msg=f"{(b, k, h)}")
+
+
+def test_q8_matmul_a8_mode_matches_oracle():
+    """dequant_mode='a8' (w8a8: int8 weight tiles feed the MXU directly,
+    activations rowwise-group-quantized like runq.c:367) vs the dequant
+    oracle. Tolerance covers the int8 activation-quantization noise (~1%
+    relative) on top of the weight-quant noise both paths share."""
+    from hip_llama_tpu.ops.quant import (
+        q8_matmul,
+        q8_matmul_layered,
+        q8_matmul_silu,
+        q8_quantize_weights,
+    )
+
+    rng = np.random.default_rng(21)
+    b, k, n, h = 8, 256, 384, 320
+    x = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(k,)) * 0.3 + 1.0, jnp.float32)
+    res = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 50, (b,)), jnp.int32)
+    qt = q8_quantize_weights(rng.normal(size=(k, n)), group_size=32)
+
+    def rel(a, bb):
+        a, bb = np.asarray(a, np.float32), np.asarray(bb, np.float32)
+        return np.max(np.abs(a - bb)) / (np.max(np.abs(bb)) + 1e-9)
+
+    base = q8_matmul(x, qt, dequant_mode="reshape")
+    assert rel(q8_matmul(x, qt, dequant_mode="a8"), base) < 0.03
+    # fused epilogue/prologue variants under a8
+    assert rel(
+        q8_matmul(x, qt, dequant_mode="a8", norm_weight=g),
+        q8_matmul(x, qt, dequant_mode="reshape", norm_weight=g),
+    ) < 0.03
+    assert rel(
+        q8_matmul(x, qt, dequant_mode="a8", residual=res),
+        q8_matmul(x, qt, dequant_mode="reshape", residual=res),
+    ) < 0.03
+    assert rel(
+        q8_matmul(x, qt, dequant_mode="a8", rope_pos=pos, rope_limit=k,
+                  rope_head=32),
+        q8_matmul(x, qt, dequant_mode="reshape", rope_pos=pos, rope_limit=k,
+                  rope_head=32),
+    ) < 0.03
+    # fused SwiGLU
+    qt13 = q8_quantize_weights(rng.normal(size=(k, 2 * h)), group_size=32)
+    assert rel(
+        q8_matmul_silu(x, qt13, dequant_mode="a8", norm_weight=g),
+        q8_matmul_silu(x, qt13, dequant_mode="reshape", norm_weight=g),
+    ) < 0.03
+    # layered (stacked) selection
+    qtl = q8_quantize_weights(rng.normal(size=(2, k, n)), group_size=32)
+    for lyr in range(2):
+        assert rel(
+            q8_matmul_layered(x, qtl, jnp.int32(lyr), dequant_mode="a8"),
+            q8_matmul_layered(x, qtl, jnp.int32(lyr), dequant_mode="reshape"),
+        ) < 0.03
+    # large-M callers (prefill) must silently demote a8 -> reshape
+    xb = jnp.asarray(rng.normal(size=(300, k)), jnp.float32)
+    assert rel(
+        q8_matmul(xb, qt, dequant_mode="a8"),
+        q8_matmul(xb, qt, dequant_mode="reshape"),
+    ) < 1e-6

@@ -20,6 +20,7 @@ src/thaDNN.cpp:13-81):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -216,6 +217,29 @@ def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
         return y.reshape(*lead, hidden)
     h13 = _mm(rmsnorm(x, g, eps), w13)
     return jax.nn.silu(h13[..., :hidden]) * h13[..., hidden:]
+
+
+_ENV_FFN_FUSE = os.environ.get("HIPLLAMA_Q8_FFN", "1") == "1"
+
+
+def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):
+    """x + W2(silu(rmsnorm(x,g) @ W1) * (rmsnorm(x,g) @ W3)) — the whole
+    FFN sub-block. For Q8 weights with decode-shaped inputs this is ONE
+    Pallas kernel streaming W1|W3|W2 through a single pipeline
+    (ops/quant.py::q8_matmul_ffn); otherwise the fused-silu + residual-w2
+    two-kernel path (bit-identical math)."""
+    if _ENV_FFN_FUSE and isinstance(w13, QTensor) and isinstance(w2, QTensor):
+        from hip_llama_tpu.ops.quant import q8_matmul_ffn
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        y = q8_matmul_ffn(
+            x2, w13, w2, residual=x2, norm_weight=g, norm_eps=eps,
+            out_dtype=x.dtype,
+        )
+        return y.reshape(*lead, y.shape[-1])
+    h = _mm_norm_silu(x, g, w13, hidden, eps)
+    return _mm_res(x, h, w2)
 
 
 def _embed(params, tokens: jax.Array, act_dtype) -> jax.Array:
@@ -588,14 +612,17 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 x = _mm_res(x, att_out, params.wo[l])
                 rms_f = params.rms_ffn[l]
                 if fused:
-                    h = _mm_norm_silu(
-                        x, rms_f, params.w1[l], c.hidden_dim, c.norm_eps
+                    # whole FFN (norm + W1/W3 + swiglu + W2 + residual) in
+                    # one kernel when q8_matmul_ffn accepts the shape
+                    x = _mm_ffn(
+                        x, rms_f, params.w1[l], params.w2[l], c.hidden_dim,
+                        c.norm_eps,
                     )
                 else:
                     h = jax.nn.silu(
                         _mm_norm(x, rms_f, params.w1[l], c.norm_eps)
                     ) * _mm_norm(x, rms_f, params.w3[l], c.norm_eps)
-                x = _mm_res(x, h, params.w2[l])
+                    x = _mm_res(x, h, params.w2[l])
                 k_list.append(k)
                 v_list.append(v)
             k_rows = jnp.stack(k_list)
@@ -840,12 +867,14 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             if w3 is None or (
                 isinstance(w3, tuple) and len(w3) == 0
             ):  # fused W1/W3 (w1 holds the concatenated weight)
-                h = _mm_norm_silu(x, rms_f, w1, c.hidden_dim, c.norm_eps)
+                # one-kernel FFN when eligible (small-row chunks); larger
+                # prefill rows fall back to silu + residual-w2 internally
+                x = _mm_ffn(x, rms_f, w1, w2, c.hidden_dim, c.norm_eps)
             else:
                 h = jax.nn.silu(_mm_norm(x, rms_f, w1, c.norm_eps)) * _mm_norm(
                     x, rms_f, w3, c.norm_eps
                 )
-            x = _mm_res(x, h, w2)
+                x = _mm_res(x, h, w2)
             return x, kcache, vcache, ks_c, vs_c
 
         # scale planes ride through the loop as zero-size placeholders when

@@ -63,6 +63,13 @@ _ENV_DECODE_BB = int(os.environ.get("HIPLLAMA_ATTN_BB", "-1"))
 # with the folded v scales. Measured r3 (7B int8-KV b8 chain): the bf16
 # converts were ~0.7 us/grid-step of critical-path VPU work.
 _ENV_I8MXU = os.environ.get("HIPLLAMA_ATTN_I8MXU", "1") == "1"
+# dynamic-pipeline decode attention: ONE grid step per BB-slot group, with a
+# manual double-buffered DMA loop over ONLY the live KV blocks (trip count =
+# cdiv(maxpos, BK), a dynamic scalar). The static-grid kernel pays a Mosaic
+# grid-step transition (~1.4 us measured at 7B) for every (group, block)
+# including dead blocks past `pos`; here dead blocks cost nothing and live
+# blocks pay only a DMA start/wait + the loop bookkeeping.
+_ENV_DYN = os.environ.get("HIPLLAMA_ATTN_DYN", "0") == "1"
 
 
 def _quant_rows_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -330,6 +337,193 @@ def _decode_kernel_bfold(
             )
             l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
             o_ref[b] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def _decode_kernel_dyn(
+    layer_ref,  # (1,) int32 scalar-prefetch
+    pos_ref,  # (B,) int32 scalar-prefetch
+    maxpos_ref,  # (B//BB,) int32 scalar-prefetch: per-group max(pos)
+    q_ref,  # (BB, G, M, HS) VMEM tile
+    k_hbm,  # FULL (B, L, KVH, S, HS) cache, memory_space=ANY (HBM)
+    v_hbm,
+    *rest,  # [ks_hbm, vs_hbm (B, L, KVH, S),] kc, vc, o,
+    # m, l, acc, k_buf, v_buf, [ks_buf, vs_buf,] t_scr, sems
+    block_k: int,
+    scale: float,
+    quantized: bool = False,
+    batch: int = 0,  # slots per grid step (BB)
+    i8mxu: bool = False,
+    n_groups_total: int = 1,
+):
+    """_decode_kernel_bfold with the KV-block axis moved INSIDE the kernel:
+    one grid step per BB-slot group, and a manual double-buffered DMA loop
+    whose trip count is the group's LIVE block count (cdiv(maxpos, BK), a
+    dynamic scalar). The static grid ran a Mosaic grid-step transition for
+    every (group, block) including blocks past `pos` (~1.4 us each measured
+    at 7B — the dominant cost of the decode-attention residue, BASELINE.md);
+    here dead blocks simply don't exist and the pipeline is flattened ACROSS
+    groups (an SMEM tile counter persists over grid steps), so the only
+    exposed DMA latency is the very first tile of the layer. The per-tile
+    math is identical to _decode_kernel_bfold."""
+    if quantized:
+        (ks_hbm, vs_hbm, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr,
+         k_buf, v_buf, ks_buf, vs_buf, t_scr, sems) = rest
+    else:
+        (kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr, k_buf, v_buf,
+         t_scr, sems) = rest
+    bi = pl.program_id(0)
+    l = layer_ref[0]
+    bb = batch
+    n_live = (jnp.maximum(maxpos_ref[bi], 1) + block_k - 1) // block_k
+
+    def copies(b, i, slot):
+        # all DMAs for one (group, block) tile; b/i/slot may be dynamic
+        b0 = b * bb
+        cs = [
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(b0, bb), l, :, pl.ds(i * block_k, block_k), :],
+                k_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(b0, bb), l, :, pl.ds(i * block_k, block_k), :],
+                v_buf.at[slot], sems.at[slot, 1]),
+        ]
+        if quantized:
+            cs += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[pl.ds(b0, bb), l, :, pl.ds(i * block_k, block_k)],
+                    ks_buf.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(
+                    vs_hbm.at[pl.ds(b0, bb), l, :, pl.ds(i * block_k, block_k)],
+                    vs_buf.at[slot], sems.at[slot, 3]),
+            ]
+        return cs
+
+    @pl.when(bi == 0)
+    def _warm():
+        # flattened-pipeline warmup: the one exposed DMA per layer
+        t_scr[0] = 0
+        for c in copies(0, 0, 0):
+            c.start()
+
+    m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    prec = jax.lax.Precision.DEFAULT if quantized else None
+
+    def body(i, _):
+        t = t_scr[0]
+        slot = jax.lax.rem(t, 2)
+        last_in_group = i + 1 >= n_live
+        # flattened next tile: (bi, i+1), or the NEXT group's block 0
+        # (every group has n_live >= 1 — an all-masked first block is
+        # self-correcting through the online-softmax alpha)
+        nxt_b = jnp.where(last_in_group, jnp.minimum(bi + 1, n_groups_total - 1), bi)
+        nxt_i = jnp.where(last_in_group, 0, i + 1)
+
+        @pl.when(jnp.logical_not(last_in_group & (bi == n_groups_total - 1)))
+        def _start_next():
+            for c in copies(nxt_b, nxt_i, jax.lax.rem(t + 1, 2)):
+                c.start()
+
+        for c in copies(bi, i, slot):
+            c.wait()
+
+        for b in range(bb):  # static unroll: per-slot scalar pos/masking
+            pos = pos_ref[bi * bb + b]
+
+            @pl.when(i * block_k < pos)
+            def _block(b=b, pos=pos):
+                kt = k_buf[slot, b]  # (G, BK, HS)
+                if quantized and i8mxu:
+                    qi, sq = _quant_rows_i8(q_ref[b].astype(jnp.float32))
+                    s_i = jax.lax.dot_general(
+                        qi, kt, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    )
+                    s = s_i.astype(jnp.float32) * (sq * scale)
+                else:
+                    if quantized:
+                        k = kt.astype(jnp.bfloat16)
+                        q = q_ref[b].astype(jnp.bfloat16)
+                    else:
+                        k = kt
+                        q = q_ref[b].astype(k.dtype)
+                    s = (
+                        jax.lax.dot_general(
+                            q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32, precision=prec,
+                        )
+                        * scale
+                    )  # (G, M, BK)
+                if quantized:
+                    s = s * ks_buf[slot, b][:, None, :]
+                t_idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+                    + i * block_k
+                )
+                s = jnp.where(t_idx < pos, s, MASK_VALUE)
+
+                m_prev = m_scr[b, :, :, :1]
+                l_prev = l_scr[b, :, :, :1]
+                m_curr = jnp.max(s, axis=2, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+                m_scr[b] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+                l_scr[b] = jnp.broadcast_to(l_next, l_scr.shape[1:])
+                vt = v_buf[slot, b]  # (G, BK, HS)
+                if quantized and i8mxu:
+                    vs = vs_buf[slot, b]  # (G, BK)
+                    pi, sp = _quant_rows_i8(p * vs[:, None, :])
+                    pv_i = jax.lax.dot_general(
+                        pi, vt, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc_scr[b] = acc_scr[b] * alpha + pv_i.astype(jnp.float32) * sp
+                else:
+                    if quantized:
+                        v = vt.astype(jnp.bfloat16)
+                        vs = vs_buf[slot, b]
+                        pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+                    else:
+                        v = vt
+                        pv = p.astype(v.dtype)
+                    acc_scr[b] = acc_scr[b] * alpha + jax.lax.dot_general(
+                        pv, v, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+
+        t_scr[0] = t + 1
+        return 0
+
+    jax.lax.fori_loop(0, n_live, body, 0)
+
+    # fold in the current token and store (same as _decode_kernel_bfold)
+    for b in range(bb):
+        q = q_ref[b]
+        kc = kc_ref[b].astype(q.dtype)
+        vc = vc_ref[b].astype(jnp.float32)
+        s_cur = (
+            jax.lax.dot_general(
+                q, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        m_prev = m_scr[b, :, :, :1]
+        l_prev = l_scr[b, :, :, :1]
+        m_next = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p_cur = jnp.exp(s_cur - m_next)
+        l_next = alpha * l_prev + p_cur
+        acc = acc_scr[b] * alpha + jax.lax.dot_general(
+            p_cur, vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+        o_ref[b] = (acc / l_safe).astype(o_ref.dtype)
 
 
 def _decode_kernel_paged(layer_ref, pos_ref, pt_ref, *rest, **kw):
@@ -648,6 +842,91 @@ def attention_decode_pallas(
         bb = _ENV_DECODE_BB
     else:
         bb = 2  # auto default; the b % bb gate below skips odd batches
+    bb_dyn = max(bb, 1)
+    if (
+        _ENV_DYN
+        and b % bb_dyn == 0
+        and s % bk == 0
+        and (not quantized or bk % 128 == 0)
+        # two double-buffered (BB, KVH, BK, HS) K+V tiles must fit VMEM
+        and 2 * 2 * bb_dyn * kvh * bk * hs * k_cache.dtype.itemsize
+        <= 32 * 2 ** 20
+    ):
+        n_groups_total = b // bb_dyn
+        maxpos = jnp.max(
+            pos.reshape(n_groups_total, bb_dyn), axis=1
+        ).astype(jnp.int32)
+
+        def dq_map(bi, layer_ref, pos_ref, maxpos_ref):
+            return (bi, 0, 0, 0)
+
+        in_specs = [
+            pl.BlockSpec((bb_dyn, kvh, kv_mul, hs), dq_map),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        operands = [qs, k_cache, v_cache]
+        if quantized:
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ]
+            operands += [k_scale, v_scale]
+        in_specs += [
+            pl.BlockSpec((bb_dyn, kvh, 1, hs), dq_map),
+            pl.BlockSpec((bb_dyn, kvh, 1, hs), dq_map),
+        ]
+        operands += [kc4, vc4]
+        scratch_shapes = [
+            pltpu.VMEM((bb_dyn, kvh, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bb_dyn, kvh, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bb_dyn, kvh, kv_mul, hs), jnp.float32),
+            pltpu.VMEM((2, bb_dyn, kvh, bk, hs), k_cache.dtype),
+            pltpu.VMEM((2, bb_dyn, kvh, bk, hs), v_cache.dtype),
+        ]
+        n_sems = 2
+        if quantized:
+            scratch_shapes += [
+                pltpu.VMEM((2, bb_dyn, kvh, bk), jnp.float32),
+                pltpu.VMEM((2, bb_dyn, kvh, bk), jnp.float32),
+            ]
+            n_sems = 4
+        scratch_shapes += [
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, n_sems)),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_groups_total,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bb_dyn, kvh, kv_mul, hs), dq_map),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = functools.partial(
+            _decode_kernel_dyn, block_k=bk, scale=scale,
+            quantized=quantized, batch=bb_dyn,
+            i8mxu=quantized and _ENV_I8MXU,
+            n_groups_total=n_groups_total,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, kvh, kv_mul, hs), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                # scratch (tile counter, DMA buffers) carries across grid
+                # steps — the grid is a sequential flattened pipeline
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s * hs,
+                bytes_accessed=2 * b * kvh * s * hs * k_cache.dtype.itemsize
+                + 2 * b * h * hs * q.dtype.itemsize,
+                transcendentals=b * h * s,
+            ),
+            interpret=interpret,
+        )(layer_arr, pos, maxpos, *operands)
+        return out.reshape(b, h, hs)
     if bb > 1 and b % bb == 0:
         # batch-grouped grid: (batch-groups, head-groups, kv-blocks); tiles
         # carry BB slots, the kernel unrolls the per-slot math

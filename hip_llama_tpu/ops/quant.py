@@ -525,6 +525,159 @@ q8_matmul_silu = jax.jit(
 )
 
 
+def _q8_kernel_ffn(
+    x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g_ref, r_ref,
+    o_ref, acc_ref, xn_scr, *, n_groups: int, n_groups2: int, gs: int,
+    last_i: int, norm_eps: float,
+):
+    """Whole-FFN kernel: o = r + (silu(xn@W1) * (xn@W3)) @ W2 with
+    xn = rmsnorm(x, g). Grid is the hidden dimension in `bn`-column strips;
+    each step streams its W1/W3 column strips AND the matching W2 row strip,
+    so all three FFN weights ride ONE kernel pipeline — the h intermediate
+    never leaves VMEM and the per-layer w2 kernel boundary (pipeline
+    drain/ramp + h HBM round-trip) disappears. This is the TPU analog of the
+    reference's per-layer FFN sequence w1/w3 -> swiglu -> w2
+    (thaDNN.cpp:62-70) collapsed into one launch."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # seed the output accumulator with the residual; stash the normed
+        # activations once (reused by every hidden strip)
+        acc_ref[:] = r_ref[:].astype(jnp.float32)
+        xf = x_ref[:].astype(jnp.float32)
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        g = g_ref[...].reshape(1, g_ref.shape[-1]).astype(jnp.float32)
+        xn_scr[:] = (xf * jax.lax.rsqrt(ms + norm_eps) * g).astype(
+            xn_scr.dtype
+        )
+
+    def dq(q_ref, s_ref, ng):
+        s = s_ref[...].reshape(ng, s_ref.shape[-1])
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(
+            jnp.float32
+        )
+        bk, bn = w.shape
+        w = w.reshape(ng, gs, bn) * s[:, None, :]
+        return w.reshape(bk, bn).astype(jnp.bfloat16)
+
+    xb = xn_scr[:].astype(jnp.bfloat16)
+    h1 = jnp.dot(xb, dq(q1_ref, s1_ref, n_groups),
+                 preferred_element_type=jnp.float32)
+    h3 = jnp.dot(xb, dq(q3_ref, s3_ref, n_groups),
+                 preferred_element_type=jnp.float32)
+    # same cast point as the two-kernel path: silu gate on fp32, h in bf16
+    hb = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)  # (B, BN)
+    acc_ref[:] += jnp.dot(hb, dq(q2_ref, s2_ref, n_groups2),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(i == last_i)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "interpret", "out_dtype", "norm_eps"),
+)
+def q8_matmul_ffn(
+    x: jax.Array,  # (B, K)
+    qt13: QTensor,  # (K, 2H) concatenated W1 | W3
+    qt2: QTensor,  # (H, N) down projection
+    residual: jax.Array,  # (B, N)
+    norm_weight: jax.Array,  # (K,)
+    *,
+    norm_eps: float = 1e-5,
+    block_n: int = 256,
+    interpret: bool | None = None,
+    out_dtype=None,
+) -> jax.Array:
+    """residual + FFN(rmsnorm(x)) in ONE fused Q8 kernel (see
+    _q8_kernel_ffn). Decode-shaped calls only (small B, whole K row in
+    VMEM); anything else falls back to the two-kernel path
+    (q8_matmul_silu + q8_matmul with residual epilogue) — bit-identical to
+    what the unfused layer body computed."""
+    b, k = x.shape
+    kq, n2 = qt13.q.shape
+    h = n2 // 2
+    h2, n = qt2.q.shape
+    gs = qt13.group_size
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        hh = q8_matmul_silu(x, qt13, out_dtype=x.dtype,
+                            norm_weight=norm_weight, norm_eps=norm_eps)
+        return q8_matmul(hh, qt2, out_dtype=out_dtype, residual=residual)
+
+    bn = block_n
+    while bn > 128 and (h % bn or bn % gs):
+        bn //= 2
+    if (
+        h2 != h or kq != k or n != residual.shape[-1]
+        or qt2.group_size != gs
+        or h % bn or bn % gs or bn % 128
+        or k % gs
+        or b > 256 or b * k * 4 > 2 * 2 ** 20  # x + xn stash resident
+        or k * bn > 4 * 2 ** 20  # three double-buffered weight strips
+        or (not interpret and (k % 8 or n % 128))  # Mosaic tile legality
+    ):
+        return fallback()
+
+    n_groups = k // gs
+    n_groups2 = bn // gs
+    n_off = h // bn  # W3 column-strip offset inside qt13
+    grid = (h // bn,)
+    s13_blocked = qt13.s.reshape(1, n_groups, n2)
+    s2_blocked = qt2.s.reshape(h // bn, n_groups2, n)
+
+    in_specs = [
+        pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups, bn), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda i: (0, i + n_off),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups, bn), lambda i: (0, 0, i + n_off),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups2, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, qt13.q, s13_blocked, qt13.q, s13_blocked, qt2.q,
+                s2_blocked, norm_weight.reshape(1, k), residual]
+    kernel = functools.partial(
+        _q8_kernel_ffn, n_groups=n_groups, n_groups2=n_groups2, gs=gs,
+        last_i=grid[0] - 1, norm_eps=norm_eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, n), jnp.float32),
+            pltpu.VMEM((b, k), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * 2 * h + 2 * b * h * n,
+            bytes_accessed=k * n2 + h * n + (k // gs) * n2 * 4
+            + (h // gs) * n * 4 + b * k * 2 + b * n * 6,
+            transcendentals=b * h,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     """Same math as models/llama.py::rmsnorm (fp32 internally)."""
     xf = x.astype(jnp.float32)

@@ -366,3 +366,51 @@ def test_q8_matmul_a8_mode_matches_oracle():
         q8_matmul(xb, qt, dequant_mode="a8"),
         q8_matmul(xb, qt, dequant_mode="reshape"),
     ) < 1e-6
+
+
+def test_q8_matmul_ffn_matches_two_kernel():
+    """q8_matmul_ffn (whole FFN in one kernel: norm + W1/W3 + swiglu + W2 +
+    residual) == the two-kernel path (q8_matmul_silu then residual-w2
+    q8_matmul) for kernel-eligible shapes, and the fallback is used (and
+    identical) for ineligible ones."""
+    from hip_llama_tpu.ops.quant import (
+        q8_matmul,
+        q8_matmul_ffn,
+        q8_matmul_silu,
+        q8_quantize_weights,
+    )
+
+    rng = np.random.default_rng(31)
+    # (b, k, h): kernel-eligible; non-bn-divisible-h fallback; large-b fallback
+    for b, k, h in [(8, 256, 384), (4, 128, 256), (8, 256, 192), (512, 256, 384)]:
+        x = jnp.asarray(rng.normal(size=(b, k)), jnp.bfloat16)
+        g = jnp.asarray(rng.normal(size=(k,)) * 0.3 + 1.0, jnp.float32)
+        qt13 = q8_quantize_weights(rng.normal(size=(k, 2 * h)), group_size=32)
+        qt2 = q8_quantize_weights(rng.normal(size=(h, k)) * 0.1, group_size=32)
+        fused = q8_matmul_ffn(x, qt13, qt2, residual=x, norm_weight=g,
+                              norm_eps=1e-5)
+        hh = q8_matmul_silu(x, qt13, norm_weight=g, norm_eps=1e-5)
+        ref = q8_matmul(hh, qt2, residual=x)
+        assert_close(fused.astype(jnp.float32), ref.astype(jnp.float32),
+                     atol=0.15, rtol=0.05, msg=f"{(b, k, h)}")
+
+
+def test_q8_decode_ffn_fuse_off_matches_on(q8_cfg, q8_weights, monkeypatch):
+    """The decode step's output is independent of HIPLLAMA_Q8_FFN (the
+    fused-FFN kernel vs the two-kernel path)."""
+    import hip_llama_tpu.models.llama as llama_mod
+
+    cfg = q8_cfg
+    from hip_llama_tpu.models.params import unstack_quant_params
+
+    qp = unstack_quant_params(quantize_params_q8(cfg, q8_weights, group_size=GS))
+    cache = init_kv_cache(cfg, 2, dtype=jnp.float32, seq_len=cfg.seq_len)
+    tokens = jnp.array([3, 5], jnp.int32)
+    pos = jnp.array([4, 9], jnp.int32)
+    step = make_decode_step(cfg, attn_impl="xla", precision="highest")
+
+    monkeypatch.setattr(llama_mod, "_ENV_FFN_FUSE", True)
+    lo_on, _ = step(qp, cache, tokens, pos)
+    monkeypatch.setattr(llama_mod, "_ENV_FFN_FUSE", False)
+    lo_off, _ = step(qp, cache, tokens, pos)
+    assert_close(lo_on, lo_off, atol=5e-2, rtol=5e-2)

@@ -155,21 +155,29 @@ def _mm_norm(x: jax.Array, g: jax.Array, w, eps: float) -> jax.Array:
 
 
 def _mm_norm_rope(x: jax.Array, g: jax.Array, w, eps: float, pos: jax.Array,
-                  rot_limit: int, head_size: int, theta: float) -> jax.Array:
+                  rot_limit: int, head_size: int, theta: float,
+                  out_heads: bool = False) -> jax.Array:
     """rmsnorm(x, g) @ w with RoPE applied to the first `rot_limit` output
     columns (the q|k segments of a QKV projection, head-aligned).
 
     For QTensor weights ALL THREE stages fuse into one kernel (norm
     prologue, int8 dequant matmul, rope epilogue on the fp32 accumulator) —
     the decode step's 2 standalone rope ops per layer disappear. Other
-    weight types project then rotate via rope()."""
+    weight types project then rotate via rope().
+
+    `out_heads=True` returns the head-split (..., N//head_size, head_size)
+    layout (relayout fused into the q8 kernel epilogue when shapes allow;
+    one XLA reshape otherwise) — what attention_decode_fused consumes."""
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
         y = q8_matmul(
             x.reshape(-1, x.shape[-1]), w, out_dtype=x.dtype,
             norm_weight=g, norm_eps=eps, rope_pos=pos.reshape(-1),
             rope_limit=rot_limit, rope_head=head_size, rope_theta=theta,
+            out_heads=head_size if out_heads else 0,
         )
+        if out_heads:
+            return y.reshape(*lead, *y.shape[-2:])
         return y.reshape(*lead, y.shape[-1])
     if isinstance(w, Q4Tensor):
         from hip_llama_tpu.ops.quant4 import q4_matmul
@@ -180,6 +188,8 @@ def _mm_norm_rope(x: jax.Array, g: jax.Array, w, eps: float, pos: jax.Array,
             norm_weight=g, norm_eps=eps, rope_pos=pos.reshape(-1),
             rope_limit=rot_limit, rope_head=head_size, rope_theta=theta,
         )
+        if out_heads:
+            return y.reshape(*lead, y.shape[-1] // head_size, head_size)
         return y.reshape(*lead, y.shape[-1])
     y = _mm_norm(x, g, w, eps)
     lead = y.shape[:-1]
@@ -187,9 +197,11 @@ def _mm_norm_rope(x: jax.Array, g: jax.Array, w, eps: float, pos: jax.Array,
         y[..., :rot_limit].reshape(*lead, rot_limit // head_size, head_size),
         pos, theta,
     ).reshape(*lead, rot_limit)
-    if rot_limit == y.shape[-1]:
-        return seg
-    return jnp.concatenate([seg, y[..., rot_limit:]], axis=-1)
+    if rot_limit != y.shape[-1]:
+        seg = jnp.concatenate([seg, y[..., rot_limit:]], axis=-1)
+    if out_heads:
+        return seg.reshape(*lead, seg.shape[-1] // head_size, head_size)
+    return seg
 
 
 def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
@@ -220,6 +232,16 @@ def _mm_norm_silu(x: jax.Array, g: jax.Array, w13, hidden: int, eps: float):
 
 
 _ENV_FFN_FUSE = os.environ.get("HIPLLAMA_Q8_FFN", "1") == "1"
+# head-split QKV -> fused attention (q8_matmul out_heads +
+# ops/attention.py::attention_decode_fused); HIPLLAMA_QKV_HEADS=0 reverts to
+# flat QKV + per-layer slice/reshape ops
+_ENV_QKV_HEADS = os.environ.get("HIPLLAMA_QKV_HEADS", "1") == "1"
+# combined K+V(+scales) cache commit in one pallas call with in-kernel row
+# quantization; HIPLLAMA_KV_COMMIT=0 reverts to the 4-kernel path
+_ENV_KV_COMMIT = os.environ.get("HIPLLAMA_KV_COMMIT", "1") == "1"
+# whole-layer fused decode kernel (QKV+attention+Wo+FFN in one pipeline,
+# ops/layer_fused.py); HIPLLAMA_LAYER_FUSE=0 reverts to the 4-kernel layer
+_ENV_LAYER_FUSE = os.environ.get("HIPLLAMA_LAYER_FUSE", "1") == "1"
 
 
 def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):
@@ -370,6 +392,19 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array,
 def _commit_kv_rows(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array, pos):
     """Write this step's K/V rows (L, B, KVH, HS) into the cache; int8 caches
     quantize per row and also update the scale planes."""
+    s = cache.k.shape[-2]
+    if (
+        _ENV_KV_COMMIT
+        and jax.default_backend() != "cpu"
+        and cache.k.shape[-1] % 128 == 0
+        and s % 32 == 0
+        and (not cache.quantized or s % 128 == 0)
+    ):
+        # combined commit: K+V (+int8 scales) in ONE pallas dispatch with
+        # in-kernel row quantization (ops/cache.py::kv_commit_rows)
+        from hip_llama_tpu.ops.cache import kv_commit_rows
+
+        return kv_commit_rows(cache, k_rows, v_rows, pos)
     if cache.quantized:
         from hip_llama_tpu.ops.cache import quantize_kv_rows
 
@@ -576,9 +611,64 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
             # (see params.unstack_quant_params) — each pallas matmul reads
             # its own resident buffer, zero per-step weight copies.
             fused = len(params.wk) == 0  # QKV / W1W3 concatenated along N
+            # head-split fused attention: the QKV kernel emits (B, NH, HS)
+            # head rows (relayout in its epilogue, hidden under the weight
+            # stream) and attention's index maps pick the q/k/v rows — the
+            # 3 column slices + 3 lane-relayout reshapes per layer vanish
+            fused_attn = (
+                fused and attn_impl == "pallas" and _ENV_QKV_HEADS
+            )
             k_list, v_list = [], []
             for l in range(c.n_layers):
                 rms_a = params.rms_att[l]
+                if (
+                    fused_attn
+                    and _ENV_LAYER_FUSE
+                    and isinstance(params.wq[l], QTensor)
+                    and isinstance(params.wo[l], QTensor)
+                    and isinstance(params.w1[l], QTensor)
+                    and isinstance(params.w2[l], QTensor)
+                ):
+                    # whole layer in ONE kernel when shapes allow
+                    from hip_llama_tpu.ops.layer_fused import q8_layer_fused
+
+                    res = q8_layer_fused(
+                        x, params.wq[l], params.wo[l], params.w1[l],
+                        params.w2[l], params.rms_att[l], params.rms_ffn[l],
+                        cache.k, cache.v, jnp.int32(l), pos,
+                        cache.k_scale, cache.v_scale,
+                        n_heads=c.n_heads, head_size=c.head_size,
+                        hidden=c.hidden_dim, norm_eps=c.norm_eps,
+                        theta=c.rope_theta,
+                    )
+                    if res is not None:
+                        x, kvr = res
+                        k_list.append(kvr[:, : c.n_kv_heads])
+                        v_list.append(kvr[:, c.n_kv_heads :])
+                        continue
+                if fused_attn:
+                    from hip_llama_tpu.ops.attention import (
+                        attention_decode_fused,
+                    )
+
+                    qkv3 = _mm_norm_rope(
+                        x, rms_a, params.wq[l], c.norm_eps, pos,
+                        c.dim + c.kv_dim, c.head_size, c.rope_theta,
+                        out_heads=True,
+                    )  # (B, H + 2*KVH, HS)
+                    att_out = attention_decode_fused(
+                        qkv3, cache.k, cache.v, jnp.int32(l), pos,
+                        cache.k_scale, cache.v_scale, n_heads=c.n_heads,
+                    ).reshape(b, c.dim)
+                    x = _mm_res(x, att_out, params.wo[l])
+                    rms_f = params.rms_ffn[l]
+                    x = _mm_ffn(
+                        x, rms_f, params.w1[l], params.w2[l], c.hidden_dim,
+                        c.norm_eps,
+                    )
+                    k_list.append(qkv3[:, c.n_heads : c.n_heads + c.n_kv_heads])
+                    v_list.append(qkv3[:, c.n_heads + c.n_kv_heads :])
+                    continue
                 if fused:
                     # norm + int8 matmul + rope in ONE kernel (q|k rotate in
                     # the epilogue; v passes through)

@@ -63,6 +63,13 @@ _ENV_DECODE_BB = int(os.environ.get("HIPLLAMA_ATTN_BB", "-1"))
 # with the folded v scales. Measured r3 (7B int8-KV b8 chain): the bf16
 # converts were ~0.7 us/grid-step of critical-path VPU work.
 _ENV_I8MXU = os.environ.get("HIPLLAMA_ATTN_I8MXU", "1") == "1"
+# vectorized batch-group math (BB > 1 only): ONE batched dot / elementwise
+# stream over the (BB, G, ...) tile instead of a static per-slot unroll —
+# the serial in-kernel chain stops growing with BB (see _decode_kernel_bvec).
+# Default OFF: measured r3 on-chip (7B int8-KV b8, 128-step chain) BVEC+BB8
+# 694.1 / BVEC+BB4 685.9 vs unrolled BB2 695.8 — the grid-step bookkeeping
+# the bigger groups remove is offset by the batched kernel's own overheads.
+_ENV_BVEC = os.environ.get("HIPLLAMA_ATTN_BVEC", "0") == "1"
 # dynamic-pipeline decode attention: ONE grid step per BB-slot group, with a
 # manual double-buffered DMA loop over ONLY the live KV blocks (trip count =
 # cdiv(maxpos, BK), a dynamic scalar). The static-grid kernel pays a Mosaic
@@ -219,8 +226,8 @@ def _decode_kernel_bfold(
     layer_ref,  # (1,) int32 scalar-prefetch
     pos_ref,  # (B,) int32 scalar-prefetch
     maxpos_ref,  # (B//BB,) int32 scalar-prefetch: per-group max(pos) clamp
-    q_ref,  # (BB, G, M, HS)
-    k_ref,  # (BB, 1, G, BK, HS) — one DMA covers the whole slot group
+    q_ref,  # (BB, G, M, HS); fused-QKV mode: (BB, G*M, HS) rows of qkv
+    k_ref,  # (BB, 1, G, BK, HS) block of the full K cache
     v_ref,
     *rest,  # [ks_ref, vs_ref (BB, G, 1, BK) if quantized,] kc, vc, o, m, l, acc
     block_k: int,
@@ -229,6 +236,7 @@ def _decode_kernel_bfold(
     quantized: bool = False,
     batch: int = 0,  # slots per grid step (BB)
     i8mxu: bool = False,
+    flat_qo: bool = False,  # q/kc/vc/o are head-row views of the QKV tensor
 ):
     """_decode_kernel with a BB-slot batch group INSIDE the kernel (static
     unroll): the math per slot is identical; only the DMA granularity and
@@ -237,6 +245,23 @@ def _decode_kernel_bfold(
         ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
     else:
         kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    g_n, m_n, hs_n = m_scr.shape[1], m_scr.shape[2], acc_scr.shape[3]
+
+    def q_at(b):
+        qb = q_ref[b]
+        return qb.reshape(g_n, m_n, hs_n) if flat_qo else qb
+
+    def kc_at(b):
+        kb = kc_ref[b]
+        return kb[:, None, :] if flat_qo else kb
+
+    def vc_at(b):
+        vb = vc_ref[b]
+        return vb[:, None, :] if flat_qo else vb
+
+    def o_store(b, val):
+        o_ref[b] = val.reshape(g_n * m_n, hs_n) if flat_qo else val
+
     bi = pl.program_id(0)
     i = pl.program_id(2)
 
@@ -255,7 +280,7 @@ def _decode_kernel_bfold(
             kt = k_ref[b].reshape(-1, k_ref.shape[-2], k_ref.shape[-1])
             if quantized and i8mxu:
                 # int8 MXU path: see _decode_kernel
-                qi, sq = _quant_rows_i8(q_ref[b].astype(jnp.float32))
+                qi, sq = _quant_rows_i8(q_at(b).astype(jnp.float32))
                 s_i = jax.lax.dot_general(
                     qi, kt, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.int32,
@@ -264,10 +289,10 @@ def _decode_kernel_bfold(
             else:
                 if quantized:
                     k = kt.astype(jnp.bfloat16)
-                    q = q_ref[b].astype(jnp.bfloat16)
+                    q = q_at(b).astype(jnp.bfloat16)
                 else:
                     k = kt
-                    q = q_ref[b].astype(k.dtype)
+                    q = q_at(b).astype(k.dtype)
                 s = (
                     jax.lax.dot_general(
                         q, k, (((2,), (2,)), ((0,), (0,))),
@@ -315,9 +340,9 @@ def _decode_kernel_bfold(
     @pl.when(i == n_blocks - 1)
     def _final():
         for b in range(batch):
-            q = q_ref[b]
-            kc = kc_ref[b].astype(q.dtype)
-            vc = vc_ref[b].astype(jnp.float32)
+            q = q_at(b)
+            kc = kc_at(b).astype(q.dtype)
+            vc = vc_at(b).astype(jnp.float32)
             s_cur = (
                 jax.lax.dot_general(
                     q, kc, (((2,), (2,)), ((0,), (0,))),
@@ -336,7 +361,159 @@ def _decode_kernel_bfold(
                 preferred_element_type=jnp.float32,
             )
             l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
-            o_ref[b] = (acc / l_safe).astype(o_ref.dtype)
+            o_store(b, (acc / l_safe).astype(o_ref.dtype))
+
+
+def _decode_kernel_bvec(
+    layer_ref,  # (1,) int32 scalar-prefetch
+    pos_ref,  # (B,) int32 scalar-prefetch
+    maxpos_ref,  # (B//BB,) int32 scalar-prefetch: per-group max(pos) clamp
+    q_ref,  # (BB, G, M, HS)
+    k_ref,  # (BB, 1, G, BK, HS) — one DMA covers the whole slot group
+    v_ref,
+    *rest,  # [ks_ref, vs_ref (BB, G, 1, BK) if quantized,] kc, vc, o, m, l, acc
+    block_k: int,
+    n_blocks: int,
+    scale: float,
+    quantized: bool = False,
+    batch: int = 0,  # slots per grid step (BB)
+    i8mxu: bool = False,
+):
+    """_decode_kernel_bfold with the per-slot math VECTORIZED over the BB
+    axis instead of statically unrolled: the (BB, G, ...) tile feeds ONE
+    batched dot / one elementwise stream, so the serial in-kernel chain no
+    longer grows with BB (the unrolled variant lost at BB>=4 because BB
+    copies of the softmax bookkeeping serialized). Per-slot raggedness is
+    handled by a (BB, 1, BK) live mask instead of per-slot `pl.when` skips —
+    dead compute is masked, not skipped, but the kernel is DMA-bound and the
+    group's DMA is already clamped on max(pos) (bkv_map)."""
+    if quantized:
+        ks_ref, vs_ref, kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        kc_ref, vc_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    bi = pl.program_id(0)
+    i = pl.program_id(2)
+    bb = batch
+    g, m, hs = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    prec = jax.lax.Precision.DEFAULT if quantized else None
+
+    @pl.when(i * block_k < maxpos_ref[bi])
+    def _block():
+        kt = k_ref[...].reshape(bb * g, block_k, hs)
+        # per-slot live mask: history column t is live for slot b iff
+        # t < pos[b] (concat of BB scalar-broadcast compares)
+        t_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, m, block_k), 2)
+            + i * block_k
+        )
+        mask = jnp.concatenate(
+            [t_idx < pos_ref[bi * bb + b] for b in range(bb)], axis=0
+        )  # (BB, M, BK)
+        mask = jnp.broadcast_to(mask[:, None], (bb, g, m, block_k)).reshape(
+            bb * g, m, block_k
+        )
+        if quantized and i8mxu:
+            # int8 MXU path: see _decode_kernel
+            qi, sq = _quant_rows_i8(
+                q_ref[...].reshape(bb * g, m, hs).astype(jnp.float32)
+            )
+            s_i = jax.lax.dot_general(
+                qi, kt, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            s = s_i.astype(jnp.float32) * (sq * scale)
+        else:
+            if quantized:
+                k = kt.astype(jnp.bfloat16)
+                q = q_ref[...].reshape(bb * g, m, hs).astype(jnp.bfloat16)
+            else:
+                k = kt
+                q = q_ref[...].reshape(bb * g, m, hs).astype(k.dtype)
+            s = (
+                jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                * scale
+            )  # (BB*G, M, BK)
+        if quantized:
+            ks = ks_ref[...].reshape(bb * g, ks_ref.shape[-1])
+            s = s * ks[:, None, :]
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...].reshape(bb * g, m, 128)[:, :, :1]
+        l_prev = l_scr[...].reshape(bb * g, m, 128)[:, :, :1]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        # a slot whose history ends before this block has an ALL-masked row:
+        # there m_next == MASK_VALUE and exp(s - m_next) == 1, so zero the
+        # dead columns explicitly (the unrolled kernels skip such slots with
+        # pl.when instead)
+        p = jnp.where(mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(
+            m_next, (bb * g, m, 128)
+        ).reshape(m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(
+            l_next, (bb * g, m, 128)
+        ).reshape(l_scr.shape)
+        vt = v_ref[...].reshape(bb * g, block_k, hs)
+        acc_prev = acc_scr[...].reshape(bb * g, m, hs)
+        if quantized and i8mxu:
+            vs = vs_ref[...].reshape(bb * g, vs_ref.shape[-1])
+            pi, sp = _quant_rows_i8(p * vs[:, None, :])
+            pv_i = jax.lax.dot_general(
+                pi, vt, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc_prev * alpha + pv_i.astype(jnp.float32) * sp
+        else:
+            if quantized:
+                v = vt.astype(jnp.bfloat16)
+                vs = vs_ref[...].reshape(bb * g, vs_ref.shape[-1])
+                pv = (p * vs[:, None, :]).astype(jnp.bfloat16)
+            else:
+                v = vt
+                pv = p.astype(v.dtype)
+            acc = acc_prev * alpha + jax.lax.dot_general(
+                pv, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        acc_scr[...] = acc.reshape(acc_scr.shape)
+
+    @pl.when(i == n_blocks - 1)
+    def _final():
+        q = q_ref[...].reshape(bb * g, m, hs)
+        kc = kc_ref[...].reshape(bb * g, 1, hs).astype(q.dtype)
+        vc = vc_ref[...].reshape(bb * g, 1, hs).astype(jnp.float32)
+        s_cur = (
+            jax.lax.dot_general(
+                q, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # (BB*G, M, 1)
+        m_prev = m_scr[...].reshape(bb * g, m, 128)[:, :, :1]
+        l_prev = l_scr[...].reshape(bb * g, m, 128)[:, :, :1]
+        m_next = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p_cur = jnp.exp(s_cur - m_next)
+        l_next = alpha * l_prev + p_cur
+        acc = acc_scr[...].reshape(bb * g, m, hs) * alpha + jax.lax.dot_general(
+            p_cur, vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        l_safe = jnp.where(l_next == 0.0, 1.0, l_next)
+        o_ref[...] = (acc / l_safe).reshape(o_ref.shape).astype(o_ref.dtype)
 
 
 def _decode_kernel_dyn(
@@ -978,7 +1155,8 @@ def attention_decode_pallas(
             ],
         )
         kernel = functools.partial(
-            _decode_kernel_bfold, block_k=bk, n_blocks=n_blocks, scale=scale,
+            _decode_kernel_bvec if _ENV_BVEC else _decode_kernel_bfold,
+            block_k=bk, n_blocks=n_blocks, scale=scale,
             quantized=quantized, batch=bb, i8mxu=quantized and _ENV_I8MXU,
         )
         kv_tile = bb * g_blk * bk * hs * k_cache.dtype.itemsize
@@ -1072,6 +1250,151 @@ def attention_decode_pallas(
         interpret=interpret,
     )(layer_arr, pos, *operands)
     return out.reshape(b, h, hs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "block_k", "interpret")
+)
+def attention_decode_fused(
+    qkv: jax.Array,  # (B, H + 2*KVH, HS) — head-split QKV projection rows
+    k_cache: jax.Array,  # (B, L, KVH, S, HS) — FULL cache, history only
+    v_cache: jax.Array,
+    layer: jax.Array,  # () int32
+    pos: jax.Array,  # (B,) int32
+    k_scale: jax.Array | None = None,  # (B, L, KVH, S) f32 — int8 KV cache
+    v_scale: jax.Array | None = None,
+    *,
+    n_heads: int,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode attention consuming the QKV projection in its head-split
+    kernel-output layout (q8_matmul(out_heads=HS)): q = rows 0..H-1,
+    k_cur = rows H..H+KVH-1, v_cur = the rest. The BlockSpec index maps
+    address those head rows directly, so the per-layer q/k/v column slices
+    and the (B, D) -> (B, H, HS) lane->sublane relayout reshapes between
+    the projection and attention kernels disappear from the XLA graph.
+    Returns (B, H, HS) — bit-identical to attention_decode_pallas on the
+    equivalent sliced operands."""
+    b, nht, hs = qkv.shape
+    h = n_heads
+    _, n_layers, kvh, s, _ = k_cache.shape
+    kv_mul = h // kvh
+    assert nht == h + 2 * kvh, (qkv.shape, n_heads, kvh)
+    quantized = k_scale is not None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def fallback():
+        return attention_decode_pallas(
+            qkv[:, :h], k_cache, v_cache, layer, pos,
+            qkv[:, h : h + kvh], qkv[:, h + kvh :], k_scale, v_scale,
+            block_k=block_k, interpret=interpret,
+        )
+
+    if hs < 64 and not interpret:
+        return fallback()
+    bk = block_k or _ENV_DECODE_BLOCK_K or _pick_block_k(s, target=1024)
+    if s % bk or bk > s:
+        bk = _pick_block_k(s, target=bk)
+    if quantized and bk % 128 and bk != s:
+        bk = 128 if s % 128 == 0 else s
+    n_blocks = s // bk
+    scale = 1.0 / (hs ** 0.5)
+    g_blk = 1
+    target_bytes = _ENV_DECODE_TARGET_KB * 1024
+    while (
+        g_blk < kvh
+        and kvh % (g_blk * 2) == 0
+        and g_blk * bk * hs * k_cache.dtype.itemsize < target_bytes
+    ):
+        g_blk *= 2
+    if _ENV_DECODE_BFOLD == "1":
+        bb = b
+    elif _ENV_DECODE_BB >= 0:
+        bb = _ENV_DECODE_BB
+    else:
+        bb = 2
+    if bb < 2 or b % bb:
+        # the fused path rides the batch-grouped kernel; per-slot batches
+        # (b=1 generate) take the sliced path — identical math
+        return fallback()
+
+    maxpos = jnp.max(pos.reshape(b // bb, bb), axis=1).astype(jnp.int32)
+    layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+    def q3_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+        return (bi, g, 0)
+
+    def kc3_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+        return (bi, h // g_blk + g, 0)
+
+    def vc3_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+        return (bi, (h + kvh) // g_blk + g, 0)
+
+    def bkv_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+        last_live = jnp.maximum(maxpos_ref[bi] - 1, 0) // bk
+        return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+
+    def bscale_map(bi, g, i, layer_ref, pos_ref, maxpos_ref):
+        last_live = jnp.maximum(maxpos_ref[bi] - 1, 0) // bk
+        return (bi, layer_ref[0] * (kvh // g_blk) + g,
+                0, jnp.minimum(i, last_live))
+
+    in_specs = [
+        pl.BlockSpec((bb, g_blk * kv_mul, hs), q3_map),
+        pl.BlockSpec((bb, 1, g_blk, bk, hs), bkv_map),
+        pl.BlockSpec((bb, 1, g_blk, bk, hs), bkv_map),
+    ]
+    operands = [qkv, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((bb, g_blk, 1, bk), bscale_map),
+            pl.BlockSpec((bb, g_blk, 1, bk), bscale_map),
+        ]
+        operands += [
+            k_scale.reshape(b, n_layers * kvh, 1, s),
+            v_scale.reshape(b, n_layers * kvh, 1, s),
+        ]
+    in_specs += [
+        pl.BlockSpec((bb, g_blk, hs), kc3_map),
+        pl.BlockSpec((bb, g_blk, hs), vc3_map),
+    ]
+    operands += [qkv, qkv]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b // bb, kvh // g_blk, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, g_blk * kv_mul, hs), q3_map),
+        scratch_shapes=[
+            pltpu.VMEM((bb, g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bb, g_blk, kv_mul, 128), jnp.float32),
+            pltpu.VMEM((bb, g_blk, kv_mul, hs), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_bfold, block_k=bk, n_blocks=n_blocks, scale=scale,
+        quantized=quantized, batch=bb, i8mxu=quantized and _ENV_I8MXU,
+        flat_qo=True,
+    )
+    kv_tile = bb * g_blk * bk * hs * k_cache.dtype.itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, hs), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=min(8 * kv_tile + 8 * 2**20, 100 * 2**20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * hs,
+            bytes_accessed=2 * b * kvh * s * hs * k_cache.dtype.itemsize
+            + 2 * b * h * hs * qkv.dtype.itemsize,
+            transcendentals=b * h * s,
+        ),
+        interpret=interpret,
+    )(layer_arr, pos, maxpos, *operands)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -100,10 +100,10 @@ def _kv_write_kernel(
             st.wait()  # drain before kernel exit
 
 
-def _pick_l_chunk(n_layers: int, kvh: int, w: int, hs: int, itemsize: int) -> int:
+def _pick_l_chunk(n_layers: int, kvh: int, w: int, hs: int, itemsize: int,
+                  budget: int = 6 * 2 ** 20) -> int:
     """Largest divisor of n_layers whose double-buffered window scratch
-    stays within ~6 MB of scoped VMEM."""
-    budget = 6 * 2 ** 20
+    stays within `budget` bytes of scoped VMEM."""
     for div in range(1, n_layers + 1):
         if n_layers % div:
             continue
@@ -158,6 +158,214 @@ def kv_write_rows(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(pos, valid_arr, rows4, cache)
+
+
+# ---------------------------------------------------------------------------
+# combined K+V (+scales) commit — one kernel per decode step
+
+
+def _kv_commit_kernel(
+    pos_ref, valid_ref, krows_ref, vrows_ref, *rest,
+    batch, window, s, l_chunk, quantized,
+):
+    """One pipeline committing this step's K AND V rows (and, for int8
+    caches, their per-row quantization scales) — the 2 row writers + 2 scale
+    writers + the XLA-side rowwise quantization collapse into ONE pallas
+    call. Rows arrive as raw fp (L, B, KVH, HS); int8 caches quantize
+    in-kernel (absmax/127 per row, runq.c:145-171 applied per cached row),
+    overlapped with the window DMAs."""
+    if quantized:
+        (k_in, v_in, ks_in, vs_in, k_out, v_out, ks_out, vs_out,
+         k_scr, v_scr, ks_scr, vs_scr, sems) = rest
+        del k_in, v_in, ks_in, vs_in  # aliased with the outputs
+    else:
+        k_in, v_in, k_out, v_out, k_scr, v_scr, sems = rest
+        del k_in, v_in
+    n_layers = krows_ref.shape[0]
+    steps = [
+        (b, c) for b in range(batch) for c in range(n_layers // l_chunk)
+    ]
+
+    def window_slice(b):
+        pos = pos_ref[b]
+        start = pl.multiple_of(
+            jnp.minimum((pos // window) * window, s - window), window
+        )
+        return start, pos - start
+
+    def scale_slice(b):
+        pos = pos_ref[b]
+        start = pl.multiple_of(jnp.minimum((pos // 128) * 128, s - 128), 128)
+        return start, pos - start
+
+    def copies(idx, to_scratch):
+        b, c = steps[idx]
+        start, _ = window_slice(b)
+        slot = idx % 2
+        lsl = pl.ds(c * l_chunk, l_chunk)
+        wsl = pl.ds(start, window)
+        pairs = [
+            (k_out.at[b, lsl, :, wsl, :], k_scr.at[slot], 0),
+            (v_out.at[b, lsl, :, wsl, :], v_scr.at[slot], 1),
+        ]
+        if quantized:
+            sst, _ = scale_slice(b)
+            ssl = pl.ds(sst, 128)
+            pairs += [
+                (ks_out.at[b, lsl, :, ssl], ks_scr.at[slot], 2),
+                (vs_out.at[b, lsl, :, ssl], vs_scr.at[slot], 3),
+            ]
+        cps = [
+            pltpu.make_async_copy(hbm, scr, sems.at[slot, t])
+            if to_scratch
+            else pltpu.make_async_copy(scr, hbm, sems.at[slot, t])
+            for hbm, scr, t in pairs
+        ]
+        for cp in cps:
+            cp.start()
+        return cps
+
+    def modify(idx):
+        b, c = steps[idx]
+        slot = idx % 2
+        start, off = window_slice(b)
+        lsl = pl.ds(c * l_chunk, l_chunk)
+        ok = valid_ref[b] != 0
+        for rows_ref, w_scr, s_scr in (
+            (krows_ref, k_scr, ks_scr if quantized else None),
+            (vrows_ref, v_scr, vs_scr if quantized else None),
+        ):
+            rows = rows_ref[lsl, b]  # (l_chunk, KVH, HS)
+            win = w_scr[slot]  # (l_chunk, KVH, W, HS)
+            sub = jax.lax.broadcasted_iota(jnp.int32, win.shape, 2)
+            if quantized:
+                rf = rows.astype(jnp.float32)
+                # am / 127.0 (not am * (1/127)): bit-match quantize_kv_rows
+                am = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
+                sc = jnp.where(am == 0.0, 1.0, am / 127.0)
+                new = jnp.round(rf / sc).astype(win.dtype)
+                sst, soff = scale_slice(b)
+                swin = s_scr[slot]  # (l_chunk, KVH, 128)
+                lane = jax.lax.broadcasted_iota(jnp.int32, swin.shape, 2)
+                s_scr[slot] = jnp.where((lane == soff) & ok, sc, swin)
+            else:
+                new = rows.astype(win.dtype)
+            w_scr[slot] = jnp.where(
+                (sub == off) & ok, new[:, :, None, :], win
+            )
+
+    # double-buffered (slot, layer-chunk) pipeline, same reordering-safety
+    # argument as _kv_write_kernel (windows of distinct slots are disjoint)
+    pending_ld = copies(0, True)
+    pending_st = [None, None]
+    for idx in range(len(steps)):
+        if idx + 1 < len(steps):
+            if pending_st[(idx + 1) % 2] is not None:
+                for cp in pending_st[(idx + 1) % 2]:
+                    cp.wait()
+                pending_st[(idx + 1) % 2] = None
+            nxt = copies(idx + 1, True)
+        else:
+            nxt = None
+        for cp in pending_ld:
+            cp.wait()
+        modify(idx)
+        pending_st[idx % 2] = copies(idx, False)
+        pending_ld = nxt
+    for st in pending_st:
+        if st is not None:
+            for cp in st:
+                cp.wait()
+
+
+def kv_commit_rows(
+    cache,  # KVCache-like: .k/.v (B, L, KVH, S, HS) donated; int8 also
+    # .k_scale/.v_scale (B, L, KVH, S) f32
+    k_rows: jax.Array,  # (L, B, KVH, HS) raw fp rows for this step
+    v_rows: jax.Array,
+    pos: jax.Array,  # (B,) int32
+    valid: jax.Array | None = None,
+    *,
+    interpret: bool | None = None,
+):
+    """Combined in-place commit of one decode step's K/V rows (+ int8
+    scales): ONE pallas dispatch instead of four, with the rowwise int8
+    quantization folded in-kernel (the standalone XLA abs/max/round ops and
+    the 3-launch serialization disappear). Returns the updated cache."""
+    from hip_llama_tpu.models.llama import KVCache
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k_cache, v_cache = cache.k, cache.v
+    quantized = bool(getattr(cache, "quantized", False))
+    b, n_layers, kvh, s, hs = k_cache.shape
+    valid_arr = (
+        jnp.ones((b,), jnp.int32) if valid is None else valid.astype(jnp.int32)
+    )
+    w = min(_sublane_window(k_cache.dtype), s)
+    assert s % w == 0, (s, w)
+    if quantized:
+        assert s % 128 == 0, s  # 128-lane scale windows
+    # half the single-plane budget: K and V window scratch coexist (plus the
+    # fp rows operands), and the scoped-vmem stack must hold them all
+    l_chunk = _pick_l_chunk(
+        n_layers, kvh, w, hs, k_cache.dtype.itemsize, budget=3 * 2 ** 20
+    )
+
+    n_out = 4 if quantized else 2
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # k_rows
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # v_rows
+    ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_out
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_out
+    scratch = [
+        pltpu.VMEM((2, l_chunk, kvh, w, hs), k_cache.dtype),
+        pltpu.VMEM((2, l_chunk, kvh, w, hs), v_cache.dtype),
+    ]
+    operands = [k_rows, v_rows, k_cache, v_cache]
+    out_shape = [
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    if quantized:
+        operands += [cache.k_scale, cache.v_scale]
+        out_shape += [
+            jax.ShapeDtypeStruct(cache.k_scale.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cache.v_scale.shape, jnp.float32),
+        ]
+        scratch += [
+            pltpu.VMEM((2, l_chunk, kvh, 128), jnp.float32),
+            pltpu.VMEM((2, l_chunk, kvh, 128), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, n_out)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # pos, valid
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _kv_commit_kernel, batch=b, window=w, s=s, l_chunk=l_chunk,
+            quantized=quantized,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # cache planes alias their outputs (after pos, valid, k_rows, v_rows)
+        input_output_aliases={4 + i: i for i in range(n_out)},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # window scratch for K+V (+scale) planes plus the fp rows
+            # operands exceed the default 16 MB scoped-vmem stack at 7B
+            vmem_limit_bytes=48 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )(pos, valid_arr, k_rows, v_rows, *operands[2:])
+    if quantized:
+        return KVCache(outs[0], outs[1], outs[2], outs[3])
+    return KVCache(outs[0], outs[1])
 
 
 # ---------------------------------------------------------------------------

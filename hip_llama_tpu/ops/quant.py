@@ -175,12 +175,16 @@ def _q8_kernel(
     x_ref, q_ref, s_ref, o_ref, acc_ref, *a8_scr, n_groups: int, gs: int,
     last_j: int,
     dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None, r_ref=None,
-    p_ref=None, rope_spec=None, norm_eps: float = 1e-5,
+    p_ref=None, rope_spec=None, norm_eps: float = 1e-5, out_heads: int = 0,
 ):
     j = pl.program_id(k_axis)
-    # n-block index, needed by the rope epilogue (hoisted: program_id is
-    # unavailable inside pl.when bodies in interpret mode)
-    ni = pl.program_id(k_axis - 1) if p_ref is not None else None
+    # n-block index, needed by the rope/head-split epilogues (hoisted:
+    # program_id is unavailable inside pl.when bodies in interpret mode)
+    ni = (
+        pl.program_id(k_axis - 1)
+        if (p_ref is not None or out_heads)
+        else None
+    )
 
     @pl.when(j == 0)
     def _():
@@ -291,6 +295,7 @@ def _q8_kernel(
     @pl.when(j == last_j)
     def _():
         acc = acc_ref[:]
+        bn = acc.shape[-1]
         if r_ref is not None:
             acc = acc + r_ref[:].astype(jnp.float32)
         if p_ref is not None:
@@ -298,13 +303,23 @@ def _q8_kernel(
             # accumulator before the output cast — kills the 2 standalone
             # rope ops per layer
             rot_limit, head_size, theta = rope_spec
-            bn = o_ref.shape[-1]
             col0 = ni * bn
             acc = _rope_rotate_cols(
                 acc, p_ref[:].astype(jnp.float32), col0, rot_limit,
                 head_size, theta,
             )
-        o_ref[:] = acc.astype(o_ref.dtype)
+        if out_heads:
+            # head-split output: the (M, BN) accumulator stores as
+            # (M, BN/HS, HS) head tiles into this n-block's sublane slice of
+            # the FULL (M, N/HS, HS) out block (resident across n-steps) —
+            # the lane->sublane relayout rides the weight-DMA-bound kernel
+            # instead of costing a standalone XLA reshape op
+            bnh = bn // out_heads
+            o_ref[:, pl.ds(ni * bnh, bnh), :] = acc.reshape(
+                acc.shape[0], bnh, out_heads
+            ).astype(o_ref.dtype)
+        else:
+            o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _q8_kernel_silu(
@@ -689,7 +704,7 @@ def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     jax.jit,
     static_argnames=(
         "block_n", "block_k", "interpret", "out_dtype", "dequant_mode",
-        "norm_eps", "rope_limit", "rope_head", "rope_theta",
+        "norm_eps", "rope_limit", "rope_head", "rope_theta", "out_heads",
     ),
 )
 def q8_matmul(
@@ -708,8 +723,14 @@ def q8_matmul(
     rope_limit: int = 0,
     rope_head: int = 0,
     rope_theta: float = 10000.0,
+    out_heads: int = 0,
 ) -> jax.Array:
     """x (B, K) @ dequant(q (K, N), s (K//gs, N)) -> (B, N).
+
+    `out_heads=HS` returns (B, N//HS, HS) instead — the head-split layout
+    the attention kernels consume — with the lane->sublane relayout done in
+    the kernel epilogue (hidden under the weight stream) instead of as a
+    standalone XLA reshape op (~1.6 us each, 3/layer in the decode step).
 
     Fused dequantization: int8 tiles are the only weight HBM traffic.
     `residual` (B, N) is added in the kernel epilogue on the fp32
@@ -784,6 +805,27 @@ def q8_matmul(
     # fall back to the dense-dequant einsum, which is fine at those sizes.
     ok_x = block_k % 128 == 0 or block_k == k
     ok_w = (block_k % 8 == 0 or block_k == k) and (block_n % 128 == 0 or block_n == n)
+    if out_heads and n % (8 * out_heads) == 0 and block_n % (8 * out_heads):
+        # Mosaic proves dynamic sublane store offsets only in multiples of
+        # 8: the per-n-block head-slice store needs block_n//HS % 8 == 0
+        block_n = max(8 * out_heads, block_n - block_n % (8 * out_heads))
+    if out_heads and (
+        n % out_heads or block_n % out_heads
+        or (block_n // out_heads) % 8
+    ):
+        # head-split output needs head-aligned, 8-sublane-aligned column
+        # blocks; otherwise emit flat and let the caller reshape
+        # (bit-identical, one extra XLA op)
+        y = q8_matmul(
+            x[:b] if pad_m else x, qt, block_n=block_n, block_k=block_k,
+            interpret=interpret, out_dtype=out_dtype,
+            dequant_mode=dequant_mode, norm_weight=norm_weight,
+            norm_eps=norm_eps,
+            residual=residual[:b] if (pad_m and residual is not None) else residual,
+            rope_pos=rope_pos, rope_limit=rope_limit, rope_head=rope_head,
+            rope_theta=rope_theta,
+        )
+        return y.reshape(b, n // out_heads, out_heads)
     if not (ok_x and ok_w) and not interpret:
         if pad_m:
             x = x[:b]
@@ -798,7 +840,8 @@ def q8_matmul(
             y = residual.astype(jnp.float32) + y
         if rope_pos is not None:
             y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
-        return y.astype(out_dtype)
+        y = y.astype(out_dtype)
+        return y.reshape(b, n // out_heads, out_heads) if out_heads else y
     if norm_weight is not None and block_k != k:
         # in-kernel rmsnorm needs the whole contraction row resident;
         # multi-K-block shapes normalize outside (XLA fuses it)
@@ -823,7 +866,8 @@ def q8_matmul(
     operands = [x, qt.q, s_blocked]
     kw = dict(n_groups=n_groups, gs=gs, last_j=grid[2] - 1,
               dequant_mode=dequant_mode, k_axis=2, norm_eps=norm_eps,
-              rope_spec=(rope_limit, rope_head, rope_theta))
+              rope_spec=(rope_limit, rope_head, rope_theta),
+              out_heads=out_heads)
     if norm_weight is not None:
         in_specs.append(
             pl.BlockSpec((1, block_k), lambda m, i, j: (0, j),
@@ -859,6 +903,8 @@ def q8_matmul(
     )
     scratch_shapes = [pltpu.VMEM((block_m, block_n), jnp.float32)]
     dim_sem = ("parallel", "parallel", "arbitrary")
+    if out_heads:
+        dim_sem = ("parallel", "arbitrary", "arbitrary")
     if dequant_mode == "a8":
         # quantized-x stash, written at n-block 0 and reused by later
         # n-blocks — the n axis therefore carries a sequential dependence
@@ -867,14 +913,28 @@ def q8_matmul(
             pltpu.VMEM((n_groups, 1, block_m), jnp.float32),
         ]
         dim_sem = ("parallel", "arbitrary", "arbitrary")
+    if out_heads:
+        # the n-axis revisits ONE full (M, N/HS, HS) out block (a few hundred
+        # KB for QKV rows); each n-step writes its head-slice, the writeback
+        # happens once — so the n axis must be "arbitrary", not "parallel"
+        out_specs = pl.BlockSpec(
+            (block_m, n // out_heads, out_heads),
+            lambda m, i, j: (m, 0, 0), memory_space=pltpu.VMEM,
+        )
+        out_sds = jax.ShapeDtypeStruct(
+            (b + pad_m, n // out_heads, out_heads), out_dtype
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
+        )
+        out_sds = jax.ShapeDtypeStruct((b + pad_m, n), out_dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (block_m, block_n), lambda m, i, j: (m, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b + pad_m, n), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_sds,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_sem,

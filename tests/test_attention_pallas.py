@@ -268,3 +268,78 @@ def test_pallas_int8_kv_bfold_i8mxu(monkeypatch, i8mxu):
             q, kq, vq, jnp.int32(layer), pos, kc, vc, ks, vs)
         tol = 0.03 if i8mxu else 0.02  # bf16-dot rounding in the fold path
         assert_close(got, want, atol=tol, rtol=tol, msg=f"layer {layer}")
+
+
+@pytest.mark.parametrize("i8mxu", [True, False])
+@pytest.mark.parametrize("quantized", [True, False])
+def test_bvec_matches_bfold(monkeypatch, quantized, i8mxu):
+    """Vectorized batch-group kernel (HIPLLAMA_ATTN_BVEC) vs the unrolled
+    batch-group kernel: identical math, different instruction schedule."""
+    import hip_llama_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod, "_ENV_I8MXU", i8mxu)
+    monkeypatch.setattr(attn_mod, "_ENV_DECODE_BB", 2)
+    rng = np.random.default_rng(23)
+    b, l, h, kvh, s, hs = 4, 2, 8, 4, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    if quantized:
+        kq, ks, vq, vs = _quant_kv(kf, vf)
+        args = (q, kq, vq)
+        scales = (ks, vs)
+    else:
+        args = (q, kf, vf)
+        scales = ()
+    pos = jnp.asarray([5, 93, 0, 128], jnp.int32)
+    for layer in range(l):
+        monkeypatch.setattr(attn_mod, "_ENV_BVEC", False)
+        want = attention_decode_pallas(
+            *args, jnp.int32(layer), pos, kc, vc, *scales)
+        monkeypatch.setattr(attn_mod, "_ENV_BVEC", True)
+        got = attention_decode_pallas(
+            *args, jnp.int32(layer), pos, kc, vc, *scales)
+        assert_close(got, want, atol=2e-5, rtol=1e-4, msg=f"layer {layer}")
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+@pytest.mark.parametrize("h,kvh", [(8, 8), (8, 4)])
+def test_fused_qkv_matches_sliced(monkeypatch, h, kvh, quantized):
+    """attention_decode_fused on the head-split QKV tensor must be
+    bit-identical to attention_decode_pallas on the sliced q/kc/vc rows
+    (same kernel, index-map-addressed operands)."""
+    import hip_llama_tpu.ops.attention as attn_mod
+    from hip_llama_tpu.ops.attention import attention_decode_fused
+
+    monkeypatch.setattr(attn_mod, "_ENV_DECODE_BB", 2)
+    rng = np.random.default_rng(29)
+    b, l, s, hs = 4, 2, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    qkv = jnp.concatenate([q, kc, vc], axis=1)  # (B, H+2KVH, HS)
+    if quantized:
+        kq, ks, vq, vs = _quant_kv(kf, vf)
+        caches = (kq, vq)
+        scales = (ks, vs)
+    else:
+        caches = (kf, vf)
+        scales = ()
+    pos = jnp.asarray([5, 93, 0, 128], jnp.int32)
+    for layer in range(l):
+        want = attention_decode_pallas(
+            q, *caches, jnp.int32(layer), pos, kc, vc, *scales)
+        got = attention_decode_fused(
+            qkv, *caches, jnp.int32(layer), pos, *scales, n_heads=h)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=f"layer {layer}")
+
+
+def test_fused_qkv_odd_batch_fallback():
+    """b=1 (no batch group) must fall back to the sliced path — identical."""
+    from hip_llama_tpu.ops.attention import attention_decode_fused
+
+    rng = np.random.default_rng(31)
+    b, l, h, kvh, s, hs = 1, 1, 8, 4, 128, 64
+    q, kf, vf, kc, vc = _rand_case(rng, b, l, h, kvh, s, hs)
+    qkv = jnp.concatenate([q, kc, vc], axis=1)
+    pos = jnp.asarray([77], jnp.int32)
+    want = attention_decode_pallas(q, kf, vf, jnp.int32(0), pos, kc, vc)
+    got = attention_decode_fused(qkv, kf, vf, jnp.int32(0), pos, n_heads=h)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -176,3 +176,91 @@ def test_scale_write_chunk_paged_matches_scatter():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-6)
+
+
+def test_kv_commit_rows_matches_split_writers():
+    """Combined K+V(+scales) commit kernel vs the 4-kernel path: identical
+    cache and scale planes (in-kernel quantization bit-matches
+    quantize_kv_rows)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hip_llama_tpu.models.llama import KVCache
+    from hip_llama_tpu.ops.cache import (
+        kv_commit_rows, kv_write_rows, quantize_kv_rows, scale_write_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    b, l, kvh, s, hs = 3, 4, 2, 256, 128
+    pos = jnp.asarray([0, 129, 255], jnp.int32)
+    k_rows = jnp.asarray(rng.standard_normal((l, b, kvh, hs)), jnp.bfloat16)
+    v_rows = jnp.asarray(rng.standard_normal((l, b, kvh, hs)), jnp.bfloat16)
+
+    # int8 cache
+    kq0 = jnp.asarray(rng.integers(-127, 128, (b, l, kvh, s, hs)), jnp.int8)
+    vq0 = jnp.asarray(rng.integers(-127, 128, (b, l, kvh, s, hs)), jnp.int8)
+    ks0 = jnp.asarray(rng.random((b, l, kvh, s)), jnp.float32)
+    vs0 = jnp.asarray(rng.random((b, l, kvh, s)), jnp.float32)
+    cache = KVCache(kq0, vq0, ks0, vs0)
+    got = kv_commit_rows(cache, k_rows, v_rows, pos, interpret=True)
+    kq, ksr = quantize_kv_rows(k_rows)
+    vq, vsr = quantize_kv_rows(v_rows)
+    want = KVCache(
+        kv_write_rows(kq0, kq, pos, interpret=True),
+        kv_write_rows(vq0, vq, pos, interpret=True),
+        scale_write_rows(ks0, ksr, pos, interpret=True),
+        scale_write_rows(vs0, vsr, pos, interpret=True),
+    )
+    # XLA-CPU sometimes rewrites the in-kernel absmax/127 into a
+    # reciprocal multiply (1-ULP scale wobble; exact division on TPU —
+    # the on-chip A/B shows bit-equal planes), so: scales to 1 ULP, int8
+    # codes within one rounding step at the wobbled scales.
+    for name in ("k_scale", "v_scale"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=2e-7, atol=0, err_msg=name)
+    for name in ("k", "v"):
+        d = np.abs(
+            np.asarray(getattr(got, name)).astype(np.int32)
+            - np.asarray(getattr(want, name)).astype(np.int32)
+        )
+        assert d.max() <= 1, (name, d.max())
+
+    # bf16 cache (no scales)
+    kb0 = jnp.asarray(rng.standard_normal((b, l, kvh, s, hs)), jnp.bfloat16)
+    vb0 = jnp.asarray(rng.standard_normal((b, l, kvh, s, hs)), jnp.bfloat16)
+    cache = KVCache(kb0, vb0)
+    got = kv_commit_rows(cache, k_rows, v_rows, pos, interpret=True)
+    want = KVCache(
+        kv_write_rows(kb0, k_rows, pos, interpret=True),
+        kv_write_rows(vb0, v_rows, pos, interpret=True),
+    )
+    np.testing.assert_array_equal(np.asarray(got.k), np.asarray(want.k))
+    np.testing.assert_array_equal(np.asarray(got.v), np.asarray(want.v))
+
+
+def test_kv_commit_rows_valid_mask():
+    """valid=False slots keep their previous rows and scales."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hip_llama_tpu.models.llama import KVCache
+    from hip_llama_tpu.ops.cache import kv_commit_rows
+
+    rng = np.random.default_rng(11)
+    b, l, kvh, s, hs = 2, 2, 2, 128, 128
+    pos = jnp.asarray([5, 64], jnp.int32)
+    valid = jnp.asarray([True, False])
+    k_rows = jnp.asarray(rng.standard_normal((l, b, kvh, hs)), jnp.bfloat16)
+    v_rows = jnp.asarray(rng.standard_normal((l, b, kvh, hs)), jnp.bfloat16)
+    kq0 = jnp.asarray(rng.integers(-127, 128, (b, l, kvh, s, hs)), jnp.int8)
+    ks0 = jnp.asarray(rng.random((b, l, kvh, s)), jnp.float32)
+    cache = KVCache(kq0, kq0, ks0, ks0)
+    got = kv_commit_rows(cache, k_rows, v_rows, pos, valid, interpret=True)
+    # slot 1 untouched everywhere
+    np.testing.assert_array_equal(np.asarray(got.k[1]), np.asarray(kq0[1]))
+    np.testing.assert_array_equal(
+        np.asarray(got.k_scale[1]), np.asarray(ks0[1]))
+    # slot 0's row did change
+    assert not np.array_equal(np.asarray(got.k[0]), np.asarray(kq0[0]))

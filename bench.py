@@ -341,13 +341,18 @@ def parse_args():
         "reference-parity-dtype run)",
     )
     ap.add_argument(
-        "--mode", default="decode", choices=["decode", "ttft", "serve"],
+        "--mode", default="decode", choices=["decode", "ttft", "serve",
+                                             "stream"],
         help="decode: steady-state tok/s (the default metric). ttft: time "
         "one chunked prefill of --prompt-len tokens per slot (the p50 TTFT "
         "component of BASELINE.json; excludes compile). serve: whole-engine "
         "continuous-batching throughput over a synthetic corpus (composes "
         "with --chunk/--spec/--paged/--prefix-cache; includes scheduler + "
-        "prefill + per-dispatch overhead)",
+        "prefill + per-dispatch overhead). stream: weight-streaming decode "
+        "(host-resident layers, per-layer H2D overlapped with compute — "
+        "models/streaming.py; --quant q8 streams int8, none streams dense "
+        "--dtype). Reports tok/s with vs_baseline = fraction of the "
+        "measured-H2D-bandwidth speed-of-light",
     )
     ap.add_argument("--prompt-len", type=int, default=512)
     ap.add_argument("--prompts", type=int, default=None,
@@ -385,7 +390,9 @@ def parse_args():
         if args.steps is None:
             args.steps = 16
     if args.steps is None:
-        args.steps = 128
+        # streamed steps move the whole weight set H2D each — keep the
+        # default run short (8 steps is ~1 min at 7B int8 on the tunnel)
+        args.steps = 8 if args.mode == "stream" else 128
     return args
 
 
@@ -413,7 +420,143 @@ def metric_name(args) -> tuple[str, str]:
             f"ttft_p50_ms_llama2_{args.model}_{kind}_b{b}"
             f"_prompt{args.prompt_len}", "ms",
         )
+    if args.mode == "stream":
+        return (
+            f"stream_tok_per_s_llama2_{args.model}_{kind}_b{b}", "tok/s",
+        )
     return f"decode_tok_per_s_per_chip_llama2_{args.model}_{kind}_b{b}", "tok/s"
+
+
+def rand_host_params(cfg: ModelConfig, quant: str | None,
+                     dtype=jnp.bfloat16, group_size: int = 64):
+    """Synthetic HOST-resident layer stack for the streaming bench: the
+    models/streaming.py HostParams layout (fused QKV / W1|W3) built from
+    numpy random arrays — int8 payload+scales for q8, pre-cast dense
+    otherwise. Mirrors what host_qparams_from_quant_weights produces from a
+    real v2 file, without needing a 7B checkpoint in the image."""
+    from hip_llama_tpu.models.streaming import HostLayer, HostParams
+    from hip_llama_tpu.ops.quant import QTensor
+
+    c = cfg
+    rng = np.random.default_rng(0)
+
+    if quant == "q8":
+        def mk(k, n):
+            return QTensor(
+                q=rng.integers(-127, 128, (k, n), dtype=np.int8),
+                s=np.full((k // group_size, n), (k ** -0.5) / 127.0,
+                          np.float32),
+            )
+    else:
+        np_dt = np.dtype(dtype)
+
+        def mk(k, n):
+            return (rng.standard_normal((k, n)).astype(np.float32)
+                    * (k ** -0.5)).astype(np_dt)
+
+    layers = [
+        HostLayer(
+            rms_att=np.ones((c.dim,), np.float32),
+            wqkv=mk(c.dim, c.dim + 2 * c.kv_dim),
+            wo=mk(c.dim, c.dim),
+            rms_ffn=np.ones((c.dim,), np.float32),
+            w13=mk(c.dim, 2 * c.hidden_dim),
+            w2=mk(c.hidden_dim, c.dim),
+        )
+        for _ in range(c.n_layers)
+    ]
+    if quant == "q8":
+        tok_emb = (
+            jnp.asarray(rng.integers(-127, 128, (c.vocab_size, c.dim),
+                                     dtype=np.int8)),
+            jnp.full((c.vocab_size, c.dim // group_size), 1.0 / 127.0,
+                     jnp.float32),
+        )
+        w = mk(c.dim, c.vocab_size)
+        wcls = QTensor(q=jnp.asarray(w.q), s=jnp.asarray(w.s))
+    else:
+        tok_emb = jnp.asarray(
+            rng.standard_normal((c.vocab_size, c.dim)).astype(np.float32)
+            * (c.dim ** -0.5), dtype)
+        wcls = jnp.asarray(mk(c.dim, c.vocab_size))
+    return HostParams(
+        layers=layers, tok_emb=tok_emb,
+        rms_final=jnp.ones((c.dim,), jnp.float32), wcls=wcls,
+    )
+
+
+def host_layer_bytes(hp) -> int:
+    """Per-step H2D bytes: every layer's host tensors stream once."""
+    import jax.tree_util as jtu
+
+    return sum(
+        x.size * x.dtype.itemsize
+        for hl in hp.layers
+        for x in jtu.tree_leaves(hl.tree())
+    )
+
+
+def _sync_tree(bufs):
+    """Force completion of async device_puts — on the tunneled 'axon'
+    platform block_until_ready does not actually wait, so fetch one element
+    of every leaf."""
+    for x in jax.tree.leaves(bufs):
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+def run_stream_bench(args, cfg):
+    """Weight-streaming decode on-chip (VERDICT r3 missing #1): tok/s with
+    per-layer H2D overlapped against compute, vs the measured-H2D-bandwidth
+    speed-of-light. Reference analog: thaDNN_s_forward_70B's calc/copy
+    streams (/root/reference/src/thaDNN.cpp:83-189)."""
+    from hip_llama_tpu.models.streaming import (
+        _put_layer,
+        init_layer_kv,
+        make_streaming_decode_step,
+    )
+
+    b, window = args.batch, args.window
+    dtype = jnp.bfloat16
+    hp = rand_host_params(cfg, args.quant, dtype=dtype)
+    cache = init_layer_kv(cfg, b, seq_len=window, dtype=dtype)
+    step = make_streaming_decode_step(cfg, dtype=dtype)
+
+    tokens = np.zeros((b,), np.int32)
+    # warmup: compiles layer_fn/head_fn and faults host pages once
+    logits, cache = step(hp, cache, tokens, np.full((b,), window // 2, np.int32))
+
+    # raw H2D calibration: stream every layer, synced, no compute
+    t0 = time.perf_counter()
+    for hl in hp.layers:
+        _sync_tree(_put_layer(hl))
+    t_copy = time.perf_counter() - t0
+
+    n = args.steps
+    t0 = time.perf_counter()
+    for i in range(n):
+        logits, cache = step(
+            hp, cache, tokens, np.full((b,), window // 2 + 1 + i, np.int32)
+        )
+    np.asarray(logits)
+    dt_step = (time.perf_counter() - t0) / n
+
+    tok_s = b / dt_step
+    bytes_step = host_layer_bytes(hp)
+    h2d_gbps = bytes_step / t_copy / 1e9
+    # speed-of-light: the streamed bytes at the MEASURED raw H2D bandwidth
+    # (the honest denominator on this transport; a production PCIe/DMA host
+    # has its own bandwidth, same formula)
+    sol_tok = b / t_copy
+    kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
+    print(json.dumps({
+        "metric": f"stream_tok_per_s_llama2_{args.model}_{kind}_b{b}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol_tok, 4),
+        "h2d_gbps": round(h2d_gbps, 2),
+        "copy_s_per_step": round(t_copy, 3),
+        "step_s": round(dt_step, 3),
+    }))
 
 
 def run_bench(args):
@@ -426,6 +569,8 @@ def run_bench(args):
     b, window = args.batch, args.window
     if args.prefix_cache:
         args.paged = True
+    if args.mode == "stream":
+        return run_stream_bench(args, cfg)
 
     if args.quant == "q8":
         if args.paged:

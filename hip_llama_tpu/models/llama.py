@@ -240,8 +240,17 @@ _ENV_QKV_HEADS = os.environ.get("HIPLLAMA_QKV_HEADS", "1") == "1"
 # quantization; HIPLLAMA_KV_COMMIT=0 reverts to the 4-kernel path
 _ENV_KV_COMMIT = os.environ.get("HIPLLAMA_KV_COMMIT", "1") == "1"
 # whole-layer fused decode kernel (QKV+attention+Wo+FFN in one pipeline,
-# ops/layer_fused.py); HIPLLAMA_LAYER_FUSE=0 reverts to the 4-kernel layer
-_ENV_LAYER_FUSE = os.environ.get("HIPLLAMA_LAYER_FUSE", "1") == "1"
+# ops/layer_fused.py); HIPLLAMA_LAYER_FUSE=0 reverts to the 4-kernel layer.
+# Gated to the default `reshape` dequant mode: the fused kernel implements
+# reshape-dequant math only, so under HIPLLAMA_Q8_MODE=a8/repeat/bf16 it
+# would silently mix numerics across layers (eligible layers reshape,
+# ineligible ones the other mode). Note the HIPLLAMA_ATTN_BB/BLOCK_K/I8MXU
+# knobs configure the STANDALONE attention kernel only — the fused layer
+# kernel has its own defaults (bb=2, block_k=128, i8mxu on).
+_ENV_LAYER_FUSE = (
+    os.environ.get("HIPLLAMA_LAYER_FUSE", "1") == "1"
+    and os.environ.get("HIPLLAMA_Q8_MODE", "reshape") == "reshape"
+)
 
 
 def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 _ENV_BNQ = int(os.environ.get("HIPLLAMA_LAYER_BNQ", "0"))
 _ENV_BNC = int(os.environ.get("HIPLLAMA_LAYER_BNC", "0"))
 _ENV_BND = int(os.environ.get("HIPLLAMA_LAYER_BND", "0"))
+_ENV_BB = int(os.environ.get("HIPLLAMA_LAYER_BB", "0"))
+_ENV_BK = int(os.environ.get("HIPLLAMA_LAYER_BK", "0"))
+# trace-time engagement probe: prints once per traced call whether the
+# fused layer kernel ENGAGES or DECLINES (and why-shape) — BASELINE.md's
+# "prove it engages at 7B shapes" evidence without a profiler run
+_ENV_DEBUG_FUSE = os.environ.get("HIPLLAMA_DEBUG_FUSE", "0") == "1"
 
 from hip_llama_tpu.ops.attention import MASK_VALUE, _quant_rows_i8
 from hip_llama_tpu.ops.quant import QTensor, _rope_rotate_cols
@@ -348,7 +355,11 @@ def q8_layer_fused(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    bk = block_k or (128 if s % 128 == 0 else s)
+    if _ENV_BB and b % _ENV_BB == 0:
+        bb = _ENV_BB
+    bk = block_k or _ENV_BK or (128 if s % 128 == 0 else s)
+    if s % bk or bk % 128:
+        bk = 128 if s % 128 == 0 else s
     bnq = _ENV_BNQ or 8 * hs
     if nqkv % bnq or bnq % (8 * hs):
         bnq = 8 * hs
@@ -360,20 +371,31 @@ def q8_layer_fused(
         bnd = 256
     while bnd > gs and hidden % bnd:
         bnd //= 2
-    if (
+    decline = (
         hs != head_size or hs % 128
         or d != h * hs
         or nqkv != d + 2 * kvh * hs
         or nqkv % bnq or d % bnc or hidden % bnd or bnd % gs
         or d % gs or s % bk or bk % 128
         or b % bb or bb < 1
+        # in-kernel sublane slices of qkv_scr at offsets h / h+kvh must be
+        # 8-aligned or Mosaic rejects the static slice (ADVICE r3)
+        or h % 8 or kvh % 8
         or wo.q.shape != (d, d) or w13.q.shape != (d, 2 * hidden)
         or w2.q.shape != (hidden, d)
         or not (wo.group_size == w13.group_size == w2.group_size == gs)
         or b > 64
         or d * bnq > 16 * 2 ** 20  # double-buffered QKV strip residency
         or 3 * d * bnd > 40 * 2 ** 20  # w1+w3+w2 strip residency
-    ):
+    )
+    if _ENV_DEBUG_FUSE:
+        print(
+            f"[layer_fused] {'DECLINE' if decline else 'ENGAGE'} "
+            f"b={b} d={d} h={h} kvh={kvh} hs={hs} hidden={hidden} s={s} "
+            f"gs={gs} bnq={bnq} bnc={bnc} bnd={bnd} bk={bk}",
+            file=sys.stderr,
+        )
+    if decline:
         return None
 
     na = nqkv // bnq
@@ -387,9 +409,6 @@ def q8_layer_fused(
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
     g0 = d // gs  # K-groups of the D-contraction weights
     g2n = bnd // gs  # K-groups of a W2 row strip
-
-    def const_map(*_):
-        return None  # placeholder, replaced below per-spec
 
     def qkv_map(t, layer_ref, pos_ref, maxpos_ref):
         return (0, jnp.minimum(t, na - 1))
@@ -505,7 +524,6 @@ def q8_layer_fused(
             pltpu.VMEM((b, d), jnp.float32),  # ffn accumulator
         ],
     )
-    kv_tile = bb * kvh * bk * hs * k_cache.dtype.itemsize
     out = pl.pallas_call(
         functools.partial(_layer_kernel, cfg=cfg),
         grid_spec=grid_spec,

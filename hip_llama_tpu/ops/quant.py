@@ -760,10 +760,15 @@ def q8_matmul(
     # and the x strip stays small (prefill calls come in with b up to B*T).
     # Only for the default `reshape` mode: `repeat`/`bf16` materialize an
     # extra (BK, BN) bf16 tile on the scoped-vmem stack and bust the 16 MiB
-    # limit at (11008, 512) — observed on a real v5e.
+    # limit at (11008, 512) — observed on a real v5e. `group_dot` also
+    # materializes its bf16 tile, but with the raised vmem_limit below it
+    # fits (the mode was previously only ever measured under multi-K-block
+    # accumulator round-trips, which buried its actual cost).
     if (
-        dequant_mode in ("reshape", "a8")
+        dequant_mode in ("reshape", "a8", "group_dot")
         and k % gs == 0
+        and k * block_n * (2 if dequant_mode == "group_dot" else 1)
+        <= 16 * 2 ** 20
         and k * block_n <= 8 * 2 ** 20
         and b * k * 2 <= 2 * 2 ** 20
     ):
@@ -812,6 +817,10 @@ def q8_matmul(
     if out_heads and (
         n % out_heads or block_n % out_heads
         or (block_n // out_heads) % 8
+        # the rounding above can leave a NON-DIVISOR block_n (env-overridden
+        # widths, e.g. 2560 -> 2048 with n=15360): a non-divisor block would
+        # FLOOR the grid and silently drop the tail head slices — emit flat
+        or n % block_n
     ):
         # head-split output needs head-aligned, 8-sublane-aligned column
         # blocks; otherwise emit flat and let the caller reshape
@@ -938,6 +947,11 @@ def q8_matmul(
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_sem,
+            # group_dot materializes the bf16 weight tile on the scoped
+            # stack — give it headroom beyond the 16 MiB default
+            vmem_limit_bytes=(
+                64 * 2 ** 20 if dequant_mode == "group_dot" else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (b + pad_m) * k * n,

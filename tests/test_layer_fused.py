@@ -26,7 +26,7 @@ def _rand_qt(rng, k, n, gs=64):
     return q8_quantize_weights(jnp.asarray(w), gs)
 
 
-@pytest.mark.parametrize("h,kvh", [(8, 8), (8, 4)])
+@pytest.mark.parametrize("h,kvh", [(8, 8), (16, 8)])
 @pytest.mark.parametrize("quantized", [False, True])
 def test_layer_kernel_matches_composed(h, kvh, quantized):
     rng = np.random.default_rng(0)
@@ -82,6 +82,28 @@ def test_layer_kernel_declines_misaligned():
     rng = np.random.default_rng(1)
     d, h, kvh, hs, hid = 512, 4, 4, 128, 1024
     # nqkv = 1536, not divisible by the 8*HS strip — must return None
+    wqkv = _rand_qt(rng, d, d + 2 * kvh * hs)
+    wo = _rand_qt(rng, d, d)
+    w13 = _rand_qt(rng, d, 2 * hid)
+    w2 = _rand_qt(rng, hid, d)
+    g = jnp.ones((d,), jnp.float32)
+    x = jnp.zeros((4, d), jnp.bfloat16)
+    kc = jnp.zeros((4, 1, kvh, 256, hs), jnp.bfloat16)
+    pos = jnp.zeros((4,), jnp.int32)
+    assert q8_layer_fused(
+        x, wqkv, wo, w13, w2, g, g, kc, kc, jnp.int32(0), pos,
+        n_heads=h, head_size=hs, hidden=hid,
+    ) is None
+
+
+def test_layer_kernel_declines_unaligned_head_counts():
+    """h or kvh not a multiple of 8 (e.g. GQA kvh=4): the in-kernel
+    sublane slices of qkv_scr at offsets h / h+kvh would not be 8-aligned
+    and Mosaic would reject the static slice on real TPU — the kernel must
+    DECLINE to the 4-kernel path instead (ADVICE r3)."""
+    rng = np.random.default_rng(2)
+    h, kvh, hs, hid = 8, 4, 128, 1024
+    d = h * hs
     wqkv = _rand_qt(rng, d, d + 2 * kvh * hs)
     wo = _rand_qt(rng, d, d)
     w13 = _rand_qt(rng, d, 2 * hid)

@@ -19,6 +19,7 @@ of the whole cache.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,22 @@ from jax.experimental.pallas import tpu as pltpu
 def _sublane_window(dtype) -> int:
     # max sublane tile Mosaic may pick: 8 * (4 / itemsize)
     return max(8, (8 * 4) // jnp.dtype(dtype).itemsize)
+
+
+# RMW window width for the per-step row writers. Mosaic accepts HBM
+# sublane slices aligned to 8 (probed on v5e, tools/kv_direct_probe.py),
+# so the window can be narrower than the VMEM sublane tile — 8 rows moves
+# 4x less window traffic than 32 for int8 caches. Env-overridable for
+# sweeps (HIPLLAMA_KV_W=32 restores the old tile-width windows).
+_ENV_KV_W = int(os.environ.get("HIPLLAMA_KV_W", "8"))
+
+
+def _rmw_window(dtype, s: int) -> int:
+    w = _ENV_KV_W if _ENV_KV_W >= 8 else 8
+    w = min(w, _sublane_window(dtype), s)
+    while s % w:
+        w //= 2
+    return max(w, 1)
 
 
 def _kv_write_kernel(
@@ -128,7 +145,7 @@ def kv_write_rows(
     valid_arr = (
         jnp.ones((b,), jnp.int32) if valid is None else valid.astype(jnp.int32)
     )
-    w = min(_sublane_window(cache.dtype), s)
+    w = _rmw_window(cache.dtype, s)
     # window_slice clamps start to s - w and asserts (pl.multiple_of) that
     # the result is window-aligned — only true when w divides s
     assert s % w == 0, (s, w)
@@ -302,7 +319,7 @@ def kv_commit_rows(
     valid_arr = (
         jnp.ones((b,), jnp.int32) if valid is None else valid.astype(jnp.int32)
     )
-    w = min(_sublane_window(k_cache.dtype), s)
+    w = _rmw_window(k_cache.dtype, s)
     assert s % w == 0, (s, w)
     if quantized:
         assert s % 128 == 0, s  # 128-lane scale windows
@@ -619,7 +636,7 @@ def kv_write_rows_paged(
         interpret = jax.default_backend() == "cpu"
     n_layers, kvh, p, ps, hs = pages.shape
     b = rows.shape[1]
-    w = min(_sublane_window(pages.dtype), ps)
+    w = _rmw_window(pages.dtype, ps)
     assert ps % w == 0, (ps, w)  # see kv_write_rows: clamp alignment
     l_chunk = _pick_l_chunk(n_layers, kvh, w, hs, pages.dtype.itemsize)
     rows4 = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (B, L, KVH, HS)

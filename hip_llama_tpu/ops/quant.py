@@ -121,27 +121,44 @@ def _q8_kernel_norm_rope(x_ref, q_ref, s_ref, g_ref, p_ref, o_ref, acc_ref,
                p_ref=p_ref, **kw)
 
 
+# in-kernel rope pairswap implementation: "roll" (two lane rotates + a
+# parity select — 3 cheap VPU passes) or "perm" (the signed permutation
+# MATMUL the epilogue shipped with — builds a (BN, BN) matrix per grid
+# step). Both are exact (every partner element is a single negation).
+_ENV_ROPE_IMPL = os.environ.get("HIPLLAMA_ROPE_IMPL", "perm")
+
+
 def _rope_rotate_cols(acc, pos_f32, col0, rot_limit: int, head_size: int,
                       theta: float):
     """RoPE over fp32 rows whose columns col0..col0+W-1 lie in a
     q|k|v-concatenated layout: rotate consecutive (even, odd) pairs of the
     first `rot_limit` columns (q and k segments; both are head_size-aligned
     so `col % head_size` is the in-head offset), pass the rest (v) through.
-    Mirrors models/llama.py::rope bit-for-bit in fp32 — the pairswap is the
-    same signed permutation matmul, block-local (pairs never straddle an
-    even-width block)."""
+    Mirrors models/llama.py::rope bit-for-bit in fp32 — partner[2i] =
+    -acc[2i+1], partner[2i+1] = acc[2i], block-local (pairs never straddle
+    an even-width block)."""
     bn = acc.shape[-1]
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1)
     pair = ((col % head_size) // 2).astype(jnp.float32)
     freq = jnp.exp(pair * jnp.float32(-2.0 * math.log(theta) / head_size))
     ang = pos_f32 * freq  # (M, 1) * (1, BN)
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
-    c_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
-    perm = jnp.where(
-        (r_i % 2 == 0) & (c_i == r_i + 1), 1.0,
-        jnp.where((r_i % 2 == 1) & (c_i == r_i - 1), -1.0, 0.0),
-    ).astype(jnp.float32)
-    partner = jnp.dot(acc, perm, preferred_element_type=jnp.float32)
+    if _ENV_ROPE_IMPL == "roll":
+        # lane-rotate pairswap: roll(-1) brings x[2i+1] to even lane 2i,
+        # roll(+1) brings x[2i] to odd lane 2i+1; a lane-parity select +
+        # sign flip assembles the signed partner. 3 VPU passes over (M, BN)
+        # vs the perm matmul's per-step (BN, BN) matrix build.
+        even = (jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) % 2) == 0
+        partner = jnp.where(
+            even, -jnp.roll(acc, -1, axis=-1), jnp.roll(acc, 1, axis=-1)
+        )
+    else:
+        r_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+        perm = jnp.where(
+            (r_i % 2 == 0) & (c_i == r_i + 1), 1.0,
+            jnp.where((r_i % 2 == 1) & (c_i == r_i - 1), -1.0, 0.0),
+        ).astype(jnp.float32)
+        partner = jnp.dot(acc, perm, preferred_element_type=jnp.float32)
     rot = acc * jnp.cos(ang) + partner * jnp.sin(ang)
     return jnp.where(col < rot_limit, rot, acc)
 
@@ -252,15 +269,14 @@ def _q8_kernel(
         # order (runq.c:332-337) with bf16 activations.
         w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.bfloat16)  # (BK, BN) — 1 VPU pass
         bk, bn = w.shape
-        b = x_ref.shape[0]
         w3 = w.reshape(n_groups, gs, bn)  # sublane-split: layout-free
-        x3 = (
-            x_val.astype(jnp.bfloat16).reshape(b, n_groups, gs)
-            .transpose(1, 0, 2)
-        )  # small relayout (B x BK only)
+        # Mosaic can't lane-split (B, BK) -> (B, G, gs); transpose x once
+        # (BK to sublanes) and the (G, gs, B) split is layout-free — same
+        # trick as the a8 quantizer above
+        x3 = x_val.astype(jnp.bfloat16).T.reshape(n_groups, gs, -1)
         partial = jax.lax.dot_general(
             x3, w3,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (n_groups, B, BN)
         acc_ref[:] += jnp.sum(partial * s[:, None, :], axis=0)
@@ -379,6 +395,10 @@ def _q8_kernel_silu(
 
         acc1_ref[:] += mm(q1_ref, s1_ref)
         acc2_ref[:] += mm(q2_ref, s2_ref)
+    elif dequant_mode == "group_dot":
+        xb = _normed_x().astype(jnp.bfloat16)
+        acc1_ref[:] += _gd_mm(xb, q1_ref, s1_ref, n_groups, gs)
+        acc2_ref[:] += _gd_mm(xb, q2_ref, s2_ref, n_groups, gs)
     else:
         xb = _normed_x().astype(jnp.bfloat16)
 
@@ -540,10 +560,30 @@ q8_matmul_silu = jax.jit(
 )
 
 
+def _gd_mm(xb, q_ref, s_ref, ng, gs):
+    """group_dot matmul: scale AFTER per-group batched int8->bf16 dots —
+    ONE VPU pass over the weight tile instead of three (see _q8_kernel's
+    group_dot branch; exactly runq's grouped accumulation order)."""
+    w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(
+        jnp.bfloat16
+    )
+    bk, bn = w.shape
+    s = s_ref[...].reshape(ng, s_ref.shape[-1])
+    w3 = w.reshape(ng, gs, bn)
+    # transpose x so the group split lands on sublanes (Mosaic rejects the
+    # (B, BK) -> (B, G, gs) lane-split shape cast)
+    x3 = xb.T.reshape(ng, gs, -1)
+    partial = jax.lax.dot_general(
+        x3, w3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (ng, B, BN)
+    return jnp.sum(partial * s[:, None, :], axis=0)
+
+
 def _q8_kernel_ffn(
     x_ref, q1_ref, s1_ref, q3_ref, s3_ref, q2_ref, s2_ref, g_ref, r_ref,
     o_ref, acc_ref, xn_scr, *, n_groups: int, n_groups2: int, gs: int,
-    last_i: int, norm_eps: float,
+    last_i: int, norm_eps: float, dequant_mode: str = "reshape",
 ):
     """Whole-FFN kernel: o = r + (silu(xn@W1) * (xn@W3)) @ W2 with
     xn = rmsnorm(x, g). Grid is the hidden dimension in `bn`-column strips;
@@ -577,14 +617,20 @@ def _q8_kernel_ffn(
         return w.reshape(bk, bn).astype(jnp.bfloat16)
 
     xb = xn_scr[:].astype(jnp.bfloat16)
-    h1 = jnp.dot(xb, dq(q1_ref, s1_ref, n_groups),
-                 preferred_element_type=jnp.float32)
-    h3 = jnp.dot(xb, dq(q3_ref, s3_ref, n_groups),
-                 preferred_element_type=jnp.float32)
-    # same cast point as the two-kernel path: silu gate on fp32, h in bf16
-    hb = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)  # (B, BN)
-    acc_ref[:] += jnp.dot(hb, dq(q2_ref, s2_ref, n_groups2),
-                          preferred_element_type=jnp.float32)
+    if dequant_mode == "group_dot":
+        h1 = _gd_mm(xb, q1_ref, s1_ref, n_groups, gs)
+        h3 = _gd_mm(xb, q3_ref, s3_ref, n_groups, gs)
+        hb = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)
+        acc_ref[:] += _gd_mm(hb, q2_ref, s2_ref, n_groups2, gs)
+    else:
+        h1 = jnp.dot(xb, dq(q1_ref, s1_ref, n_groups),
+                     preferred_element_type=jnp.float32)
+        h3 = jnp.dot(xb, dq(q3_ref, s3_ref, n_groups),
+                     preferred_element_type=jnp.float32)
+        # same cast point as the two-kernel path: silu gate on fp32, h bf16
+        hb = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)  # (B, BN)
+        acc_ref[:] += jnp.dot(hb, dq(q2_ref, s2_ref, n_groups2),
+                              preferred_element_type=jnp.float32)
 
     @pl.when(i == last_i)
     def _():
@@ -593,7 +639,8 @@ def _q8_kernel_ffn(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "interpret", "out_dtype", "norm_eps"),
+    static_argnames=("block_n", "interpret", "out_dtype", "norm_eps",
+                     "dequant_mode"),
 )
 def q8_matmul_ffn(
     x: jax.Array,  # (B, K)
@@ -606,6 +653,7 @@ def q8_matmul_ffn(
     block_n: int = 256,
     interpret: bool | None = None,
     out_dtype=None,
+    dequant_mode: str = _ENV_MODE,
 ) -> jax.Array:
     """residual + FFN(rmsnorm(x)) in ONE fused Q8 kernel (see
     _q8_kernel_ffn). Decode-shaped calls only (small B, whole K row in
@@ -667,6 +715,11 @@ def q8_matmul_ffn(
     kernel = functools.partial(
         _q8_kernel_ffn, n_groups=n_groups, n_groups2=n_groups2, gs=gs,
         last_i=grid[0] - 1, norm_eps=norm_eps,
+        # only group_dot changes the in-kernel math; a8/repeat/bf16 keep
+        # the reshape dequant here (this kernel's strips are decode-shaped)
+        dequant_mode=(
+            "group_dot" if dequant_mode == "group_dot" else "reshape"
+        ),
     )
     return pl.pallas_call(
         kernel,

@@ -23,13 +23,35 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "7b"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     import dataclasses
-    cfg = dataclasses.replace(CONFIGS[model], seq_len=512)
-    tok = Tokenizer.from_file("/root/reference/assets/tokenizer.bin", cfg.vocab_size)
-    params = rand_qparams_unrolled_on_device(cfg)
-    eng = InferenceEngine(
-        cfg, params, tok, batch_size=1, attn_impl="pallas",
-        precision="default", use_prefill=True, kv_quant=True,
-    )
+    if model == "golden":
+        # the committed TRAINED fixture (assets/golden, built by
+        # tools/gen_golden_fixture.py): real text with real redundancy, so
+        # prompt-lookup acceptance is non-degenerate — the honest
+        # spec-decode multiplier (VERDICT r3 #9), vs the random-weight
+        # upper-bound demo below
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        from hip_llama_tpu.io.checkpoint import load_checkpoint
+        from hip_llama_tpu.models.params import params_from_weights
+
+        cfg, w = load_checkpoint(os.path.join(repo, "assets/golden/model.bin"))
+        tok = Tokenizer.from_file(
+            os.path.join(repo, "assets/golden/tokenizer.bin"), cfg.vocab_size
+        )
+        params = params_from_weights(w, dtype=jnp.float32)
+        eng = InferenceEngine(
+            cfg, params, tok, batch_size=1, attn_impl="xla",
+            precision="highest", use_prefill=True,
+        )
+    else:
+        cfg = dataclasses.replace(CONFIGS[model], seq_len=512)
+        tok = Tokenizer.from_file(
+            "/root/reference/assets/tokenizer.bin", cfg.vocab_size
+        )
+        params = rand_qparams_unrolled_on_device(cfg)
+        eng = InferenceEngine(
+            cfg, params, tok, batch_size=1, attn_impl="pallas",
+            precision="default", use_prefill=True, kv_quant=True,
+        )
     prompt = "Once upon a time"
     # warm both paths (compile)
     eng.generate(prompt, steps=8)
@@ -50,8 +72,9 @@ def main():
         if a != b:
             break
         match += 1
+    kind = "fp32_trained" if model == "golden" else "int8"
     print(json.dumps({
-        "metric": f"b1_generate_tok_s_{model}_int8",
+        "metric": f"b1_generate_tok_s_{model}_{kind}",
         "plain": round(base.n_gen_tokens / base_s, 2),
         "spec_lookup_k4": round(spec.n_gen_tokens / spec_s, 2),
         "speedup": round(base_s / spec_s, 2),

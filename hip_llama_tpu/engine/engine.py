@@ -175,6 +175,12 @@ class InferenceEngine:
             pprefill = make_paged_prefill(cfg, precision=precision)
             self._paged_step = jax.jit(pstep, donate_argnums=(1,), compiler_options=copts)
             self._paged_prefill = jax.jit(pprefill, donate_argnums=(1,), compiler_options=copts)
+            # last-valid-row logits for the chunked scheduler: skips the
+            # (B, T, V) classifier + transfer it never reads
+            self._paged_prefill_last = jax.jit(
+                make_paged_prefill(cfg, precision=precision, last_only=True),
+                donate_argnums=(1,), compiler_options=copts,
+            )
 
         self._cache_sharding = cache_sharding
         self._sstep = None
@@ -238,6 +244,13 @@ class InferenceEngine:
 
         step = make_decode_step(cfg, attn_impl=attn_impl, precision=precision)
         prefill = make_prefill(cfg, attn_impl=attn_impl, precision=precision)
+        # chunked-scheduler variant: logits for each slot's LAST valid row
+        # only — the (B, T, V) classifier matmul (0.5 GB of fp32 logits at
+        # 7B b8xT512) and its D2H transfer are skipped; the full variant
+        # stays for the speculative verifier (needs per-position logits)
+        prefill_last = make_prefill(
+            cfg, attn_impl=attn_impl, precision=precision, last_only=True
+        )
         donate = dict(donate_argnums=(1,), compiler_options=copts)
         if shardings is not None:
             self._step = jax.jit(
@@ -252,9 +265,16 @@ class InferenceEngine:
                 out_shardings=(None, shardings.cache),
                 **donate,
             )
+            self._prefill_last = jax.jit(
+                prefill_last,
+                in_shardings=(shardings.params, shardings.cache, None, None, None),
+                out_shardings=(None, shardings.cache),
+                **donate,
+            )
         else:
             self._step = jax.jit(step, **donate)
             self._prefill = jax.jit(prefill, **donate)
+            self._prefill_last = jax.jit(prefill_last, **donate)
 
     # -- helpers ------------------------------------------------------------
 
@@ -305,10 +325,16 @@ class InferenceEngine:
         return self._step(self.params, cache, tokens, pos)
 
     def _do_prefill(self, cache, toks, start, valid, bm=None, b: int | None = None):
+        """Scheduler-side prefill: uses the last-valid-row logits variant
+        when available ((B, V) instead of (B, T, V) — the scheduler only
+        reads row valid-1); host/custom prefills return full logits and
+        _prefill_tokens handles both shapes."""
         if self.paged:
             table = self._table(bm, b)
-            return self._paged_prefill(self.params, cache, table, toks, start, valid)
-        return self._prefill(self.params, cache, toks, start, valid)
+            pf = getattr(self, "_paged_prefill_last", None) or self._paged_prefill
+            return pf(self.params, cache, table, toks, start, valid)
+        pf = getattr(self, "_prefill_last", None) or self._prefill
+        return pf(self.params, cache, toks, start, valid)
 
     def _prefill_tokens(
         self,
@@ -347,7 +373,10 @@ class InferenceEngine:
             logits_h = np.asarray(logits)
             for s in list(remaining):
                 if valid[s] > 0:
-                    last_logits[s] = logits_h[s, valid[s] - 1]
+                    last_logits[s] = (
+                        logits_h[s] if logits_h.ndim == 2
+                        else logits_h[s, valid[s] - 1]
+                    )
         return last_logits, cache
 
     # -- generate mode (llama.cpp:522-579) -----------------------------------

@@ -790,9 +790,18 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
 # chunked prefill
 
 
-def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "highest"):
+def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
+                 precision: str = "highest", last_only: bool = False):
     """Returns prefill(params, cache, tokens (B, T), start (B,), valid_len
     (B,)) -> (logits fp32 (B, T, V), cache).
+
+    `last_only=True` instead returns logits fp32 (B, V) for each slot's
+    LAST valid position only: the x rows are gathered BEFORE the final
+    norm + classifier, so the (B, T, V) logits tensor (0.5 GB at 7B
+    b8xT512) is never computed or materialized — a chunked serving prefill
+    only ever consumes row valid-1 of the final chunk (engine.py
+    _prefill_tokens). The speculative verifier needs per-position logits
+    and keeps the full variant.
 
     Processes up to T prompt tokens per slot in one pass (positions
     start..start+valid_len-1) — the TTFT lever the reference lacks (it
@@ -1003,6 +1012,11 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla", precision: str = "hig
             (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
                 layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
             )
+        if last_only:
+            # gather each slot's last valid row BEFORE the classifier
+            # (valid_len=0 bystanders gather row 0; callers ignore them)
+            idx = jnp.maximum(valid_len - 1, 0)
+            x = x[jnp.arange(b), idx]  # (B, D)
         logits = _mm_norm(
             x, params.rms_final, params.wcls, c.norm_eps
         ).astype(jnp.float32)

@@ -236,9 +236,12 @@ def make_paged_chunked_sampling_step(
     return chunk
 
 
-def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
+def make_paged_prefill(cfg: ModelConfig, precision: str = "highest",
+                       last_only: bool = False):
     """Returns prefill(params, cache, page_table, tokens (B, T), start (B,),
-    valid (B,)) -> (logits (B, T, V), cache).
+    valid (B,)) -> (logits (B, T, V), cache); (B, V) last-valid-row logits
+    with last_only=True (see models/llama.py make_prefill — skips the
+    (B, T, V) classifier the chunked scheduler never reads).
 
     REQUIRES page-aligned starts and T <= page_size (each chunk lands in
     exactly one page window per slot) — the engine guarantees this by using
@@ -363,6 +366,8 @@ def make_paged_prefill(cfg: ModelConfig, precision: str = "highest"):
         (x, new_k, new_v, new_ks, new_vs), _ = lax.scan(
             layer, (x, cache.k, cache.v, ks0, vs0), layer_xs
         )
+        if last_only:
+            x = x[jnp.arange(b), jnp.maximum(valid - 1, 0)]  # (B, D)
         logits = _mm_norm(
             x, params.rms_final, params.wcls, c.norm_eps
         ).astype(jnp.float32)

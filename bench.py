@@ -690,8 +690,12 @@ def run_bench(args):
         from hip_llama_tpu.xla_tuning import decode_compiler_options
 
         copts = decode_compiler_options()
+        # last_only: the serving configuration (engine.py) — logits for each
+        # slot's final prompt position only; the (B, T, V) classifier the
+        # scheduler never reads is skipped
         prefill = jax.jit(
-            make_prefill(cfg, attn_impl=args.attn, precision="default"),
+            make_prefill(cfg, attn_impl=args.attn, precision="default",
+                         last_only=True),
             donate_argnums=(1,), compiler_options=copts,
         )
         step = jax.jit(

@@ -1018,7 +1018,10 @@ def attention_decode_pallas(
     elif _ENV_DECODE_BB >= 0:
         bb = _ENV_DECODE_BB
     else:
-        bb = 2  # auto default; the b % bb gate below skips odd batches
+        # auto default; the b % bb gate below skips odd batches. bb=4
+        # (r4 sweep: 706.4 vs 702.9 at bb=2, 7B b8) — halves the grid
+        # steps again over bb=2; bb=8 lost to serialized in-kernel unrolls
+        bb = 4 if b % 4 == 0 else 2
     bb_dyn = max(bb, 1)
     if (
         _ENV_DYN

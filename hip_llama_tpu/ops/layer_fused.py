@@ -334,7 +334,7 @@ def q8_layer_fused(
     norm_eps: float = 1e-5,
     theta: float = 10000.0,
     i8mxu: bool = True,
-    bb: int = 2,
+    bb: int = 4,  # r4 sweep: 705.0 vs 702.9 at bb=2 (7B b8)
     block_k: int | None = None,
     interpret: bool | None = None,
 ):
@@ -357,6 +357,8 @@ def q8_layer_fused(
 
     if _ENV_BB and b % _ENV_BB == 0:
         bb = _ENV_BB
+    while bb > 1 and b % bb:
+        bb //= 2  # shrink to a divisor instead of declining whole batches
     bk = block_k or _ENV_BK or (128 if s % 128 == 0 else s)
     if s % bk or bk % 128:
         bk = 128 if s % 128 == 0 else s

@@ -26,6 +26,10 @@ from typing import NamedTuple
 _ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q8_BLOCK_N", "512"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q8_BLOCK_K", "1024"))
 _ENV_MODE = os.environ.get("HIPLLAMA_Q8_MODE", "reshape")
+# large-M (prefill) matmuls: m-innermost grid with dequant-once scratch
+# (see _q8_kernel_minner); HIPLLAMA_PREFILL_MINNER=0 restores the
+# m-outermost grid that re-dequantizes the weight set per m-block
+_ENV_PREFILL_MINNER = os.environ.get("HIPLLAMA_PREFILL_MINNER", "1") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +129,9 @@ def _q8_kernel_norm_rope(x_ref, q_ref, s_ref, g_ref, p_ref, o_ref, acc_ref,
 # parity select — 3 cheap VPU passes) or "perm" (the signed permutation
 # MATMUL the epilogue shipped with — builds a (BN, BN) matrix per grid
 # step). Both are exact (every partner element is a single negation).
-_ENV_ROPE_IMPL = os.environ.get("HIPLLAMA_ROPE_IMPL", "perm")
+# roll measured +4 tok/s at 7B b8 decode (710.4 vs 706.4 with ATTN_BB=4,
+# r4 sweep) — default since round 4.
+_ENV_ROPE_IMPL = os.environ.get("HIPLLAMA_ROPE_IMPL", "roll")
 
 
 def _rope_rotate_cols(acc, pos_f32, col0, rot_limit: int, head_size: int,
@@ -483,6 +489,61 @@ def q8_matmul_silu(
         x = _rmsnorm_rows(x, norm_weight, norm_eps)
         norm_weight = None
     n_groups = bk // gs
+    if (
+        _ENV_PREFILL_MINNER
+        and bp > block_m
+        and dequant_mode == "reshape"
+        and norm_weight is None
+        and bn % 128 == 0
+        and bp * bn * 8 <= 24 * 2 ** 20  # two full-height accumulators
+    ):
+        # large-M path: m-inner grid + dequant-once (see _q8_kernel_minner)
+        grid = (h // bn, k // bk, bp // block_m)
+        s_blocked = qt.s.reshape(k // bk, n_groups, n2)
+        n_off = h // bn
+        in_specs = [
+            pl.BlockSpec((block_m, bk), lambda i, j, m: (m, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, m: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, bn), lambda i, j, m: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, m: (j, i + n_off),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_groups, bn), lambda i, j, m: (j, 0, i + n_off),
+                         memory_space=pltpu.VMEM),
+        ]
+        out = pl.pallas_call(
+            functools.partial(
+                _q8_kernel_silu_minner, n_groups=n_groups, gs=gs,
+                last_j=grid[1] - 1, block_m=block_m,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((bp, bn), jnp.float32),
+                pltpu.VMEM((bp, bn), jnp.float32),
+                pltpu.VMEM((bk, bn), jnp.bfloat16),
+                pltpu.VMEM((bk, bn), jnp.bfloat16),
+                pltpu.VMEM((block_m, bn), out_dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 2 ** 20,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * bp * k * h,
+                bytes_accessed=k * n2 + (k // gs) * n2 * 4 + bp * k * 2
+                + bp * h * 4,
+                transcendentals=bp * h,
+            ),
+            interpret=interpret,
+        )(x, qt.q, s_blocked, qt.q, s_blocked)
+        return out[:b] if pad_m else out
     n_off = h // bn  # W3 column-block offset
     grid = (bp // block_m, h // bn, k // bk)
     s_blocked = qt.s.reshape(k // bk, n_groups, n2)
@@ -746,6 +807,207 @@ def q8_matmul_ffn(
     )(*operands)
 
 
+def _q8_kernel_minner(
+    x_ref, q_ref, s_ref, *rest, n_groups: int, gs: int, last_j: int,
+    m_blocks: int, block_m: int, rope_spec=None, has_res: bool,
+    has_rope: bool,
+):
+    """Large-M (prefill) q8 matmul with the M axis INNERMOST: grid
+    (n, k, m). The weight tile at (k, n) stays resident across all m
+    steps, and its dequant runs ONCE into a bf16 scratch (at m == 0)
+    instead of once per m-block — the m-outermost grid dequantized (and
+    re-streamed) the full weight set m_blocks times, which throttled
+    prefill matmuls to ~73% of MXU peak (VPU-bound; profile r4). The
+    full-height accumulator lives in VMEM scratch, so there are NO
+    output-block RMW round-trips (the round-1 m-inner attempt accumulated
+    through the output and lost, BASELINE.md)."""
+    if has_res and has_rope:
+        r_ref, p_ref, o_hbm, acc_ref, dq_ref, stage_ref, sem = rest
+    elif has_res:
+        r_ref, o_hbm, acc_ref, dq_ref, stage_ref, sem = rest
+        p_ref = None
+    elif has_rope:
+        p_ref, o_hbm, acc_ref, dq_ref, stage_ref, sem = rest
+        r_ref = None
+    else:
+        o_hbm, acc_ref, dq_ref, stage_ref, sem = rest
+        r_ref = p_ref = None
+    ni = pl.program_id(0)
+    j = pl.program_id(1)
+    m = pl.program_id(2)
+    bn = dq_ref.shape[-1]
+
+    @pl.when(m == 0)
+    def _dequant_once():
+        s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(
+            jnp.float32
+        )
+        bk, _ = w.shape
+        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+        dq_ref[:] = w.reshape(bk, bn).astype(jnp.bfloat16)
+
+    msl = pl.ds(m * block_m, block_m)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc_ref[msl] = jnp.zeros_like(acc_ref[msl])
+
+    acc_ref[msl] += jnp.dot(
+        x_ref[...].astype(jnp.bfloat16), dq_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+
+    # output leaves via explicit DMA at the last K step: an out BlockSpec
+    # revisited under the (n, k, m) grid would write the block back at
+    # EVERY m transition (k_blocks redundant HBM writes per block)
+    @pl.when(j == last_j)
+    def _emit():
+        acc = acc_ref[msl]
+        if r_ref is not None:
+            acc = acc + r_ref[...].astype(jnp.float32)
+        if p_ref is not None:
+            rot_limit, head_size, theta = rope_spec
+            acc = _rope_rotate_cols(
+                acc, p_ref[...].astype(jnp.float32),
+                ni * bn, rot_limit, head_size, theta,
+            )
+        stage_ref[:] = acc.astype(stage_ref.dtype)
+        cp = pltpu.make_async_copy(
+            stage_ref,
+            o_hbm.at[pl.ds(m * block_m, block_m), pl.ds(ni * bn, bn)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+
+def _q8_kernel_silu_minner(
+    x_ref, q1_ref, s1_ref, q3_ref, s3_ref, *rest, n_groups: int, gs: int,
+    last_j: int, block_m: int,
+):
+    """Large-M fused-SwiGLU with the m-inner grid + dequant-once scratch
+    (see _q8_kernel_minner — same structure, two weight strips and the
+    silu gate on the fp32 accumulators)."""
+    o_hbm, acc1_ref, acc2_ref, dq1_ref, dq3_ref, stage_ref, sem = rest
+    ni = pl.program_id(0)  # hoisted: unavailable inside pl.when (interpret)
+    j = pl.program_id(1)
+    m = pl.program_id(2)
+    bn = dq1_ref.shape[-1]
+
+    @pl.when(m == 0)
+    def _dequant_once():
+        for q_ref, s_ref, dq_ref in (
+            (q1_ref, s1_ref, dq1_ref), (q3_ref, s3_ref, dq3_ref),
+        ):
+            s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
+            w = q_ref[...].reshape(
+                q_ref.shape[-2], q_ref.shape[-1]
+            ).astype(jnp.float32)
+            bk, _ = w.shape
+            w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+            dq_ref[:] = w.reshape(bk, bn).astype(jnp.bfloat16)
+
+    msl = pl.ds(m * block_m, block_m)
+
+    @pl.when(j == 0)
+    def _zero():
+        acc1_ref[msl] = jnp.zeros_like(acc1_ref[msl])
+        acc2_ref[msl] = jnp.zeros_like(acc2_ref[msl])
+
+    xb = x_ref[...].astype(jnp.bfloat16)
+    acc1_ref[msl] += jnp.dot(xb, dq1_ref[...],
+                             preferred_element_type=jnp.float32)
+    acc2_ref[msl] += jnp.dot(xb, dq3_ref[...],
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(j == last_j)
+    def _emit():
+        h1 = acc1_ref[msl]
+        stage_ref[:] = (
+            h1 * jax.nn.sigmoid(h1) * acc2_ref[msl]
+        ).astype(stage_ref.dtype)
+        cp = pltpu.make_async_copy(
+            stage_ref,
+            o_hbm.at[pl.ds(m * block_m, block_m), pl.ds(ni * bn, bn)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+
+def _q8_matmul_minner(
+    x, qt, *, s_blocked_n: int, block_k: int, block_m: int, out_dtype,
+    residual, rope_pos, rope_limit: int, rope_head: int, rope_theta: float,
+    interpret: bool, b: int, pad_m: int,
+):
+    """pallas_call wrapper for _q8_kernel_minner (the large-M grid)."""
+    k, n = qt.q.shape
+    gs = qt.group_size
+    bn = s_blocked_n
+    bk = block_k
+    bp = b + pad_m
+    ng = bk // gs
+    grid = (n // bn, k // bk, bp // block_m)
+    s_blocked = qt.s.reshape(k // bk, ng, n)
+
+    in_specs = [
+        pl.BlockSpec((block_m, bk), lambda i, j, m: (m, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, m: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng, bn), lambda i, j, m: (j, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, qt.q, s_blocked]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((block_m, bn), lambda i, j, m: (m, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+    if rope_pos is not None:
+        if pad_m:
+            rope_pos = jnp.pad(rope_pos, ((0, pad_m),))
+        in_specs.append(
+            pl.BlockSpec((block_m, 1), lambda i, j, m: (m, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(rope_pos.astype(jnp.float32).reshape(-1, 1))
+    kernel = functools.partial(
+        _q8_kernel_minner, n_groups=ng, gs=gs, last_j=grid[1] - 1,
+        m_blocks=grid[2], block_m=block_m,
+        rope_spec=(rope_limit, rope_head, rope_theta),
+        has_res=residual is not None, has_rope=rope_pos is not None,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bp, bn), jnp.float32),  # full-height accumulator
+            pltpu.VMEM((bk, bn), jnp.bfloat16),  # dequanted weight tile
+            pltpu.VMEM((block_m, bn), out_dtype),  # DMA staging
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            has_side_effects=True,
+            vmem_limit_bytes=48 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * k * n,
+            bytes_accessed=k * n + (k // gs) * n * 4 + bp * k * 2
+            + bp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:b] if pad_m else out
+
+
 def _rmsnorm_rows(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
     """Same math as models/llama.py::rmsnorm (fp32 internally)."""
     xf = x.astype(jnp.float32)
@@ -909,6 +1171,22 @@ def q8_matmul(
         # multi-K-block shapes normalize outside (XLA fuses it)
         x = _rmsnorm_rows(x, norm_weight, norm_eps)
         norm_weight = None
+    bp = b + pad_m
+    if (
+        _ENV_PREFILL_MINNER
+        and bp > block_m
+        and dequant_mode == "reshape"
+        and norm_weight is None
+        and not out_heads
+        and block_n % 128 == 0
+        and bp * block_n * 4 <= 12 * 2 ** 20
+    ):
+        return _q8_matmul_minner(
+            x, qt, s_blocked_n=block_n, block_k=block_k, block_m=block_m,
+            out_dtype=out_dtype, residual=residual, rope_pos=rope_pos,
+            rope_limit=rope_limit, rope_head=rope_head,
+            rope_theta=rope_theta, interpret=interpret, b=b, pad_m=pad_m,
+        )
     n_groups = block_k // gs
     grid = ((b + pad_m) // block_m, n // block_n, k // block_k)
     s_blocked = qt.s.reshape(k // block_k, n_groups, n)

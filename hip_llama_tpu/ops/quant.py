@@ -27,9 +27,13 @@ _ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q8_BLOCK_N", "512"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q8_BLOCK_K", "1024"))
 _ENV_MODE = os.environ.get("HIPLLAMA_Q8_MODE", "reshape")
 # large-M (prefill) matmuls: m-innermost grid with dequant-once scratch
-# (see _q8_kernel_minner); HIPLLAMA_PREFILL_MINNER=0 restores the
-# m-outermost grid that re-dequantizes the weight set per m-block
-_ENV_PREFILL_MINNER = os.environ.get("HIPLLAMA_PREFILL_MINNER", "1") == "1"
+# (see _q8_kernel_minner). Default OFF: measured a 30 ms TTFT REGRESSION
+# at 7B b8 x 512 (619.1 vs 589.4 ms, r4) — the m-outer grid's redundant
+# per-m-block dequant is already hidden under the MXU work, while the
+# m-inner variant serializes at tile boundaries (dequant blocks the first
+# matmul of each (n, k) tile; the emit DMA waits inline). Kept for
+# sweeps: HIPLLAMA_PREFILL_MINNER=1.
+_ENV_PREFILL_MINNER = os.environ.get("HIPLLAMA_PREFILL_MINNER", "0") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -523,8 +527,8 @@ def q8_matmul_silu(
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
             scratch_shapes=[
-                pltpu.VMEM((bp, bn), jnp.float32),
-                pltpu.VMEM((bp, bn), jnp.float32),
+                pltpu.VMEM((bp // block_m, block_m, bn), jnp.float32),
+                pltpu.VMEM((bp // block_m, block_m, bn), jnp.float32),
                 pltpu.VMEM((bk, bn), jnp.bfloat16),
                 pltpu.VMEM((bk, bn), jnp.bfloat16),
                 pltpu.VMEM((block_m, bn), out_dtype),
@@ -847,13 +851,14 @@ def _q8_kernel_minner(
         w = w.reshape(n_groups, gs, bn) * s[:, None, :]
         dq_ref[:] = w.reshape(bk, bn).astype(jnp.bfloat16)
 
-    msl = pl.ds(m * block_m, block_m)
-
+    # acc is (m_blocks, block_m, bn): leading-axis indexing by the scalar
+    # m (the fast pattern) — a dynamic SUBLANE slice of a 2-D (BP, BN)
+    # accumulator went through Mosaic's slow dynamic-offset path
     @pl.when(j == 0)
     def _zero():
-        acc_ref[msl] = jnp.zeros_like(acc_ref[msl])
+        acc_ref[m] = jnp.zeros_like(acc_ref[m])
 
-    acc_ref[msl] += jnp.dot(
+    acc_ref[m] += jnp.dot(
         x_ref[...].astype(jnp.bfloat16), dq_ref[...],
         preferred_element_type=jnp.float32,
     )
@@ -863,7 +868,7 @@ def _q8_kernel_minner(
     # EVERY m transition (k_blocks redundant HBM writes per block)
     @pl.when(j == last_j)
     def _emit():
-        acc = acc_ref[msl]
+        acc = acc_ref[m]
         if r_ref is not None:
             acc = acc + r_ref[...].astype(jnp.float32)
         if p_ref is not None:
@@ -908,24 +913,22 @@ def _q8_kernel_silu_minner(
             w = w.reshape(n_groups, gs, bn) * s[:, None, :]
             dq_ref[:] = w.reshape(bk, bn).astype(jnp.bfloat16)
 
-    msl = pl.ds(m * block_m, block_m)
-
     @pl.when(j == 0)
     def _zero():
-        acc1_ref[msl] = jnp.zeros_like(acc1_ref[msl])
-        acc2_ref[msl] = jnp.zeros_like(acc2_ref[msl])
+        acc1_ref[m] = jnp.zeros_like(acc1_ref[m])
+        acc2_ref[m] = jnp.zeros_like(acc2_ref[m])
 
     xb = x_ref[...].astype(jnp.bfloat16)
-    acc1_ref[msl] += jnp.dot(xb, dq1_ref[...],
-                             preferred_element_type=jnp.float32)
-    acc2_ref[msl] += jnp.dot(xb, dq3_ref[...],
-                             preferred_element_type=jnp.float32)
+    acc1_ref[m] += jnp.dot(xb, dq1_ref[...],
+                           preferred_element_type=jnp.float32)
+    acc2_ref[m] += jnp.dot(xb, dq3_ref[...],
+                           preferred_element_type=jnp.float32)
 
     @pl.when(j == last_j)
     def _emit():
-        h1 = acc1_ref[msl]
+        h1 = acc1_ref[m]
         stage_ref[:] = (
-            h1 * jax.nn.sigmoid(h1) * acc2_ref[msl]
+            h1 * jax.nn.sigmoid(h1) * acc2_ref[m]
         ).astype(stage_ref.dtype)
         cp = pltpu.make_async_copy(
             stage_ref,
@@ -987,7 +990,8 @@ def _q8_matmul_minner(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((bp, bn), jnp.float32),  # full-height accumulator
+            # full-height accumulator, m-block-major for scalar indexing
+            pltpu.VMEM((bp // block_m, block_m, bn), jnp.float32),
             pltpu.VMEM((bk, bn), jnp.bfloat16),  # dequanted weight tile
             pltpu.VMEM((block_m, bn), out_dtype),  # DMA staging
             pltpu.SemaphoreType.DMA(()),

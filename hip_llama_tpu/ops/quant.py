@@ -26,6 +26,9 @@ from typing import NamedTuple
 _ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q8_BLOCK_N", "512"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q8_BLOCK_K", "1024"))
 _ENV_MODE = os.environ.get("HIPLLAMA_Q8_MODE", "reshape")
+# whole-FFN kernel hidden-strip width (q8_matmul_ffn); 256 measured best
+# round 3, re-sweepable on hardware
+_ENV_FFN_BLOCK_N = int(os.environ.get("HIPLLAMA_FFN_BLOCK_N", "256"))
 # large-M (prefill) matmuls: m-innermost grid with dequant-once scratch
 # (see _q8_kernel_minner). Default OFF: measured a 30 ms TTFT REGRESSION
 # at 7B b8 x 512 (619.1 vs 589.4 ms, r4) — the m-outer grid's redundant
@@ -299,6 +302,19 @@ def _q8_kernel(
         w = (w.reshape(n_groups, gs, bn) * s.astype(jnp.bfloat16)[:, None, :]).reshape(bk, bn)
         acc_ref[:] += jnp.dot(
             x_val.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        )
+    elif dequant_mode == "f32dot":
+        # keep the fp32 dequant product but feed the MXU the fp32 tile
+        # directly (DEFAULT precision splits it into bf16 passes) — saves
+        # the explicit down-cast pass over the tile
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)
+        bk, bn = w.shape
+        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+        acc_ref[:] += jax.lax.dot_general(
+            x_val.astype(jnp.bfloat16), w.reshape(bk, bn),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
     elif dequant_mode == "repeat":
         # expand scales across each group's sublanes (no relayout of the
@@ -715,7 +731,7 @@ def q8_matmul_ffn(
     norm_weight: jax.Array,  # (K,)
     *,
     norm_eps: float = 1e-5,
-    block_n: int = 256,
+    block_n: int = _ENV_FFN_BLOCK_N,
     interpret: bool | None = None,
     out_dtype=None,
     dequant_mode: str = _ENV_MODE,
@@ -1084,9 +1100,10 @@ def q8_matmul(
     # fits (the mode was previously only ever measured under multi-K-block
     # accumulator round-trips, which buried its actual cost).
     if (
-        dequant_mode in ("reshape", "a8", "group_dot")
+        dequant_mode in ("reshape", "a8", "group_dot", "bf16", "f32dot")
         and k % gs == 0
-        and k * block_n * (2 if dequant_mode == "group_dot" else 1)
+        and k * block_n
+        * (2 if dequant_mode in ("group_dot", "bf16", "f32dot") else 1)
         <= 16 * 2 ** 20
         and k * block_n <= 8 * 2 ** 20
         and b * k * 2 <= 2 * 2 ** 20
@@ -1282,10 +1299,11 @@ def q8_matmul(
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_sem,
-            # group_dot materializes the bf16 weight tile on the scoped
-            # stack — give it headroom beyond the 16 MiB default
+            # group_dot/bf16/f32dot materialize the weight tile on the
+            # scoped stack — give them headroom beyond the 16 MiB default
             vmem_limit_bytes=(
-                64 * 2 ** 20 if dequant_mode == "group_dot" else None
+                64 * 2 ** 20
+                if dequant_mode in ("group_dot", "bf16", "f32dot") else None
             ),
         ),
         cost_estimate=pl.CostEstimate(

@@ -711,7 +711,8 @@ def run_bench(args):
         _, cache = prefill(params, cache, toks, start, valid)
         logits, cache = step(params, cache, t1, p1)
         np.asarray(logits)
-        reps = 5
+        reps = 9  # cross-invocation wall variance through the tunnel is
+        # ~+/-30 ms; a wider rep pool tightens the p50
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

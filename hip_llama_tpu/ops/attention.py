@@ -1322,6 +1322,12 @@ def attention_decode_fused(
         # the fused path rides the batch-grouped kernel; per-slot batches
         # (b=1 generate) take the sliced path — identical math
         return fallback()
+    if (g_blk * kv_mul) % 8 and (g_blk * kv_mul) != nht and not interpret:
+        # Mosaic block legality: the head-row sub-blocks (bb, g_blk*kv_mul,
+        # hs) need an 8-aligned (or full-array) sublane dim — 110m's
+        # kvh=12 only admits g_blk 4; decline to the sliced path
+        # (identical math)
+        return fallback()
 
     maxpos = jnp.max(pos.reshape(b // bb, bb), axis=1).astype(jnp.int32)
     layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)

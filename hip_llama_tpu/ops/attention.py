@@ -979,8 +979,10 @@ def attention_decode_pallas(
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if hs < 64 and not interpret:
-        # sub-lane head sizes (toy configs) hit Mosaic layout edge cases;
+    if (hs < 64 or (quantized and kvh % 8)) and not interpret:
+        # sub-lane head sizes (toy configs) hit Mosaic layout edge cases,
+        # and int8-KV scale planes with a non-8-aligned KVH dim hit the
+        # "slice must be aligned to tiling (8)" DMA rule (110m: kvh=12);
         # the einsum path is fine at those sizes
         from hip_llama_tpu.models.llama import attention_decode_xla
 

@@ -431,8 +431,11 @@ def scale_write_rows(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, n_layers, kvh, s = scale_cache.shape
-    if s % 128 or s < 128:
-        # tiny test configs: XLA per-slot update is fine at these sizes
+    if s % 128 or s < 128 or kvh % 8:
+        # tiny test configs; also non-8-aligned KVH (110m: 12): the HBM
+        # slice of the (.., KVH, 128) window would span a tiling-padded
+        # second-minor dim and Mosaic rejects it ("slice must be aligned
+        # to tiling (8)"). XLA per-slot update is fine at these sizes.
         upd = jnp.moveaxis(srows, 1, 0)  # (B, L, KVH)
         out = scale_cache
         for i in range(b):

@@ -29,6 +29,10 @@ _ENV_MODE = os.environ.get("HIPLLAMA_Q8_MODE", "reshape")
 # whole-FFN kernel hidden-strip width (q8_matmul_ffn); 256 measured best
 # round 3, re-sweepable on hardware
 _ENV_FFN_BLOCK_N = int(os.environ.get("HIPLLAMA_FFN_BLOCK_N", "256"))
+# reshape-mode dequant: split each tile into N independent dequant->dot
+# half-chains (scheduler may overlap chain c+1's VPU dequant with chain
+# c's MXU dot); 1 = single chain
+_ENV_SPLIT = int(os.environ.get("HIPLLAMA_Q8_SPLIT", "1"))
 # large-M (prefill) matmuls: m-innermost grid with dequant-once scratch
 # (see _q8_kernel_minner). Default OFF: measured a 30 ms TTFT REGRESSION
 # at 7B b8 x 512 (619.1 vs 589.4 ms, r4) — the m-outer grid's redundant
@@ -325,6 +329,23 @@ def _q8_kernel(
         acc_ref[:] += jnp.dot(
             x_val.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
         )
+    elif _ENV_SPLIT > 1 and q_ref.shape[-1] % (_ENV_SPLIT * 128) == 0:
+        # split the tile into independent dequant->dot half-chains: the
+        # VPU dequant of chain c+1 has no dependence on chain c's MXU dot,
+        # so Mosaic's scheduler may overlap them (the single-chain form
+        # serializes dequant with the dot it feeds)
+        wq = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+        bk, bn = wq.shape
+        bnc = bn // _ENV_SPLIT
+        xb = x_val.astype(jnp.bfloat16)
+        for ci in range(_ENV_SPLIT):
+            lo, hi = ci * bnc, (ci + 1) * bnc
+            w = wq[:, lo:hi].astype(jnp.float32)
+            w = w.reshape(n_groups, gs, bnc) * s[:, lo:hi][:, None, :]
+            acc_ref[:, pl.ds(lo, bnc)] += jnp.dot(
+                xb, w.reshape(bk, bnc).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
     else:
         w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)  # (BK, BN)
         bk, bn = w.shape

@@ -421,8 +421,11 @@ def metric_name(args) -> tuple[str, str]:
             f"_prompt{args.prompt_len}", "ms",
         )
     if args.mode == "stream":
+        # stream mode has no KV-quant variant in its metric (the cache is
+        # bf16 layer buffers); keep the name in sync with run_stream_bench
+        kind_s = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
         return (
-            f"stream_tok_per_s_llama2_{args.model}_{kind}_b{b}", "tok/s",
+            f"stream_tok_per_s_llama2_{args.model}_{kind_s}_b{b}", "tok/s",
         )
     return f"decode_tok_per_s_per_chip_llama2_{args.model}_{kind}_b{b}", "tok/s"
 

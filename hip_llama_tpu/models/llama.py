@@ -251,6 +251,13 @@ _ENV_LAYER_FUSE = (
     os.environ.get("HIPLLAMA_LAYER_FUSE", "1") == "1"
     and os.environ.get("HIPLLAMA_Q8_MODE", "reshape") == "reshape"
 )
+# prefill QKV head-split emission (see make_prefill) — experimental,
+# default OFF: bit-identical on CPU, but on-chip the out_heads kernel's
+# resident (block_m, N/HS, HS) out block overflows the 80 MB scoped-vmem
+# stack at prefill row counts (measured r4: 94.1 MB requested at b8xT512
+# 7B QKV). Needs out_heads-specific block_m/bn sizing before it can A/B
+# against the ~9 GB/pass of relayout copies it targets (BASELINE r4).
+_ENV_PREFILL_HEADS = os.environ.get("HIPLLAMA_PREFILL_HEADS", "0") == "1"
 
 
 def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):
@@ -852,7 +859,20 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3,
         ):
             fused_qkv = wk is None or (isinstance(wk, tuple) and len(wk) == 0)
-            if fused_qkv:  # fused QKV (wq holds the concatenated weight)
+            if fused_qkv and _ENV_PREFILL_HEADS and isinstance(wq, QTensor):
+                # head-split QKV emission (q8_matmul out_heads): the flat
+                # (B, T, D+2KVD) qkv and its three lane-dim slices cost
+                # ~9 GB/pass of layout relayouts at 7B (copy-shape HLO
+                # histogram, BASELINE r4) — emit (B*T, NHT, HS) head rows
+                # in the kernel epilogue and slice on the head dim instead
+                qkv3 = _mm_norm_rope(
+                    x, rms_a, wq, c.norm_eps, pos, c.dim + c.kv_dim,
+                    c.head_size, c.rope_theta, out_heads=True,
+                )  # (B, T, NHT, HS)
+                q = qkv3[:, :, : c.n_heads]
+                k = qkv3[:, :, c.n_heads : c.n_heads + c.n_kv_heads]
+                v = qkv3[:, :, c.n_heads + c.n_kv_heads :]
+            elif fused_qkv:  # fused QKV (wq holds the concatenated weight)
                 qkv = _mm_norm_rope(
                     x, rms_a, wq, c.norm_eps, pos, c.dim + c.kv_dim,
                     c.head_size, c.rope_theta,

@@ -251,13 +251,13 @@ _ENV_LAYER_FUSE = (
     os.environ.get("HIPLLAMA_LAYER_FUSE", "1") == "1"
     and os.environ.get("HIPLLAMA_Q8_MODE", "reshape") == "reshape"
 )
-# prefill QKV head-split emission (see make_prefill) — experimental,
-# default OFF: bit-identical on CPU, but on-chip the out_heads kernel's
-# resident (block_m, N/HS, HS) out block overflows the 80 MB scoped-vmem
-# stack at prefill row counts (measured r4: 94.1 MB requested at b8xT512
-# 7B QKV). Needs out_heads-specific block_m/bn sizing before it can A/B
-# against the ~9 GB/pass of relayout copies it targets (BASELINE r4).
-_ENV_PREFILL_HEADS = os.environ.get("HIPLLAMA_PREFILL_HEADS", "0") == "1"
+# prefill QKV head-split emission (see make_prefill): kills part of the
+# ~9 GB/pass of relayout copies around the prefill attention kernel
+# (BASELINE r4 HLO histogram). Needs block_m=256 + a 100 MB scoped-vmem
+# limit in the out_heads kernel at prefill row counts (ops/quant.py).
+# Bit-identical to the flat path; measured TTFT 569/571 vs 581/585 ms in
+# back-to-back A/B/A (r4) — default ON since round 4.
+_ENV_PREFILL_HEADS = os.environ.get("HIPLLAMA_PREFILL_HEADS", "1") == "1"
 
 
 def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):

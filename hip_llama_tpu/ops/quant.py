@@ -1157,8 +1157,13 @@ def q8_matmul(
         dequant_mode = "reshape"
     if b > 512:
         block_m = 512
-        if b % 512:
-            pad_m = 512 - b % 512
+        if out_heads:
+            # the head-split out block (block_m, N/HS, HS) stays resident
+            # across n-steps; at prefill row counts block_m=512 overflows
+            # the 80 MB scoped-vmem stack (measured 94.1 MB at 7B QKV)
+            block_m = 256
+        if b % block_m:
+            pad_m = block_m - b % block_m
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
             if residual is not None:
                 residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
@@ -1321,10 +1326,14 @@ def q8_matmul(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_sem,
             # group_dot/bf16/f32dot materialize the weight tile on the
-            # scoped stack — give them headroom beyond the 16 MiB default
+            # scoped stack — give them headroom beyond the 16 MiB default.
+            # Large-M out_heads (prefill head-split) keeps the whole
+            # (block_m, N/HS, HS) out block resident and lands 128 KB over
+            # the 80 MB default at 7B-QKV shapes — bump to 100 MB.
             vmem_limit_bytes=(
                 64 * 2 ** 20
-                if dequant_mode in ("group_dot", "bf16", "f32dot") else None
+                if dequant_mode in ("group_dot", "bf16", "f32dot")
+                else (100 * 2 ** 20 if out_heads and b > 512 else None)
             ),
         ),
         cost_estimate=pl.CostEstimate(

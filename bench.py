@@ -48,6 +48,24 @@ CONFIGS = {
 # v5e: 16 GB HBM @ ~819 GB/s, 197 TFLOPs bf16
 HBM_BW_BYTES = 819e9
 PEAK_FLOPS_BF16 = 197e12
+# Achievable HBM bandwidth measured by the pure-DMA HBM->HBM copy probe
+# (tools/hbm_bw.py --mode dma) — a non-circular denominator: no compute
+# kernel grades itself. 0/unset disables the vs_achievable field until a
+# probe number exists for this chip. Override: HIPLLAMA_ACHIEVABLE_BW.
+ACHIEVABLE_BW_BYTES = float(os.environ.get("HIPLLAMA_ACHIEVABLE_BW", "0")) or None
+
+
+def live_kv_fraction(pos0: int, steps: int, window: int,
+                     block_k: int = 128) -> float:
+    """Mean fraction of the KV window the live-clamped attention kernel
+    actually streams over a decode chain at positions pos0..pos0+steps-1
+    (dead-block skip reads ceil((pos+1)/block_k) blocks per step)."""
+    tot = 0.0
+    for i in range(steps):
+        pos = pos0 + i
+        live = min(-(-(pos + 1) // block_k) * block_k, window)
+        tot += live / window
+    return tot / steps
 
 
 def rand_params_on_device(cfg: ModelConfig, dtype) -> LlamaParams:
@@ -585,6 +603,12 @@ def run_bench(args):
             params = rand_qparams_stacked_fused_on_device(cfg)
         elif args.unroll:
             params = rand_qparams_unrolled_on_device(cfg)
+            if args.kv == "int8" and cfg.n_kv_heads % 8:
+                # padded-weight layout for 8-padded int8-KV caches (110m):
+                # zero per-step pad/slice ops (params.pad_kv_head_params)
+                from hip_llama_tpu.models.params import pad_kv_head_params
+
+                params = pad_kv_head_params(params, cfg)
         else:
             params = rand_qparams_on_device(cfg)
         dtype = jnp.bfloat16  # activations / cache
@@ -821,6 +845,13 @@ def run_bench(args):
         kv_bytes += 2 * cache.k_scale.size * cache.k_scale.dtype.itemsize
     sol_step_s = (wbytes + kv_bytes) / HBM_BW_BYTES
     sol_tok_s = b / sol_step_s
+    # clamped denominator: the attention kernel live-clamps its KV reads to
+    # ceil((pos+1)/block_k) blocks, so a chain at positions pos0..pos0+n
+    # streams only a fraction of the full window. Historical vs_baseline
+    # keeps the conservative full-window denominator; vs_clamped is the
+    # honest fraction for windowed configs (the w2048 ">100%" fix).
+    mean_live = live_kv_fraction(pos0, args.steps, window)
+    sol_clamped_tok_s = b / ((wbytes + kv_bytes * mean_live) / HBM_BW_BYTES)
     kind = {"q8": "int8", "q4": "int4"}.get(args.quant, args.dtype)
     if args.kv == "int8":
         kind += "_kv8"
@@ -829,7 +860,16 @@ def run_bench(args):
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / sol_tok_s, 4),
+        # min-of-2 device chains since round 4 (single chain before);
+        # host loop remains a single timed pass
+        "estimator": "min2_chain" if args.loop == "device" else "single",
+        "vs_clamped": round(tok_s / sol_clamped_tok_s, 4),
     }
+    if ACHIEVABLE_BW_BYTES:
+        # non-circular achievable-BW denominator: pure-DMA HBM copy probe
+        # (tools/hbm_bw.py --mode dma), not any compute kernel's own number
+        result["vs_achievable"] = round(
+            tok_s / (sol_tok_s * HBM_BW_BYTES / ACHIEVABLE_BW_BYTES), 4)
     print(json.dumps(result))
 
 

@@ -42,6 +42,111 @@ class GenerationResult:
         return self.n_gen_tokens / self.elapsed_s if self.elapsed_s > 0 else 0.0
 
 
+class SharedRequestQueue:
+    """Thread-safe FIFO of request indices — the multi-replica serving
+    topology of the reference: N independent engine replicas each run
+    their own continuous-batching loop and pull the next request from ONE
+    shared queue under a lock (llama.cpp:919-983 `omp critical
+    (get_batch_idx)`). Under skewed request lengths this load-balances
+    dynamically where a lockstep dp batch would stall every shard on the
+    longest request."""
+
+    def __init__(self, num_reqs: int):
+        import threading
+
+        self.n = num_reqs
+        self._i = 0
+        self._lock = threading.Lock()
+
+    def pop(self) -> int | None:
+        with self._lock:
+            if self._i >= self.n:
+                return None
+            i = self._i
+            self._i += 1
+            return i
+
+
+class _SeqQueue:
+    """Single-replica request source (no lock)."""
+
+    def __init__(self, num_reqs: int):
+        self.n = num_reqs
+        self._i = 0
+
+    def pop(self) -> int | None:
+        if self._i >= self.n:
+            return None
+        i = self._i
+        self._i += 1
+        return i
+
+
+def serve_replicated(
+    engines: "list[InferenceEngine]",
+    requests: Requests,
+    steps: int | None = None,
+    stats: dict | None = None,
+    stop_on_eos: bool = True,
+    samplers: "list[Sampler] | None" = None,
+) -> int:
+    """Run N engine replicas against one shared request queue, one Python
+    thread per replica (each engine's params/caches live on its own device
+    or device group). Each request is served by exactly one replica, so
+    `requests.generations` fills without write conflicts; greedy outputs
+    are byte-identical to single-replica serving because per-slot math is
+    independent of batch composition. Returns the total generated-token
+    count. Replicates /root/reference/src/llama.cpp:919-983 (N per-GPU
+    engines + `omp critical` queue) the TPU way: one process, N device
+    groups, declarative placement."""
+    import threading
+
+    q = SharedRequestQueue(requests.num_reqs)
+    counts = [0] * len(engines)
+    rep_stats: list[dict] = [{} for _ in engines]
+    errs: list[BaseException | None] = [None] * len(engines)
+
+    def run(i: int, eng: "InferenceEngine"):
+        try:
+            # samplers are per-REQUEST (indexed by request id) and each
+            # request is served by exactly one replica, so sharing the
+            # list across replicas is conflict-free
+            counts[i] = eng.serve(
+                requests, steps=steps, stats=rep_stats[i],
+                stop_on_eos=stop_on_eos, req_queue=q, samplers=samplers,
+            )
+        except BaseException as e:  # surface replica failures to the caller
+            errs[i] = e
+
+    t0 = time.perf_counter()
+    threads = [
+        threading.Thread(target=run, args=(i, eng), daemon=True)
+        for i, eng in enumerate(engines)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errs:
+        if e is not None:
+            raise e
+    if stats is not None:
+        wall = time.perf_counter() - t0
+        stats["wall_s"] = wall
+        stats["tok_per_s"] = sum(counts) / wall if wall > 0 else 0.0
+        stats["per_replica"] = rep_stats
+        stats["per_replica_tokens"] = list(counts)
+        ttfts = [
+            t for st in rep_stats for t in st.get("ttft_all_s", [])
+        ]
+        if ttfts:
+            ttfts.sort()
+            stats["ttft_p50_s"] = ttfts[len(ttfts) // 2]
+            stats["ttft_p95_s"] = ttfts[min(len(ttfts) - 1,
+                                            int(len(ttfts) * 0.95))]
+    return sum(counts)
+
+
 def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -81,6 +186,7 @@ class InferenceEngine:
         chunk_steps: int = 1,
         prefix_cache: bool = False,
         spec_lookup: int = 0,
+        device=None,
     ):
         from hip_llama_tpu.models.llama import _act_dtype
 
@@ -94,6 +200,13 @@ class InferenceEngine:
         self.params = params
         self.tokenizer = tokenizer
         self.batch_size = batch_size
+        self._custom = custom_step is not None
+        # replica pinning: when set, serve() wraps itself in
+        # jax.default_device(device) so every array this engine creates
+        # (caches, per-step tokens) lands on its replica's device — the
+        # declarative-placement analog of the reference's one-engine-per-GPU
+        # replicas (llama.cpp:919-983)
+        self.device = device
         self.attn_impl = attn_impl
         self.precision = precision
         self.cache_dtype = cache_dtype or _act_dtype(params)
@@ -298,6 +411,9 @@ class InferenceEngine:
             dtype=self.cache_dtype,
             seq_len=self.max_seq_len,
             quantized=self.kv_quant,
+            # shard_map custom steps (tp/sp) derive local head counts from
+            # cfg — give them the unpadded layout (models/llama.py)
+            pad=False if self._custom else None,
         )
         if self._cache_sharding is not None:
             cache = jax.device_put(cache, self._cache_sharding)
@@ -474,7 +590,16 @@ class InferenceEngine:
 
     # -- test mode: continuous batching (llama.cpp:891-1083) -----------------
 
-    def serve(
+    def serve(self, *args, **kwargs) -> int:
+        """Continuous-batching serve; see _serve_impl for the contract.
+        Replica-pinned engines (device=...) run under their device context
+        so thread-local array creation stays on the replica's device."""
+        if self.device is not None:
+            with jax.default_device(self.device):
+                return self._serve_impl(*args, **kwargs)
+        return self._serve_impl(*args, **kwargs)
+
+    def _serve_impl(
         self,
         requests: Requests,
         steps: int | None = None,
@@ -483,6 +608,7 @@ class InferenceEngine:
         stats: dict | None = None,
         draft: "InferenceEngine | None" = None,
         stop_on_eos: bool = True,
+        req_queue=None,
     ) -> int:
         """Continuous-batching over a request list; fills
         `requests.generations` in place and returns the generated-token count
@@ -516,7 +642,13 @@ class InferenceEngine:
 
         cache = self.new_cache(batch=b)
         bm = self.new_block_manager(batch=b)
-        next_idx = 0
+        # request source: a sequential counter by default, or a shared
+        # thread-safe queue when running as one of N replicas
+        # (serve_replicated). Admission-blocked requests are held back
+        # locally (their matched prefix pages live in THIS replica).
+        if req_queue is None:
+            req_queue = _SeqQueue(requests.num_reqs)
+        held_back: list[int] = []
         gen_cnt = 0
 
         # native C++ scheduler (csrc sched_*): per-token advance — sampling
@@ -576,11 +708,14 @@ class InferenceEngine:
             n_idle = 0
             for s in range(b):
                 if req_id[s] == -1:
-                    if next_idx < requests.num_reqs:
-                        toks = tok_cache.pop(next_idx, None)
+                    ridx = (
+                        held_back.pop(0) if held_back else req_queue.pop()
+                    )
+                    if ridx is not None:
+                        toks = tok_cache.pop(ridx, None)
                         if toks is None:
                             toks = self.tokenizer.encode(
-                                requests.prompts[next_idx], bos=True, eos=False
+                                requests.prompts[ridx], bos=True, eos=False
                             )
                             # a prompt longer than the step budget truncates
                             # at it (the reference's pos < steps bound
@@ -603,7 +738,8 @@ class InferenceEngine:
                                 bm.page_tables[s]
                             )
                             if bm.num_free < need:
-                                tok_cache[next_idx] = toks  # retry later
+                                tok_cache[ridx] = toks  # retry later
+                                held_back.insert(0, ridx)
                                 free_before = bm.num_free
                                 bm.free_slot(s)  # detach matched prefix pages
                                 n_active = sum(1 for r in req_id if r != -1)
@@ -616,9 +752,8 @@ class InferenceEngine:
                                     )
                                 continue
                             bm.prefix_hit_tokens += n_cached
-                        req_id[s] = next_idx
-                        assign_time[next_idx] = time.perf_counter()
-                        next_idx += 1
+                        req_id[s] = ridx
+                        assign_time[ridx] = time.perf_counter()
                         prompt_toks[s] = toks
                         hist[s] = list(toks)
                         gen_bytes[s] = bytearray()
@@ -947,5 +1082,6 @@ class InferenceEngine:
                 prefix_hit_tokens=bm.prefix_hit_tokens if bm is not None else 0,
                 spec_proposed=spec_proposed,
                 spec_accepted=spec_accepted,
+                ttft_all_s=tt,  # per-request; serve_replicated aggregates
             )
         return gen_cnt

@@ -55,15 +55,37 @@ class KVCache(NamedTuple):
         return self.k_scale is not None
 
 
+def kvh_storage(kvh: int, quantized: bool) -> int:
+    """KV-head count as STORED in the cache. int8 caches pad the head dim
+    up to a multiple of 8: the (B, L, KVH, S) fp32 scale plane has KVH as
+    its second-minor dim, and Mosaic rejects HBM window DMAs across a
+    tiling-padded second-minor (kvh=12 — stories110M — previously forced
+    the whole int8-KV decode path onto XLA fallbacks; VERDICT r4 weak #7).
+    Padded head rows hold zeros with scale 1 and are sliced away / masked
+    at every consumer. HIPLLAMA_KVH_PAD=0 restores the unpadded layout
+    (XLA-fallback attention) for A/Bs."""
+    if os.environ.get("HIPLLAMA_KVH_PAD", "1") == "0":
+        return kvh
+    return -(-kvh // 8) * 8 if quantized and kvh % 8 else kvh
+
+
 def init_kv_cache(
     cfg: ModelConfig,
     batch: int,
     dtype=jnp.float32,
     seq_len: int | None = None,
     quantized: bool = False,
+    pad: bool | None = None,
 ) -> KVCache:
+    """pad=False forces the unpadded head layout — for shard_map consumers
+    (tp/sp custom steps) whose local head math derives from cfg, not from
+    the stored cache shape."""
     s = seq_len or cfg.seq_len
-    shape = (batch, cfg.n_layers, cfg.n_kv_heads, s, cfg.head_size)
+    kvh = (
+        cfg.n_kv_heads if pad is False
+        else kvh_storage(cfg.n_kv_heads, quantized)
+    )
+    shape = (batch, cfg.n_layers, kvh, s, cfg.head_size)
     if quantized:
         return KVCache(
             jnp.zeros(shape, jnp.int8),
@@ -72,6 +94,16 @@ def init_kv_cache(
             jnp.ones(shape[:-1], jnp.float32),
         )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _pad_kv_heads(arr: jax.Array, kvh_c: int, axis: int) -> jax.Array:
+    """Zero-pad the KV-head axis up to the cache's stored head count."""
+    pad = kvh_c - arr.shape[axis]
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +440,10 @@ def _write_kv_rows(cache: jax.Array, rows: jax.Array, pos: jax.Array,
 def _commit_kv_rows(cache: KVCache, k_rows: jax.Array, v_rows: jax.Array, pos):
     """Write this step's K/V rows (L, B, KVH, HS) into the cache; int8 caches
     quantize per row and also update the scale planes."""
+    kvh_c = cache.k.shape[2]
+    if k_rows.shape[2] != kvh_c:  # padded int8 cache (see kvh_storage)
+        k_rows = _pad_kv_heads(k_rows, kvh_c, 2)
+        v_rows = _pad_kv_heads(v_rows, kvh_c, 2)
     s = cache.k.shape[-2]
     if (
         _ENV_KV_COMMIT
@@ -475,6 +511,15 @@ def attention_decode_xla(
     int8 KV mode (k_scale/v_scale given): scales fold into the score /
     probability columns, mirroring the Pallas kernel (ops/attention.py).
     """
+    if k_cur.shape[1] != k_full.shape[2]:
+        # padded int8 cache (kvh_storage): XLA slices back to the logical
+        # head count for free — only Mosaic window DMAs needed the padding
+        kvh_l = k_cur.shape[1]
+        k_full = k_full[:, :, :kvh_l]
+        v_full = v_full[:, :, :kvh_l]
+        if k_scale is not None:
+            k_scale = k_scale[:, :, :kvh_l]
+            v_scale = v_scale[:, :, :kvh_l]
     k_cache = lax.dynamic_index_in_dim(k_full, layer, 1, keepdims=False)
     v_cache = lax.dynamic_index_in_dim(v_full, layer, 1, keepdims=False)
     quantized = k_scale is not None
@@ -667,39 +712,67 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                         attention_decode_fused,
                     )
 
+                    # padded-weight layout (params.pad_kv_head_params):
+                    # QKV emits the cache's stored (8-aligned) head count
+                    # directly, wo consumes the padded attention output —
+                    # zero per-step pad/slice ops
+                    kvh_c = cache.k.shape[2]
+                    kv_mul = c.n_heads // c.n_kv_heads
+                    h_eff = kvh_c * kv_mul
+                    wpad = (
+                        kvh_c != c.n_kv_heads
+                        and params.wq[l].q.shape[1]
+                        == (h_eff + 2 * kvh_c) * c.head_size
+                    )
+                    n_heads_eff = h_eff if wpad else c.n_heads
+                    kvh_eff = kvh_c if wpad else c.n_kv_heads
                     qkv3 = _mm_norm_rope(
                         x, rms_a, params.wq[l], c.norm_eps, pos,
-                        c.dim + c.kv_dim, c.head_size, c.rope_theta,
-                        out_heads=True,
+                        (n_heads_eff + kvh_eff) * c.head_size, c.head_size,
+                        c.rope_theta, out_heads=True,
                     )  # (B, H + 2*KVH, HS)
                     att_out = attention_decode_fused(
                         qkv3, cache.k, cache.v, jnp.int32(l), pos,
-                        cache.k_scale, cache.v_scale, n_heads=c.n_heads,
-                    ).reshape(b, c.dim)
+                        cache.k_scale, cache.v_scale, n_heads=n_heads_eff,
+                    ).reshape(b, n_heads_eff * c.head_size)
                     x = _mm_res(x, att_out, params.wo[l])
                     rms_f = params.rms_ffn[l]
                     x = _mm_ffn(
                         x, rms_f, params.w1[l], params.w2[l], c.hidden_dim,
                         c.norm_eps,
                     )
-                    k_list.append(qkv3[:, c.n_heads : c.n_heads + c.n_kv_heads])
-                    v_list.append(qkv3[:, c.n_heads + c.n_kv_heads :])
+                    k_list.append(qkv3[:, n_heads_eff : n_heads_eff + kvh_eff])
+                    v_list.append(qkv3[:, n_heads_eff + kvh_eff :])
                     continue
                 if fused:
                     # norm + int8 matmul + rope in ONE kernel (q|k rotate in
-                    # the epilogue; v passes through)
+                    # the epilogue; v passes through). Padded-weight layout
+                    # (pad_kv_head_params): same slicing at the padded head
+                    # counts; attention + wo consume the padded blocks.
+                    kvh_c = cache.k.shape[2]
+                    kv_mul = c.n_heads // c.n_kv_heads
+                    wpad = (
+                        kvh_c != c.n_kv_heads
+                        and params.wq[l].q.shape[1]
+                        == (kvh_c * kv_mul + 2 * kvh_c) * c.head_size
+                    )
+                    n_heads_eff = kvh_c * kv_mul if wpad else c.n_heads
+                    kvh_eff = kvh_c if wpad else c.n_kv_heads
+                    d_eff = n_heads_eff * c.head_size
+                    kvd_eff = kvh_eff * c.head_size
                     qkv = _mm_norm_rope(
                         x, rms_a, params.wq[l], c.norm_eps, pos,
-                        c.dim + c.kv_dim, c.head_size, c.rope_theta,
+                        d_eff + kvd_eff, c.head_size, c.rope_theta,
                     )
-                    q = qkv[:, : c.dim].reshape(b, c.n_heads, c.head_size)
-                    k = qkv[:, c.dim : c.dim + c.kv_dim].reshape(
-                        b, c.n_kv_heads, c.head_size
+                    q = qkv[:, :d_eff].reshape(b, n_heads_eff, c.head_size)
+                    k = qkv[:, d_eff : d_eff + kvd_eff].reshape(
+                        b, kvh_eff, c.head_size
                     )
-                    v = qkv[:, c.dim + c.kv_dim :].reshape(
-                        b, c.n_kv_heads, c.head_size
+                    v = qkv[:, d_eff + kvd_eff :].reshape(
+                        b, kvh_eff, c.head_size
                     )
                 else:
+                    n_heads_eff = c.n_heads
                     q = _mm_norm_rope(
                         x, rms_a, params.wq[l], c.norm_eps, pos, c.dim,
                         c.head_size, c.rope_theta,
@@ -714,7 +787,7 @@ def make_decode_step(cfg: ModelConfig, attn_impl: str = "xla", precision: str = 
                 att_out = attn(
                     q, cache.k, cache.v, jnp.int32(l), pos, k, v,
                     cache.k_scale, cache.v_scale,
-                ).reshape(b, c.dim)
+                ).reshape(b, n_heads_eff * c.head_size)
                 x = _mm_res(x, att_out, params.wo[l])
                 rms_f = params.rms_ffn[l]
                 if fused:
@@ -859,6 +932,20 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
             l, rms_a, wq, wk, wv, wo, rms_f, w1, w2, w3,
         ):
             fused_qkv = wk is None or (isinstance(wk, tuple) and len(wk) == 0)
+            # padded-weight layout (params.pad_kv_head_params): the QKV
+            # weight already emits the cache's stored 8-aligned head count
+            # and wo consumes the padded attention output — all the
+            # runtime pad/slice special cases below collapse to no-ops
+            kvh_c = kcache.shape[2]
+            kv_mul = c.n_heads // c.n_kv_heads
+            wpad = (
+                fused_qkv and isinstance(wq, QTensor)
+                and kvh_c != c.n_kv_heads
+                and wq.q.shape[1] == (kvh_c * kv_mul + 2 * kvh_c) * c.head_size
+            )
+            nh_e = kvh_c * kv_mul if wpad else c.n_heads
+            kvh_e = kvh_c if wpad else c.n_kv_heads
+            d_e, kvd_e = nh_e * c.head_size, kvh_e * c.head_size
             if fused_qkv and _ENV_PREFILL_HEADS and isinstance(wq, QTensor):
                 # head-split QKV emission (q8_matmul out_heads): the flat
                 # (B, T, D+2KVD) qkv and its three lane-dim slices cost
@@ -866,23 +953,23 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
                 # histogram, BASELINE r4) — emit (B*T, NHT, HS) head rows
                 # in the kernel epilogue and slice on the head dim instead
                 qkv3 = _mm_norm_rope(
-                    x, rms_a, wq, c.norm_eps, pos, c.dim + c.kv_dim,
+                    x, rms_a, wq, c.norm_eps, pos, d_e + kvd_e,
                     c.head_size, c.rope_theta, out_heads=True,
                 )  # (B, T, NHT, HS)
-                q = qkv3[:, :, : c.n_heads]
-                k = qkv3[:, :, c.n_heads : c.n_heads + c.n_kv_heads]
-                v = qkv3[:, :, c.n_heads + c.n_kv_heads :]
+                q = qkv3[:, :, :nh_e]
+                k = qkv3[:, :, nh_e : nh_e + kvh_e]
+                v = qkv3[:, :, nh_e + kvh_e :]
             elif fused_qkv:  # fused QKV (wq holds the concatenated weight)
                 qkv = _mm_norm_rope(
-                    x, rms_a, wq, c.norm_eps, pos, c.dim + c.kv_dim,
+                    x, rms_a, wq, c.norm_eps, pos, d_e + kvd_e,
                     c.head_size, c.rope_theta,
                 )
-                q = qkv[..., : c.dim].reshape(b, t, c.n_heads, c.head_size)
-                k = qkv[..., c.dim : c.dim + c.kv_dim].reshape(
-                    b, t, c.n_kv_heads, c.head_size
+                q = qkv[..., :d_e].reshape(b, t, nh_e, c.head_size)
+                k = qkv[..., d_e : d_e + kvd_e].reshape(
+                    b, t, kvh_e, c.head_size
                 )
-                v = qkv[..., c.dim + c.kv_dim :].reshape(
-                    b, t, c.n_kv_heads, c.head_size
+                v = qkv[..., d_e + kvd_e :].reshape(
+                    b, t, kvh_e, c.head_size
                 )
             else:
                 q = _mm_norm_rope(
@@ -896,6 +983,10 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
                 v = _mm_norm(x, rms_a, wv, c.norm_eps).reshape(
                     b, t, c.n_kv_heads, c.head_size
                 )
+
+            if kvh_c != kvh_e:  # padded int8 cache, unpadded weights
+                k = _pad_kv_heads(k, kvh_c, 2)
+                v = _pad_kv_heads(v, kvh_c, 2)
 
             def scatter_seq(c_b, new_b, st, v):
                 return scatter_kv_chunk(c_b, new_b, st, v, l=l, t=t, s=s)
@@ -949,17 +1040,35 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
             if attn_impl == "pallas":
                 from hip_llama_tpu.ops.attention import attention_prefill_pallas
 
+                if kvh_c != kvh_e:
+                    # pad q kv-head-major to the stored head count; padded
+                    # heads read zero rows (scale 1) and are sliced away
+                    qp = jnp.pad(
+                        q.reshape(b, t, kvh_e, kv_mul, c.head_size),
+                        ((0, 0), (0, 0), (0, kvh_c - kvh_e),
+                         (0, 0), (0, 0)),
+                    ).reshape(b, t, kvh_c * kv_mul, c.head_size)
+                else:
+                    qp = q
                 att_out = attention_prefill_pallas(
-                    q, kcache, vcache, l, start, valid_len,
+                    qp, kcache, vcache, l, start, valid_len,
                     ks_c if quantized_kv else None,
                     vs_c if quantized_kv else None,
-                ).reshape(b, t, c.dim).astype(x.dtype)
+                )
+                if kvh_c != kvh_e:
+                    att_out = att_out.reshape(
+                        b, t, kvh_c, kv_mul, c.head_size
+                    )[:, :, :kvh_e]
+                att_out = att_out.reshape(b, t, d_e).astype(x.dtype)
             else:
                 kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
                 vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
+                if kvh_c != kvh_e:
+                    # XLA slices the padded cache back to logical heads
+                    kc = kc[:, :kvh_e]
+                    vc = vc[:, :kvh_e]
 
-                kv_mul = c.n_heads // c.n_kv_heads
-                qs = q.reshape(b, t, c.n_kv_heads, kv_mul, c.head_size)
+                qs = q.reshape(b, t, kvh_e, kv_mul, c.head_size)
                 if not quantized_kv and jax.default_backend() == "cpu":
                     # see attention_decode_xla: no bf16 DotThunk on CPU
                     kc = kc.astype(jnp.float32)
@@ -975,21 +1084,21 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
                 ) / jnp.sqrt(jnp.float32(c.head_size))
                 if quantized_kv:
                     ks_l = lax.dynamic_index_in_dim(ks_c, l, 1, keepdims=False)
-                    scores = scores * ks_l[:, None, :, None, :]
+                    scores = scores * ks_l[:, :kvh_e][:, None, :, None, :]
                 s_idx = jax.lax.broadcasted_iota(jnp.int32, (b, t, 1, 1, s), 4)
                 mask = s_idx <= pos[:, :, None, None, None]
                 scores = jnp.where(mask, scores, -jnp.inf)
                 att = jax.nn.softmax(scores, axis=-1)
                 if quantized_kv:
                     vs_l = lax.dynamic_index_in_dim(vs_c, l, 1, keepdims=False)
-                    att = att * vs_l[:, None, :, None, :]
+                    att = att * vs_l[:, :kvh_e][:, None, :, None, :]
                 out = jnp.einsum(
                     "btgms,bgsd->btgmd",
                     att.astype(vc.dtype),
                     vc,
                     preferred_element_type=jnp.float32,
                 )
-                att_out = out.reshape(b, t, c.dim).astype(x.dtype)
+                att_out = out.reshape(b, t, d_e).astype(x.dtype)
 
             x = _mm_res(x, att_out, wo)
             if w3 is None or (

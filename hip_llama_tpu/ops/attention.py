@@ -87,6 +87,19 @@ def _quant_rows_i8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.round(x / s).astype(jnp.int8), s
 
 
+def _pad_heads_grouped(x: jax.Array, kvh_l: int, kvh_c: int,
+                       kv_mul: int) -> jax.Array:
+    """Zero-pad kv-head-major head rows (B, kvh_l*kv_mul, HS) up to a
+    cache's stored head count (B, kvh_c*kv_mul, HS) — the 8-padded int8
+    cache layout of models/llama.py::kvh_storage."""
+    if kvh_l == kvh_c:
+        return x
+    b, _, hs = x.shape
+    x4 = x.reshape(b, kvh_l, kv_mul, hs)
+    x4 = jnp.pad(x4, ((0, 0), (0, kvh_c - kvh_l), (0, 0), (0, 0)))
+    return x4.reshape(b, kvh_c * kv_mul, hs)
+
+
 def _decode_kernel(
     layer_ref,  # (1,) int32 scalar-prefetch: layer index
     pos_ref,  # (B,) int32 scalar-prefetch: per-slot position
@@ -975,15 +988,30 @@ def attention_decode_pallas(
 ) -> jax.Array:
     b, h, hs = q.shape
     _, n_layers, kvh, s, _ = k_cache.shape
+    kvh_l = k_cur.shape[1]  # logical head count; cache may be 8-padded
+    if kvh_l != kvh:
+        # padded int8 cache (models/llama.py::kvh_storage, 110m kvh=12->16):
+        # pad q kv-head-major and the current rows with zeros (zero rows
+        # carry scale 1 in the cache, so no NaNs), slice the output back
+        kv_mul_l = h // kvh_l
+        qp = _pad_heads_grouped(q, kvh_l, kvh, kv_mul_l)
+        out = attention_decode_pallas(
+            qp, k_cache, v_cache, layer, pos,
+            _pad_heads_grouped(k_cur, kvh_l, kvh, 1),
+            _pad_heads_grouped(v_cur, kvh_l, kvh, 1),
+            k_scale, v_scale, block_k=block_k, interpret=interpret,
+        )
+        return out.reshape(b, kvh, kv_mul_l, hs)[:, :kvh_l].reshape(b, h, hs)
     kv_mul = h // kvh
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if (hs < 64 or (quantized and kvh % 8)) and not interpret:
         # sub-lane head sizes (toy configs) hit Mosaic layout edge cases,
-        # and int8-KV scale planes with a non-8-aligned KVH dim hit the
-        # "slice must be aligned to tiling (8)" DMA rule (110m: kvh=12);
-        # the einsum path is fine at those sizes
+        # and DIRECT calls with a non-8-aligned int8-KV scale plane hit the
+        # "slice must be aligned to tiling (8)" DMA rule (model paths
+        # instead allocate 8-padded caches — kvh_storage); the einsum path
+        # is fine at those sizes
         from hip_llama_tpu.models.llama import attention_decode_xla
 
         return attention_decode_xla(
@@ -1284,8 +1312,24 @@ def attention_decode_fused(
     b, nht, hs = qkv.shape
     h = n_heads
     _, n_layers, kvh, s, _ = k_cache.shape
+    if nht != h + 2 * kvh:
+        # padded int8 cache (models/llama.py::kvh_storage): rebuild the
+        # head-split qkv with zero-padded q/k/v head blocks so the index
+        # maps line up with the stored head count, then slice the output
+        kvh_l = (nht - h) // 2
+        assert nht == h + 2 * kvh_l and kvh > kvh_l, (qkv.shape, n_heads, kvh)
+        kv_mul_l = h // kvh_l
+        qkv_p = jnp.concatenate([
+            _pad_heads_grouped(qkv[:, :h], kvh_l, kvh, kv_mul_l),
+            _pad_heads_grouped(qkv[:, h : h + kvh_l], kvh_l, kvh, 1),
+            _pad_heads_grouped(qkv[:, h + kvh_l :], kvh_l, kvh, 1),
+        ], axis=1)
+        out = attention_decode_fused(
+            qkv_p, k_cache, v_cache, layer, pos, k_scale, v_scale,
+            n_heads=kvh * kv_mul_l, block_k=block_k, interpret=interpret,
+        )
+        return out.reshape(b, kvh, kv_mul_l, hs)[:, :kvh_l].reshape(b, h, hs)
     kv_mul = h // kvh
-    assert nht == h + 2 * kvh, (qkv.shape, n_heads, kvh)
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1297,7 +1341,11 @@ def attention_decode_fused(
             block_k=block_k, interpret=interpret,
         )
 
-    if hs < 64 and not interpret:
+    if (hs < 64 or hs % 128) and not interpret:
+        # hs=64 (stories110M): the in-kernel (bb, g, hs)->(bb*g, 1, hs)
+        # current-row shape cast is unsupported by Mosaic at 64-lane
+        # vectors; the sliced attention_decode_pallas path compiles and
+        # runs at hs=64 (probed on-chip r5), so decline to it
         return fallback()
     bk = block_k or _ENV_DECODE_BLOCK_K or _pick_block_k(s, target=1024)
     if s % bk or bk > s:

@@ -45,7 +45,13 @@ def _rmw_window(dtype, s: int) -> int:
     w = min(w, _sublane_window(dtype), s)
     while s % w:
         w //= 2
-    return max(w, 1)
+    if w < 8:
+        # Halving for a non-8-divisible s dipped below the 8-row HBM
+        # sublane alignment floor (Mosaic rejects sub-8 window DMAs —
+        # tools/kv_direct_probe.py). Use the full-s window instead: its
+        # start is always 0, so no sublane slicing is needed at all.
+        w = s
+    return w
 
 
 def _kv_write_kernel(

@@ -272,12 +272,24 @@ def _q8_kernel(
 
         wq = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # int8
         w3 = wq.reshape(n_groups, gs, wq.shape[-1])  # sublane split
-        partial = jax.lax.dot_general(
-            xi_scr[...], w3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (G, M, BN) int32
-        ps = partial.astype(jnp.float32) * sx_scr[...].transpose(0, 2, 1)
-        acc_ref[:] += jnp.sum(ps * s[:, None, :], axis=0)
+        m_rows = xi_scr.shape[-1]
+        bn_a8 = wq.shape[-1]
+        # chunk the group-batched dot so the (G, M, BN) int32 partial stays
+        # VMEM-sized at prefill row counts (G=64, M=256, BN=512 would be
+        # 34 MB materialized at once; 8-group chunks cap it at ~4 MB)
+        g_chunk = n_groups
+        while g_chunk * m_rows * bn_a8 * 4 > 4 * 2 ** 20 and g_chunk % 2 == 0:
+            g_chunk //= 2
+        for g0 in range(0, n_groups, g_chunk):
+            gc = min(g_chunk, n_groups - g0)
+            partial = jax.lax.dot_general(
+                xi_scr[g0:g0 + gc], w3[g0:g0 + gc],
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # (gc, M, BN) int32
+            ps = partial.astype(jnp.float32) * sx_scr[g0:g0 + gc].transpose(
+                0, 2, 1)
+            acc_ref[:] += jnp.sum(ps * s[g0:g0 + gc, None, :], axis=0)
     elif dequant_mode == "group_dot":
         # scale AFTER the matmul: the weight tile costs ONE VPU pass
         # (int8->bf16); per-group partial dots run batched on the MXU and
@@ -1123,9 +1135,10 @@ def q8_matmul(
     if (
         dequant_mode in ("reshape", "a8", "group_dot", "bf16", "f32dot")
         and k % gs == 0
-        and k * block_n
-        * (2 if dequant_mode in ("group_dot", "bf16", "f32dot") else 1)
-        <= 16 * 2 ** 20
+        # <= 8 MiB weight strip: for the tile-materializing modes
+        # (group_dot/bf16/f32dot) the extra (BK, BN) bf16 tile doubles the
+        # footprint, which fits exactly because the vmem_limit below is
+        # raised to 16 MiB for them.
         and k * block_n <= 8 * 2 ** 20
         and b * k * 2 <= 2 * 2 ** 20
     ):
@@ -1147,20 +1160,31 @@ def q8_matmul(
     # chunked prefill measured 6.9 s/layer-pass vs 0.6 s at 4096 rows).
     block_m = b
     pad_m = 0
-    if dequant_mode == "a8" and (
-        b > 64 or block_k != k
-        or (block_k // gs) * b * block_n * 4 > 4 * 2 ** 20
-    ):
-        # w8a8's (G, M, BN) int32 partials grow with M — a8 is a decode
-        # (GEMV) optimization; large-M callers (prefill) keep dequant+MXU.
-        # block_k == K required: the quantized x stash covers the whole row.
-        dequant_mode = "reshape"
+    if dequant_mode == "a8":
+        if b > 64 and k % gs == 0 and k * block_n <= 8 * 2 ** 20:
+            # prefill w8a8: int8 weight tiles feed the MXU directly at the
+            # 2x int8 rate — prefill is FLOPs-bound, so this attacks the
+            # 63%-of-MXU-peak dequant serialization (VERDICT r4 #1b).
+            # block_k == K (the x stash covers the whole row, quantized
+            # once per m-block at n-block 0); the kernel's group-chunked
+            # rescale keeps the int32 partials VMEM-sized at any block_m.
+            block_k = k
+        elif (
+            b > 64 or block_k != k
+            or (block_k // gs) * b * block_n * 4 > 4 * 2 ** 20
+        ):
+            # remaining ineligible shapes (non-gs-aligned K, oversized
+            # weight strips) keep dequant+MXU
+            dequant_mode = "reshape"
     if b > 512:
         block_m = 512
         if out_heads:
             # the head-split out block (block_m, N/HS, HS) stays resident
             # across n-steps; at prefill row counts block_m=512 overflows
             # the 80 MB scoped-vmem stack (measured 94.1 MB at 7B QKV)
+            block_m = 256
+        if dequant_mode == "a8":
+            # cap the x stash (K x block_m int8) + int32 partial footprint
             block_m = 256
         if b % block_m:
             pad_m = block_m - b % block_m
@@ -1333,6 +1357,7 @@ def q8_matmul(
             vmem_limit_bytes=(
                 64 * 2 ** 20
                 if dequant_mode in ("group_dot", "bf16", "f32dot")
+                or (dequant_mode == "a8" and b > 64 and not out_heads)
                 else (100 * 2 ** 20 if out_heads and b > 512 else None)
             ),
         ),

@@ -37,6 +37,11 @@ from hip_llama_tpu.ops.quant import _rmsnorm_rows
 
 _ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q4_BLOCK_N", "512"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q4_BLOCK_K", "1024"))
+# "dequant" = unpack + f32 dequant + bf16 MXU (exact vs the group scales);
+# "a8" = w4a8: nibbles expand straight to int8 and feed int8xint8 MXU dots,
+# activations quantized per (row, K-group) — runq-style w8a8 semantics with
+# 4-bit weights. Default from the round-5 on-chip A/B (see BASELINE.md).
+_ENV_Q4_MODE = os.environ.get("HIPLLAMA_Q4_MODE", "dequant")
 
 
 class Q4Tensor(NamedTuple):
@@ -120,6 +125,45 @@ def _dequant_tile(p, s_ref, n_groups_h: int, gs: int, half: str):
     return w.reshape(bkh, bn).astype(jnp.bfloat16)
 
 
+def _a8_quant_half(x_f32, n_groups_h: int, gs: int):
+    """Per-(row, K-group) absmax/127 int8 quantization of one x half —
+    transposed so the group split is a layout-free sublane reshape (see
+    ops/quant.py::_q8_kernel a8). Returns ((G, gs, M) int8, (G, 1, M) f32)."""
+    xt = x_f32.T  # (KH, M)
+    x3 = xt.reshape(n_groups_h, gs, xt.shape[-1])
+    sx = jnp.max(jnp.abs(x3), axis=1, keepdims=True) * (1.0 / 127.0)
+    sx = jnp.where(sx == 0.0, 1.0, sx)
+    return jnp.round(x3 / sx).astype(jnp.int8), sx
+
+
+def _a8_plane_dot(p, s_ref, xi_scr, sx_scr, acc_ref, n_groups_h: int,
+                  gs: int, half: str):
+    """w4a8: expand one nibble plane straight to int8 (codes -8..7 are
+    exact in int8 — NO f32 dequant pass over the tile) and run per-group
+    int8 x int8 MXU dots; the fp32 rescale touches only the (gc, M, BN)
+    partials. This is the VERDICT r4 #4 fix: the measured killer of the
+    int4 path was the unpack+f32-dequant VPU chain, not the bytes."""
+    bkh, bn = p.shape
+    codes = (((p & 15) if half == "lo" else ((p >> 4) & 15)) - 8).astype(
+        jnp.int8)
+    w3 = codes.reshape(n_groups_h, gs, bn)
+    s = s_ref[...].reshape(n_groups_h, bn)
+    m_rows = xi_scr.shape[-1]
+    g_chunk = n_groups_h
+    while g_chunk * m_rows * bn * 4 > 4 * 2 ** 20 and g_chunk % 2 == 0:
+        g_chunk //= 2
+    for g0 in range(0, n_groups_h, g_chunk):
+        gc = min(g_chunk, n_groups_h - g0)
+        partial = jax.lax.dot_general(
+            xi_scr[g0:g0 + gc], w3[g0:g0 + gc],
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (gc, M, BN) int32
+        ps = partial.astype(jnp.float32) * sx_scr[g0:g0 + gc].transpose(
+            0, 2, 1)
+        acc_ref[:] += jnp.sum(ps * s[g0:g0 + gc, None, :], axis=0)
+
+
 def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):
     """Fused rmsnorm over the full row resident as two half blocks."""
     kh = x_lo_ref.shape[-1]
@@ -138,8 +182,9 @@ def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):
 
 def _q4_kernel(
     x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-    *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
-    r_ref=None, p_ref=None, rope_spec=None, norm_eps: float = 1e-5,
+    *a8_scr, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2,
+    g_ref=None, r_ref=None, p_ref=None, rope_spec=None,
+    norm_eps: float = 1e-5, dequant_mode: str = "dequant",
 ):
     j = pl.program_id(k_axis)
     # hoisted: program_id is unavailable inside pl.when bodies in interpret
@@ -156,13 +201,31 @@ def _q4_kernel(
         x_hi = x_hi_ref[:].astype(jnp.bfloat16)
 
     p = qp_ref[...].reshape(qp_ref.shape[-2], qp_ref.shape[-1]).astype(jnp.int32)
-    acc_ref[:] += jnp.dot(
-        x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
-        preferred_element_type=jnp.float32,
-    ) + jnp.dot(
-        x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
-        preferred_element_type=jnp.float32,
-    )
+    if dequant_mode == "a8":
+        xi_lo_scr, sx_lo_scr, xi_hi_scr, sx_hi_scr = a8_scr
+        ni_a8 = pl.program_id(k_axis - 1)
+
+        @pl.when(ni_a8 == 0)
+        def _quant_x():
+            il, sl = _a8_quant_half(x_lo.astype(jnp.float32), n_groups_h, gs)
+            xi_lo_scr[...] = il
+            sx_lo_scr[...] = sl
+            ih, sh = _a8_quant_half(x_hi.astype(jnp.float32), n_groups_h, gs)
+            xi_hi_scr[...] = ih
+            sx_hi_scr[...] = sh
+
+        _a8_plane_dot(p, s_lo_ref, xi_lo_scr, sx_lo_scr, acc_ref,
+                      n_groups_h, gs, "lo")
+        _a8_plane_dot(p, s_hi_ref, xi_hi_scr, sx_hi_scr, acc_ref,
+                      n_groups_h, gs, "hi")
+    else:
+        acc_ref[:] += jnp.dot(
+            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
+            preferred_element_type=jnp.float32,
+        ) + jnp.dot(
+            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(j == last_j)
     def _():
@@ -181,40 +244,41 @@ def _q4_kernel(
 
 
 def _q4_kernel_norm(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
-                    o_ref, acc_ref, **kw):
+                    o_ref, acc_ref, *a8_scr, **kw):
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               g_ref=g_ref, **kw)
+               *a8_scr, g_ref=g_ref, **kw)
 
 
 def _q4_kernel_res(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, r_ref,
-                   o_ref, acc_ref, **kw):
+                   o_ref, acc_ref, *a8_scr, **kw):
     # fused residual epilogue: o = residual + x @ W (see ops/quant.py)
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               r_ref=r_ref, **kw)
+               *a8_scr, r_ref=r_ref, **kw)
 
 
 def _q4_kernel_norm_res(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, g_ref,
-                        r_ref, o_ref, acc_ref, **kw):
+                        r_ref, o_ref, acc_ref, *a8_scr, **kw):
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               g_ref=g_ref, r_ref=r_ref, **kw)
+               *a8_scr, g_ref=g_ref, r_ref=r_ref, **kw)
 
 
 def _q4_kernel_rope(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, p_ref,
-                    o_ref, acc_ref, **kw):
+                    o_ref, acc_ref, *a8_scr, **kw):
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               p_ref=p_ref, **kw)
+               *a8_scr, p_ref=p_ref, **kw)
 
 
 def _q4_kernel_norm_rope(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref,
-                         g_ref, p_ref, o_ref, acc_ref, **kw):
+                         g_ref, p_ref, o_ref, acc_ref, *a8_scr, **kw):
     _q4_kernel(x_lo_ref, x_hi_ref, qp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               g_ref=g_ref, p_ref=p_ref, **kw)
+               *a8_scr, g_ref=g_ref, p_ref=p_ref, **kw)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "block_k", "interpret", "out_dtype",
-                     "norm_eps", "rope_limit", "rope_head", "rope_theta"),
+                     "norm_eps", "rope_limit", "rope_head", "rope_theta",
+                     "dequant_mode"),
 )
 def q4_matmul(
     x: jax.Array,
@@ -231,12 +295,14 @@ def q4_matmul(
     rope_limit: int = 0,
     rope_head: int = 0,
     rope_theta: float = 10000.0,
+    dequant_mode: str | None = None,
 ) -> jax.Array:
     """x (B, K) @ dequant(int4 t) -> (B, N). Packed nibbles are the only
     weight HBM traffic (~0.5 B/weight + scales vs the q8 path's ~1.06).
     `residual` (B, N) is added in the epilogue; `rope_pos` enables the
     fused RoPE epilogue for QKV projections (see ops/quant.py)."""
     assert residual is None or rope_pos is None
+    dequant_mode = dequant_mode or _ENV_Q4_MODE
     b, k = x.shape
     assert k == t.k_dim, (x.shape, t.q.shape)
     n = t.q.shape[-1]
@@ -279,12 +345,18 @@ def q4_matmul(
             y = _rope_rows_xla(y, rope_pos, rope_limit, rope_head, rope_theta)
         return y.astype(out_dtype)
 
+    if dequant_mode == "a8" and (bkh != kh or kh % gs):
+        # the x stash covers the whole row halves (quantized once per
+        # m-block at n-block 0) — multi-K-block shapes keep dequant
+        dequant_mode = "dequant"
     block_m = b
     pad_m = 0
     if b > 512:
         block_m = 512
-        if b % 512:
-            pad_m = 512 - b % 512
+        if dequant_mode == "a8":
+            block_m = 256  # cap the stash + int32 partial footprint
+        if b % block_m:
+            pad_m = block_m - b % block_m
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
             if residual is not None:
                 residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
@@ -343,7 +415,20 @@ def q4_matmul(
            rope_pos is not None)],
         n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1, norm_eps=norm_eps,
         rope_spec=(rope_limit, rope_head, rope_theta),
+        dequant_mode=dequant_mode,
     )
+    scratch_shapes = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+    dim_sem = ("parallel", "parallel", "arbitrary")
+    if dequant_mode == "a8":
+        # quantized-x stash per half, written at n-block 0 and reused by
+        # later n-blocks — the n axis carries a sequential dependence
+        scratch_shapes += [
+            pltpu.VMEM((n_groups_h, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups_h, 1, block_m), jnp.float32),
+            pltpu.VMEM((n_groups_h, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups_h, 1, block_m), jnp.float32),
+        ]
+        dim_sem = ("parallel", "arbitrary", "arbitrary")
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -351,9 +436,12 @@ def q4_matmul(
         out_specs=pl.BlockSpec((block_m, block_n), lambda m, i, j: (m, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
+            vmem_limit_bytes=(
+                64 * 2 ** 20 if dequant_mode == "a8" and b > 64 else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * k * n,
@@ -367,9 +455,9 @@ def q4_matmul(
 
 def _q4_kernel_silu(
     x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref, qp2_ref, s2_lo_ref,
-    s2_hi_ref, o_ref, acc1_ref, acc2_ref,
-    *, n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
-    norm_eps: float = 1e-5,
+    s2_hi_ref, o_ref, acc1_ref, acc2_ref, *a8_scr,
+    n_groups_h: int, gs: int, last_j: int, k_axis: int = 2, g_ref=None,
+    norm_eps: float = 1e-5, dequant_mode: str = "dequant",
 ):
     """Fused SwiGLU: o = silu(x @ W1) * (x @ W3), W1/W3 as two column views
     of the concatenated (K, 2H) int4 weight; gate product on the fp32
@@ -387,11 +475,30 @@ def _q4_kernel_silu(
         x_lo = x_lo_ref[:].astype(jnp.bfloat16)
         x_hi = x_hi_ref[:].astype(jnp.bfloat16)
 
+    if dequant_mode == "a8":
+        xi_lo_scr, sx_lo_scr, xi_hi_scr, sx_hi_scr = a8_scr
+        ni_a8 = pl.program_id(k_axis - 1)
+
+        @pl.when(ni_a8 == 0)
+        def _quant_x():
+            il, sl = _a8_quant_half(x_lo.astype(jnp.float32), n_groups_h, gs)
+            xi_lo_scr[...] = il
+            sx_lo_scr[...] = sl
+            ih, sh = _a8_quant_half(x_hi.astype(jnp.float32), n_groups_h, gs)
+            xi_hi_scr[...] = ih
+            sx_hi_scr[...] = sh
+
     for qp_ref, s_lo_ref, s_hi_ref, acc_ref in (
         (qp1_ref, s1_lo_ref, s1_hi_ref, acc1_ref),
         (qp2_ref, s2_lo_ref, s2_hi_ref, acc2_ref),
     ):
         p = qp_ref[...].reshape(qp_ref.shape[-2], qp_ref.shape[-1]).astype(jnp.int32)
+        if dequant_mode == "a8":
+            _a8_plane_dot(p, s_lo_ref, xi_lo_scr, sx_lo_scr, acc_ref,
+                          n_groups_h, gs, "lo")
+            _a8_plane_dot(p, s_hi_ref, xi_hi_scr, sx_hi_scr, acc_ref,
+                          n_groups_h, gs, "hi")
+            continue
         acc_ref[:] += jnp.dot(
             x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
             preferred_element_type=jnp.float32,
@@ -408,15 +515,16 @@ def _q4_kernel_silu(
 
 def _q4_kernel_silu_norm(x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref,
                          qp2_ref, s2_lo_ref, s2_hi_ref, g_ref, o_ref,
-                         acc1_ref, acc2_ref, **kw):
+                         acc1_ref, acc2_ref, *a8_scr, **kw):
     _q4_kernel_silu(x_lo_ref, x_hi_ref, qp1_ref, s1_lo_ref, s1_hi_ref,
                     qp2_ref, s2_lo_ref, s2_hi_ref, o_ref, acc1_ref, acc2_ref,
-                    g_ref=g_ref, **kw)
+                    *a8_scr, g_ref=g_ref, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "block_k", "interpret", "out_dtype", "norm_eps"),
+    static_argnames=("block_n", "block_k", "interpret", "out_dtype",
+                     "norm_eps", "dequant_mode"),
 )
 def q4_matmul_silu(
     x: jax.Array,
@@ -428,8 +536,10 @@ def q4_matmul_silu(
     out_dtype=None,
     norm_weight: jax.Array | None = None,
     norm_eps: float = 1e-5,
+    dequant_mode: str | None = None,
 ) -> jax.Array:
     """silu(x @ W1) * (x @ W3) -> (B, H) in one fused int4 kernel."""
+    dequant_mode = dequant_mode or _ENV_Q4_MODE
     b, k = x.shape
     assert k == t.k_dim, (x.shape, t.q.shape)
     n2 = t.q.shape[-1]
@@ -467,12 +577,16 @@ def q4_matmul_silu(
     if not (ok_x and ok_w) and not interpret:
         return fallback()
 
+    if dequant_mode == "a8" and (bkh != kh or kh % gs):
+        dequant_mode = "dequant"  # see q4_matmul: stash needs one K block
     block_m = b
     pad_m = 0
     if b > 512:
         block_m = 512
-        if b % 512:
-            pad_m = 512 - b % 512
+        if dequant_mode == "a8":
+            block_m = 256
+        if b % block_m:
+            pad_m = block_m - b % block_m
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
     bp = b + pad_m
     if norm_weight is not None and bkh != kh:
@@ -507,6 +621,7 @@ def q4_matmul_silu(
         kernel = functools.partial(
             _q4_kernel_silu_norm, n_groups_h=n_groups_h, gs=gs,
             last_j=grid[2] - 1, norm_eps=norm_eps,
+            dequant_mode=dequant_mode,
         )
         in_specs.append(
             pl.BlockSpec((1, k), lambda m, i, j: (0, 0), memory_space=pltpu.VMEM)
@@ -515,7 +630,21 @@ def q4_matmul_silu(
     else:
         kernel = functools.partial(
             _q4_kernel_silu, n_groups_h=n_groups_h, gs=gs, last_j=grid[2] - 1,
+            dequant_mode=dequant_mode,
         )
+    scratch_shapes = [
+        pltpu.VMEM((block_m, bn), jnp.float32),
+        pltpu.VMEM((block_m, bn), jnp.float32),
+    ]
+    dim_sem = ("parallel", "parallel", "arbitrary")
+    if dequant_mode == "a8":
+        scratch_shapes += [
+            pltpu.VMEM((n_groups_h, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups_h, 1, block_m), jnp.float32),
+            pltpu.VMEM((n_groups_h, gs, block_m), jnp.int8),
+            pltpu.VMEM((n_groups_h, 1, block_m), jnp.float32),
+        ]
+        dim_sem = ("parallel", "arbitrary", "arbitrary")
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -523,12 +652,12 @@ def q4_matmul_silu(
         out_specs=pl.BlockSpec((block_m, bn), lambda m, i, j: (m, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, h), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_m, bn), jnp.float32),
-            pltpu.VMEM((block_m, bn), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=dim_sem,
+            vmem_limit_bytes=(
+                64 * 2 ** 20 if dequant_mode == "a8" and b > 64 else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * k * h,

@@ -30,6 +30,10 @@ Extra (framework-specific, double-dash):
                              softmax combine (dense params only)
   --rope-theta F             RoPE base override (.bin headers can't carry
                              it; Llama-3-era models use 500000/1e6)
+  --replicas N               test mode: N independent engine replicas over N
+                             devices pulling from one shared request queue
+                             (the reference's DP serving topology,
+                             llama.cpp:919-983)
   --quant q8|q4              quantize fp32 weights to Q8_0 / int4 on the fly
                              (v2 checkpoints use the fused int8 path already)
   --dequant                  force a v2 checkpoint through the dense path
@@ -114,6 +118,7 @@ def main(argv: list[str]) -> int:
     layout = "unrolled"
     spec_k, draft_path = 0, None
     prefix_cache = False
+    replicas = 1
 
     i = 2
     while i < len(argv):
@@ -154,6 +159,13 @@ def main(argv: list[str]) -> int:
                 return 1
             layout = argv[i + 1]
             assert layout in ("unrolled", "stacked"), layout
+            i += 2
+            continue
+        if a == "--replicas":
+            if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+                print("--replicas needs a count", file=sys.stderr)
+                return 1
+            replicas = int(argv[i + 1])
             i += 2
             continue
         if a == "--spec":
@@ -419,9 +431,16 @@ def main(argv: list[str]) -> int:
             # unrolled per-layer weight buffers (the measured-fastest
             # decode config). The paged step is a lax.scan over stacked
             # layer weights, so paged keeps the stacked layout.
-            from hip_llama_tpu.models.params import unstack_quant_params
+            from hip_llama_tpu.models.params import (
+                pad_kv_head_params,
+                unstack_quant_params,
+            )
 
             params = unstack_quant_params(params)
+            if kv_quant and cfg.n_kv_heads % 8:
+                # emit the int8-KV cache's 8-padded head count straight
+                # from the QKV weights (zero per-step pad/slice ops)
+                params = pad_kv_head_params(params, cfg)
     print(
         f"---------Model Information----------\n"
         f"dim: {cfg.dim}\nhidden_dim: {cfg.hidden_dim}\nn_layers: {cfg.n_layers}\n"
@@ -636,12 +655,61 @@ def main(argv: list[str]) -> int:
             load_draft_engine(draft_path, batch)
             if spec_k > 0 and draft_path else None
         )
+        if replicas > 1:
+            # multi-replica shared-queue serving (llama.cpp:919-983): N
+            # independent engines over N devices, one request queue. Modes
+            # that already span the mesh (tp/pp/sp/stream) or need a draft
+            # keep the single-engine path.
+            blocked = [
+                (tp > 1, "--tp"), (pp > 1, "--pp"), (sp > 1, "--sp"),
+                (stream, "--stream"), (draft_engine is not None, "--draft"),
+                (spec_k > 0, "--spec"),
+            ]
+            bad = [f for cond, f in blocked if cond]
+            n_dev = len(jax.devices())
+            if bad:
+                print(f"note: --replicas is incompatible with "
+                      f"{'/'.join(bad)}; serving with 1 engine",
+                      file=sys.stderr)
+                replicas = 1
+            elif n_dev < replicas:
+                print(f"note: --replicas {replicas} > {n_dev} devices; "
+                      f"clamping", file=sys.stderr)
+                replicas = n_dev
+
         start = time.perf_counter()
         stats: dict = {}
-        num_gen_tokens = engine.serve(
-            requests, steps=cfg.seq_len, verbose=True, stats=stats,
-            draft=draft_engine, stop_on_eos=stop_on_eos, samplers=samplers,
-        )
+        if replicas > 1:
+            from hip_llama_tpu.engine.engine import serve_replicated
+
+            devs = jax.devices()[:replicas]
+            engine.device = devs[0]
+            rep_engines = [engine]
+            for r in range(1, replicas):
+                with jax.default_device(devs[r]):
+                    params_r = jax.device_put(params, devs[r])
+                    rep_engines.append(InferenceEngine(
+                        cfg, params_r, tokenizer, batch_size=batch,
+                        attn_impl=attn_impl, use_prefill=use_prefill,
+                        precision="highest" if dtype == jnp.float32
+                        else "default",
+                        paged=paged, page_size=page_size,
+                        device_sampling=device_sampling,
+                        ds_temperature=temperature, ds_topp=topp,
+                        ds_seed=rng_seed, kv_quant=kv_quant,
+                        chunk_steps=chunk_steps, prefix_cache=prefix_cache,
+                        device=devs[r],
+                    ))
+            num_gen_tokens = serve_replicated(
+                rep_engines, requests, steps=cfg.seq_len, stats=stats,
+                stop_on_eos=stop_on_eos, samplers=samplers,
+            )
+        else:
+            num_gen_tokens = engine.serve(
+                requests, steps=cfg.seq_len, verbose=True, stats=stats,
+                draft=draft_engine, stop_on_eos=stop_on_eos,
+                samplers=samplers,
+            )
         end = time.perf_counter()
         print(f"Total achieved token: {num_gen_tokens}")
         print(
@@ -649,10 +717,11 @@ def main(argv: list[str]) -> int:
             f"achieved throughput(tok/s): {num_gen_tokens/(end-start):.6f}"
         )
         if stats.get("ttft_p50_s") is not None:
+            mx = stats.get("ttft_max_s")
             print(
                 f"ttft p50: {stats['ttft_p50_s']*1000:.1f} ms, "
-                f"p95: {stats['ttft_p95_s']*1000:.1f} ms, "
-                f"max: {stats['ttft_max_s']*1000:.1f} ms",
+                f"p95: {stats['ttft_p95_s']*1000:.1f} ms"
+                + (f", max: {mx*1000:.1f} ms" if mx is not None else ""),
                 file=sys.stderr,
             )
         if stats.get("spec_proposed"):

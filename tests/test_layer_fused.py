@@ -28,9 +28,12 @@ def _rand_qt(rng, k, n, gs=64):
 
 @pytest.mark.parametrize("h,kvh", [(8, 8), (16, 8)])
 @pytest.mark.parametrize("quantized", [False, True])
-def test_layer_kernel_matches_composed(h, kvh, quantized):
+# b=3: odd batches shrink the slot-fold to bb=1 (ADVICE r4 — previously
+# declined, now engaged, so the bb=1 configuration needs parity coverage)
+@pytest.mark.parametrize("b", [4, 3])
+def test_layer_kernel_matches_composed(h, kvh, quantized, b):
     rng = np.random.default_rng(0)
-    b, hs, s, nl, hid = 4, 128, 256, 2, 2816
+    hs, s, nl, hid = 128, 256, 2, 2816
     d = h * hs
     kvd = kvh * hs
     wqkv = _rand_qt(rng, d, d + 2 * kvd)
@@ -40,7 +43,7 @@ def test_layer_kernel_matches_composed(h, kvh, quantized):
     g1 = jnp.asarray(rng.random((d,)), jnp.float32)
     g2 = jnp.asarray(rng.random((d,)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((b, d)), jnp.bfloat16)
-    pos = jnp.asarray([0, 37, 255, 128], jnp.int32)
+    pos = jnp.asarray([0, 37, 255, 128][:b], jnp.int32)
     layer = jnp.int32(1)
     if quantized:
         kc = jnp.asarray(

@@ -53,8 +53,8 @@ def test_q8_matmul_ladder(b, k, n):
 
 
 @pytest.mark.parametrize("b", [1, 7])
-@pytest.mark.parametrize("n,heads", [(333 * 3, 3), (96 * 5, 96)])
-def test_q8_matmul_out_heads_ladder(b, n, heads):
+@pytest.mark.parametrize("n,head_size", [(333 * 3, 333), (96 * 5, 96)])
+def test_q8_matmul_out_heads_ladder(b, n, head_size):
     """Head-split output at non-8-aligned head counts / sub-lane head sizes
     must route through the flat-emit fallback and still return the
     head-split layout, with no tail heads dropped."""
@@ -62,10 +62,8 @@ def test_q8_matmul_out_heads_ladder(b, n, heads):
     k = 128
     qt = _qt(rng, k, n)
     x = jnp.asarray(rng.standard_normal((b, k)), jnp.float32) * 0.5
-    hs = n // heads if heads == 3 else heads
-    out_heads = n // heads if heads == 3 else heads  # head size
-    got = q8_matmul(x, qt, out_dtype=jnp.float32, out_heads=out_heads)
-    want = q8_matmul_xla(x, qt).reshape(b, n // out_heads, out_heads)
+    got = q8_matmul(x, qt, out_dtype=jnp.float32, out_heads=head_size)
+    want = q8_matmul_xla(x, qt).reshape(b, n // head_size, head_size)
     assert got.shape == want.shape
     assert_close(got, want, atol=2e-2, rtol=2e-2)
 

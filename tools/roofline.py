@@ -27,6 +27,21 @@ CHIPS = {
 }
 
 
+def live_kv_fraction(pos0: int, steps: int, window: int,
+                     block_k: int = 128) -> float:
+    """Mean fraction of the KV window the live-clamped decode attention
+    kernel actually streams over a chain at positions pos0..pos0+steps-1
+    (dead-block skip: ceil((pos+1)/block_k) blocks per step). This is the
+    honest denominator for windowed configs — grading a live-clamped
+    kernel against full-window traffic produces >100% fractions (the
+    round-4 w2048 "103%" artifact)."""
+    tot = 0.0
+    for i in range(steps):
+        live = min(-(-(pos0 + i + 1) // block_k) * block_k, window)
+        tot += live / window
+    return tot / steps
+
+
 def op_table(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
              cache_bytes: int) -> list[tuple[str, float, float]]:
     """Per-decode-step (name, FLOPs, HBM bytes) rows, all layers."""
@@ -50,7 +65,7 @@ def op_table(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
 
 def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
            chip: str = "v5e", measured_tok_s: float | None = None,
-           compute_dtype: str = "bfloat16"):
+           compute_dtype: str = "bfloat16", kv_live_fraction: float = 1.0):
     bw, flops_bf16, _flops_int8 = CHIPS[chip]
     # our int8 kernels dequantize to bf16 before the MXU, so bf16 peak is
     # the honest compute ceiling for int8 weights too; fp32 matmuls run at
@@ -58,6 +73,16 @@ def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes
     if compute_dtype == "float32":
         flops_bf16 = flops_bf16 / 2
     rows = op_table(cfg, b, window, wbytes_per, cache_bytes)
+    if kv_live_fraction != 1.0:
+        # --clamped: scale the attention row's FLOPs/bytes down to what the
+        # live-clamped kernel actually touches at the chain's positions
+        rows = [
+            (n, f * kv_live_fraction, by * kv_live_fraction)
+            if n == "attention" else (n, f, by)
+            for n, f, by in rows
+        ]
+        print(f"clamped KV denominator: live fraction {kv_live_fraction:.3f} "
+              f"of the {window}-row window")
     ridge = flops_bf16 / bw
     print(f"chip {chip}: HBM {bw/1e9:.0f} GB/s, {compute_dtype} "
           f"{flops_bf16/1e12:.0f} TF/s, "
@@ -96,11 +121,28 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--dtype", default="int8", choices=["int8", "bfloat16", "float32"])
-    ap.add_argument("--cache-dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--cache-dtype", default="bfloat16",
+                    choices=["int8", "bfloat16", "float32"])
     ap.add_argument("--measured-tok-s", type=float, default=None)
+    ap.add_argument("--clamped", action="store_true",
+                    help="use the live-clamped KV denominator for the bench "
+                         "decode chain (pos0=window/2, --steps steps) instead "
+                         "of full-window traffic — the honest fraction for "
+                         "windowed configs")
+    ap.add_argument("--pos0", type=int, default=None,
+                    help="chain start position for --clamped (default window/2)")
+    ap.add_argument("--steps", type=int, default=128,
+                    help="chain length for --clamped (default 128, the bench default)")
     a = ap.parse_args()
     wb = {"int8": 1.0625, "bfloat16": 2, "float32": 4}[a.dtype]  # int8 + f32 scales/64
-    cb = {"bfloat16": 2, "float32": 4}[a.cache_dtype]
+    # int8 KV: 1 byte + one f32 rowwise scale per head_size elements
+    hs = CONFIGS[a.model].dim // CONFIGS[a.model].n_heads
+    cb = {"int8": 1 + 4 / hs, "bfloat16": 2, "float32": 4}[a.cache_dtype]
+    frac = 1.0
+    if a.clamped:
+        pos0 = a.pos0 if a.pos0 is not None else a.window // 2
+        frac = live_kv_fraction(pos0, a.steps, a.window)
     report(CONFIGS[a.model], a.batch, a.window, wb, cb,
            measured_tok_s=a.measured_tok_s,
-           compute_dtype="float32" if a.dtype == "float32" else "bfloat16")
+           compute_dtype="float32" if a.dtype == "float32" else "bfloat16",
+           kv_live_fraction=frac)

@@ -19,9 +19,120 @@ from hip_llama_tpu.engine.speculative import speculative_generate
 from hip_llama_tpu.tokenizer import Tokenizer
 
 
+def chain_ab(sub: str, n_rounds: int = 24, k: int = 4):
+    """Dispatch-free A/B (VERDICT r4 #3): the on-device speculative chain
+    (models/spec_chain.py — N proposal/verify/commit rounds in ONE
+    dispatch) vs the plain greedy chain at b=1. No host RPC inside either
+    loop, so the multiplier measures the actual math, not the tunnel."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from hip_llama_tpu.models import init_kv_cache
+    from hip_llama_tpu.models.spec_chain import (
+        make_plain_chain,
+        make_spec_lookup_chain,
+    )
+    from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if sub == "golden":
+        from hip_llama_tpu.io.checkpoint import load_checkpoint
+        from hip_llama_tpu.models.params import params_from_weights
+
+        cfg, w = load_checkpoint(os.path.join(repo, "assets/golden/model.bin"))
+        tok = Tokenizer.from_file(
+            os.path.join(repo, "assets/golden/tokenizer.bin"), cfg.vocab_size)
+        params = params_from_weights(w, dtype=jnp.float32)
+        attn, prec, kvq, dtype = "xla", "highest", False, jnp.float32
+    else:
+        cfg = dataclasses.replace(CONFIGS[sub], seq_len=1024)
+        tok = Tokenizer.from_file(
+            "/root/reference/assets/tokenizer.bin", cfg.vocab_size)
+        params = rand_qparams_unrolled_on_device(cfg)
+        attn, prec, kvq, dtype = "pallas", "default", True, jnp.bfloat16
+
+    n_tok = n_rounds * (k + 1)
+    H = 256
+    prompt_toks = tok.encode("Once upon a time", bos=True, eos=False)
+    copts = decode_compiler_options()
+    plain1 = jax.jit(
+        make_plain_chain(cfg, n_steps=1, attn_impl=attn, precision=prec),
+        donate_argnums=(1,), compiler_options=copts)
+    plain = jax.jit(
+        make_plain_chain(cfg, n_steps=n_tok, attn_impl=attn, precision=prec),
+        donate_argnums=(1,), compiler_options=copts)
+    spec = jax.jit(
+        make_spec_lookup_chain(cfg, k=k, n_rounds=n_rounds, hist_len=H,
+                               attn_impl=attn, precision=prec),
+        donate_argnums=(1,), compiler_options=copts)
+
+    def seed():
+        cache = init_kv_cache(cfg, 1, dtype=dtype, quantized=kvq)
+        t = jnp.int32(prompt_toks[0])
+        pos = jnp.int32(0)
+        for nxt in prompt_toks[1:]:
+            _, cache, _, pos = plain1(params, cache, t, pos)
+            t = jnp.int32(nxt)
+        return cache, t, pos
+
+    hist0 = np.full((H,), -7, np.int32)
+    hist0[-len(prompt_toks):] = prompt_toks
+
+    # compile + warm both
+    c, t0_, p0_ = seed()
+    np.asarray(plain(params, c, t0_, p0_)[0])
+    c, t0_, p0_ = seed()
+    np.asarray(spec(params, c, t0_, p0_, jnp.asarray(hist0))[0])
+
+    best_plain = best_spec = float("inf")
+    spec_tokens = plain_tokens = 0
+    flat = toks_plain = None
+    for _ in range(2):
+        c, t, p = seed()
+        t0 = time.perf_counter()
+        toks_plain, *_ = plain(params, c, t, p)
+        toks_plain = np.asarray(toks_plain)
+        best_plain = min(best_plain, time.perf_counter() - t0)
+        plain_tokens = len(toks_plain)
+
+        c, t, p = seed()
+        t0 = time.perf_counter()
+        toks, counts, *_ = spec(params, c, t, p, jnp.asarray(hist0))
+        toks, counts = np.asarray(toks), np.asarray(counts)
+        best_spec = min(best_spec, time.perf_counter() - t0)
+        flat = [int(x) for r in range(n_rounds)
+                for x in toks[r, : counts[r]]]
+        spec_tokens = len(flat)
+
+    match = 0
+    for a, b in zip(toks_plain.tolist(), flat):
+        if a != b:
+            break
+        match += 1
+    plain_rate = plain_tokens / best_plain
+    spec_rate = spec_tokens / best_spec
+    print(json.dumps({
+        "metric": f"b1_chain_tok_s_{sub}",
+        "plain_chain": round(plain_rate, 2),
+        "spec_chain_k4": round(spec_rate, 2),
+        "multiplier": round(spec_rate / plain_rate, 3),
+        "acceptance": round((spec_tokens - n_rounds) / (n_rounds * k), 3),
+        "tokens_per_round": round(spec_tokens / n_rounds, 2),
+        "rounds": n_rounds,
+        "greedy_prefix_match": match,
+        "n_tokens": [plain_tokens, spec_tokens],
+    }))
+
+
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "7b"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    if model.startswith("chain"):
+        chain_ab(model[5:] or "7b",
+                 n_rounds=int(sys.argv[2]) if len(sys.argv) > 2 else 24)
+        return
     import dataclasses
     if model == "golden":
         # the committed TRAINED fixture (assets/golden, built by

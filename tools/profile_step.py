@@ -30,7 +30,10 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
     ap.add_argument("--layout", default="unrolled", choices=["unrolled", "stacked"])
-    ap.add_argument("--mode", default="decode", choices=["decode", "prefill", "chain"])
+    ap.add_argument("--mode", default="decode",
+                    choices=["decode", "prefill", "chain", "paged_chunk",
+                             "chunk"])
+    ap.add_argument("--chunk-steps", type=int, default=4)
     ap.add_argument("--prompt-len", type=int, default=512)
     args = ap.parse_args()
 
@@ -74,6 +77,68 @@ def main():
             logits, cache = prefill(params, cache, toks2, start, valid)
         np.asarray(logits)
         jax.profiler.stop_trace()
+    elif args.mode in ("paged_chunk", "chunk"):
+        # the serve-mode chunked sampling dispatch, paged or contiguous —
+        # the per-op decomposition behind the r4 "--paged --chunk 4 gives
+        # back 28%" gap (VERDICT r4 #5)
+        from hip_llama_tpu.xla_tuning import decode_compiler_options
+
+        b = args.batch
+        key = jax.random.PRNGKey(0)
+        if args.mode == "paged_chunk":
+            from hip_llama_tpu.models.paged import (
+                init_paged_kv_cache,
+                make_paged_chunked_sampling_step,
+            )
+
+            params = rand_qparams_on_device(cfg)  # paged scans stacked
+            page_size = 128
+            ppslot = args.window // page_size
+            pcache = init_paged_kv_cache(
+                cfg, b * ppslot + 1, page_size, dtype=jnp.bfloat16,
+                quantized=(args.kv == "int8"),
+            )
+            # linear page table; page 0 is the trash page
+            table = jnp.asarray(
+                [[s * ppslot + 1 + i for i in range(ppslot)]
+                 for s in range(b)], jnp.int32)
+            chunk = jax.jit(
+                make_paged_chunked_sampling_step(
+                    cfg, args.chunk_steps, precision="default"),
+                donate_argnums=(1,), compiler_options=decode_compiler_options(),
+            )
+
+            def run(c):
+                toks, c = chunk(
+                    params, c, table,
+                    jnp.zeros((b,), jnp.int32),
+                    jnp.full((b,), args.window // 2, jnp.int32), key)
+                return toks, c
+        else:
+            from hip_llama_tpu.models.llama import make_chunked_sampling_step
+
+            pcache = cache
+            chunk = jax.jit(
+                make_chunked_sampling_step(
+                    cfg, args.chunk_steps, attn_impl=args.attn,
+                    precision="default"),
+                donate_argnums=(1,), compiler_options=decode_compiler_options(),
+            )
+
+            def run(c):
+                toks, c = chunk(
+                    params, c, jnp.zeros((b,), jnp.int32),
+                    jnp.full((b,), args.window // 2, jnp.int32), key)
+                return toks, c
+
+        toks, pcache = run(pcache)
+        np.asarray(toks)
+        jax.profiler.start_trace(args.outdir)
+        for _ in range(args.steps):
+            toks, pcache = run(pcache)
+        np.asarray(toks)
+        jax.profiler.stop_trace()
+        args.steps = args.steps * args.chunk_steps  # per-DECODE-step stats
     elif args.mode == "chain":
         # the bench.py device-loop serving config: one jitted greedy chain
         # (argmax feeds the next step) — profiles the while-loop overhead the

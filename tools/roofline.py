@@ -26,6 +26,14 @@ CHIPS = {
     "v5e": (819e9, 197e12, 394e12),
 }
 
+# VMEM <-> VPU/MXU bandwidth per chip. The v5e VPU is 8x128x(8 ALUs) at
+# ~940 MHz => ~7.9e12 f32 elem/s loads; usable VMEM streaming bandwidth
+# is ~O(10x) HBM. This level answers the reference's HIERARCHICAL
+# roofline question (scripts/profile/plot_roofline_hierarchical.py:52+,
+# L2/L1 levels from rocprof): once an op's HBM intensity clears the HBM
+# ridge, is it then VMEM-bound or compute-bound?
+VMEM_BW = {"v5e": 8e12}
+
 
 def live_kv_fraction(pos0: int, steps: int, window: int,
                      block_k: int = 128) -> float:
@@ -61,6 +69,58 @@ def op_table(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
     op("classifier", 2 * b * c.dim * c.vocab_size, c.dim * c.vocab_size * wbytes_per)
     op("embed+norms", 0, b * c.dim * 4 * (2 * L + 1))
     return rows
+
+
+def vmem_report(cfg: ModelConfig, b: int, window: int, wbytes_per: float,
+                cache_bytes: int, chip: str = "v5e"):
+    """Second roofline level (the reference's hierarchical-roofline analog,
+    plot_roofline_hierarchical.py): for each op, model the IN-KERNEL VMEM
+    traffic and VPU elementwise passes of the SHIPPED kernels and report
+    which unit bounds it once its HBM stream is paid. This quantifies the
+    round-2..4 finding that the q8 residue 'lives inside the kernels': the
+    dequant VPU passes are data-dependent with the MXU dot they feed.
+
+    Kernel models (per weight/KV element):
+    - q8 dequant+matmul (ops/quant.py `reshape`): VMEM int8 read + f32
+      dequant write/read + bf16 cast write + MXU bf16 read ~= 5 B; VPU
+      ~3 elementwise ops (convert, scale-mul, cast).
+    - int8-MXU decode attention (ops/attention.py i8mxu): KV int8 feeds
+      the MXU directly ~= 1 B VMEM, ~0 VPU passes over KV; q/p quant is
+      per-row (negligible at decode shapes).
+    """
+    bw, flops_bf16, _ = CHIPS[chip]
+    vbw = VMEM_BW[chip]
+    vpu_rate = vbw  # ~1 elementwise op per streamed element at peak
+    L = cfg.n_layers
+    w_elems = (
+        cfg.dim * (2 * cfg.dim + 2 * cfg.kv_dim) * L
+        + 3 * cfg.dim * cfg.hidden_dim * L
+        + cfg.dim * cfg.vocab_size
+    )
+    kv_elems = 2 * b * cfg.n_kv_heads * window * cfg.head_size * L
+    rows = [
+        # name, flops, hbm_bytes, vmem_bytes, vpu_ops
+        ("q8 matmuls", 2 * b * w_elems, w_elems * wbytes_per,
+         w_elems * 5.0, w_elems * 3.0),
+        ("attention(i8mxu)", 4 * b * cfg.n_heads * window * cfg.head_size * L,
+         kv_elems * cache_bytes, kv_elems * 1.0, kv_elems * 0.1),
+    ]
+    print(f"\n-- VMEM-level roofline ({chip}: VMEM ~{vbw/1e12:.0f} TB/s, "
+          f"VPU ~{vpu_rate/1e12:.0f} Gelem/s x1e3) --")
+    print(f"{'op':18s} {'HBM ms':>8s} {'VMEM ms':>8s} {'VPU ms':>8s} "
+          f"{'MXU ms':>8s} {'bound':>10s}")
+    for name, f, hbm_b, vmem_b, vpu_o in rows:
+        t = {
+            "HBM": hbm_b / bw, "VMEM": vmem_b / vbw,
+            "VPU": vpu_o / vpu_rate, "MXU": f / flops_bf16,
+        }
+        bound = max(t, key=t.get)
+        print(f"{name:18s} {t['HBM']*1e3:8.2f} {t['VMEM']*1e3:8.2f} "
+              f"{t['VPU']*1e3:8.2f} {t['MXU']*1e3:8.2f} {bound:>10s}")
+    print("(in-kernel serialization: the VPU dequant feeds the MXU dot "
+          "inside each grid step, so the achievable step time is HBM + a "
+          "data-dependent fraction of the VPU column — measured +8-11% at "
+          "7B decode, BASELINE.md)")
 
 
 def report(cfg: ModelConfig, b: int, window: int, wbytes_per: float, cache_bytes: int,
@@ -124,6 +184,9 @@ if __name__ == "__main__":
     ap.add_argument("--cache-dtype", default="bfloat16",
                     choices=["int8", "bfloat16", "float32"])
     ap.add_argument("--measured-tok-s", type=float, default=None)
+    ap.add_argument("--vmem", action="store_true",
+                    help="append the VMEM/VPU-level roofline rows (the "
+                         "hierarchical-roofline analog)")
     ap.add_argument("--clamped", action="store_true",
                     help="use the live-clamped KV denominator for the bench "
                          "decode chain (pos0=window/2, --steps steps) instead "
@@ -146,3 +209,5 @@ if __name__ == "__main__":
            measured_tok_s=a.measured_tok_s,
            compute_dtype="float32" if a.dtype == "float32" else "bfloat16",
            kv_live_fraction=frac)
+    if a.vmem:
+        vmem_report(CONFIGS[a.model], a.batch, a.window, wb, cb)

@@ -701,7 +701,9 @@ class InferenceEngine:
             )
             _d_key = jax.random.PRNGKey(0)
 
+        sched_iters = 0
         while True:
+            sched_iters += 1
             # assign new requests to empty slots (llama.cpp:973-1007)
             newly_assigned: dict[int, list[int]] = {}
             prefill_start: dict[int, int] = {}
@@ -1083,5 +1085,11 @@ class InferenceEngine:
                 spec_proposed=spec_proposed,
                 spec_accepted=spec_accepted,
                 ttft_all_s=tt,  # per-request; serve_replicated aggregates
+                # slot-step accounting: scheduler iterations x slots = the
+                # topology-level utilization denominator (tokens per
+                # slot-step), meaningful even where wall time is not
+                # (shared-core fake devices)
+                scheduler_iters=sched_iters,
+                slot_steps=sched_iters * b,
             )
         return gen_cnt

@@ -289,7 +289,10 @@ def _q8_kernel(
             )  # (gc, M, BN) int32
             ps = partial.astype(jnp.float32) * sx_scr[g0:g0 + gc].transpose(
                 0, 2, 1)
-            acc_ref[:] += jnp.sum(ps * s[g0:g0 + gc, None, :], axis=0)
+            # expand_dims AFTER the static slice: a slice+newaxis getitem
+            # lowers as a Mosaic gather and fails shape checking
+            acc_ref[:] += jnp.sum(
+                ps * jnp.expand_dims(s[g0:g0 + gc], 1), axis=0)
     elif dequant_mode == "group_dot":
         # scale AFTER the matmul: the weight tile costs ONE VPU pass
         # (int8->bf16); per-group partial dots run batched on the MXU and

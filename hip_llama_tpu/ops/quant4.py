@@ -161,7 +161,10 @@ def _a8_plane_dot(p, s_ref, xi_scr, sx_scr, acc_ref, n_groups_h: int,
         )  # (gc, M, BN) int32
         ps = partial.astype(jnp.float32) * sx_scr[g0:g0 + gc].transpose(
             0, 2, 1)
-        acc_ref[:] += jnp.sum(ps * s[g0:g0 + gc, None, :], axis=0)
+        # expand_dims AFTER the static slice: a slice+newaxis getitem
+        # lowers as a Mosaic gather and fails shape checking
+        acc_ref[:] += jnp.sum(
+            ps * jnp.expand_dims(s[g0:g0 + gc], 1), axis=0)
 
 
 def _q4_norm_rows(x_lo_ref, x_hi_ref, g_ref, norm_eps: float):

@@ -442,21 +442,33 @@ def _q8_kernel_silu(
             xi_scr[...] = jnp.round(x3 / sx).astype(jnp.int8)
             sx_scr[...] = sx
 
-        sxt = sx_scr[...].transpose(0, 2, 1)  # (G, M, 1)
+        m_rows = xi_scr.shape[-1]
 
-        def mm(q_ref, s_ref):
+        def mm(q_ref, s_ref, acc_ref):
             s = s_ref[...].reshape(n_groups, s_ref.shape[-1])
             wq = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
             w3 = wq.reshape(n_groups, gs, wq.shape[-1])
-            partial = jax.lax.dot_general(
-                xi_scr[...], w3, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            )  # (G, M, BN) int32
-            return jnp.sum(partial.astype(jnp.float32) * sxt * s[:, None, :],
-                           axis=0)
+            bn_a8 = wq.shape[-1]
+            # group-chunked rescale (see _q8_kernel): VMEM-sized partials
+            # at prefill row counts
+            g_chunk = n_groups
+            while (g_chunk * m_rows * bn_a8 * 4 > 4 * 2 ** 20
+                   and g_chunk % 2 == 0):
+                g_chunk //= 2
+            for g0 in range(0, n_groups, g_chunk):
+                gc = min(g_chunk, n_groups - g0)
+                partial = jax.lax.dot_general(
+                    xi_scr[g0:g0 + gc], w3[g0:g0 + gc],
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # (gc, M, BN) int32
+                ps = partial.astype(jnp.float32) * sx_scr[
+                    g0:g0 + gc].transpose(0, 2, 1)
+                acc_ref[:] += jnp.sum(
+                    ps * jnp.expand_dims(s[g0:g0 + gc], 1), axis=0)
 
-        acc1_ref[:] += mm(q1_ref, s1_ref)
-        acc2_ref[:] += mm(q2_ref, s2_ref)
+        mm(q1_ref, s1_ref, acc1_ref)
+        mm(q2_ref, s2_ref, acc2_ref)
     elif dequant_mode == "group_dot":
         xb = _normed_x().astype(jnp.bfloat16)
         acc1_ref[:] += _gd_mm(xb, q1_ref, s1_ref, n_groups, gs)
@@ -530,15 +542,17 @@ def q8_matmul_silu(
         return fallback()
     block_m = b
     pad_m = 0
-    if dequant_mode == "a8" and (
-        b > 64 or bk != k or (bk // gs) * b * bn * 4 > 4 * 2 ** 20
-    ):
-        # see q8_matmul: a8 is a decode (GEMV) optimization
-        dequant_mode = "reshape"
+    if dequant_mode == "a8":
+        if b > 64 and k % gs == 0 and k * bn <= 8 * 2 ** 20:
+            bk = k  # prefill w8a8 — see q8_matmul (group-chunked rescale)
+        elif b > 64 or bk != k or (bk // gs) * b * bn * 4 > 4 * 2 ** 20:
+            dequant_mode = "reshape"
     if b > 512:
         block_m = 512
-        if b % 512:
-            pad_m = 512 - b % 512
+        if dequant_mode == "a8":
+            block_m = 256  # cap the x stash + int32 partial footprint
+        if b % block_m:
+            pad_m = block_m - b % block_m
             x = jnp.pad(x, ((0, pad_m), (0, 0)))
     bp = b + pad_m
     if norm_weight is not None and bk != k:
@@ -651,6 +665,9 @@ def q8_matmul_silu(
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_sem,
+            vmem_limit_bytes=(
+                64 * 2 ** 20 if dequant_mode == "a8" and b > 64 else None
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * k * h,
@@ -1206,6 +1223,10 @@ def q8_matmul(
     if out_heads and (
         n % out_heads or block_n % out_heads
         or (block_n // out_heads) % 8
+        # sub-128 head sizes: the in-kernel (M, BN) -> (M, BN/HS, HS)
+        # head-split store is a lane split of sub-width vectors — Mosaic
+        # "unsupported shape cast" (hit at 110m hs=64 with padded weights)
+        or out_heads % 128
         # the rounding above can leave a NON-DIVISOR block_n (env-overridden
         # widths, e.g. 2560 -> 2048 with n=15360): a non-divisor block would
         # FLOOR the grid and silently drop the tail head slices — emit flat

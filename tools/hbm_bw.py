@@ -151,9 +151,68 @@ def dma_probe(gb: float = 6.0, copy: bool = False, reps: int = 4,
     return bytes_moved / best / 1e9
 
 
+def wshape_probe(gb: float = 6.0, reps: int = 4, bk: int = 4096,
+                 bn: int = 512, interpret: bool | None = None) -> float:
+    """Compute-free kernel with the q8 weight-stream's exact access
+    pattern: (bk, bn) int8 blocks of a (bk, N) array, one block per grid
+    step, VPU touching only 8x128 of each block. This is the achievable
+    ceiling FOR THE WORKLOAD'S OWN access pattern, measured without any
+    dequant/matmul work — the non-circular denominator VERDICT r4 asked
+    for. (A single contiguous-block probe caps at ~425 GB/s on this chip
+    regardless of stream count and block size — large linear DMAs do not
+    saturate the controller; the production kernels' many outstanding
+    2 MB strided block DMAs do.)"""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_cols = int(gb * 2 ** 30) // bk // bn * bn
+    x = jnp.ones((bk, n_cols), jnp.int8)
+    n_blocks = n_cols // bn
+
+    def kernel(seed_ref, x_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref) + seed_ref[0].astype(
+                jnp.float32)
+
+        acc_ref[...] += x_ref[:8, :128].astype(jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec((bk, bn), lambda i, seed: (0, i))],
+            out_specs=pl.BlockSpec((8, 128), lambda i, seed: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def chain(x):
+        def body(i, s):
+            res = call(jnp.full((1,), i, jnp.int32) + s.astype(jnp.int32), x)
+            return s + res[0, 0] * jnp.float32(1e-30)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    np.asarray(chain(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(x))
+        best = min(best, time.perf_counter() - t0)
+    return reps * bk * n_cols / best / 1e9
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="dma", choices=["dma", "copy", "vpu"])
+    ap.add_argument("--mode", default="dma",
+                    choices=["dma", "copy", "vpu", "wshape"])
     ap.add_argument("--gb", type=float, default=6.0)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--streams", type=int, default=0,
@@ -161,6 +220,12 @@ def main():
                          "and report the max")
     ap.add_argument("--block-kib", type=int, default=4096)
     a = ap.parse_args()
+    if a.mode == "wshape":
+        for bn in (256, 512, 1024):
+            bw = wshape_probe(gb=a.gb, reps=a.reps, bn=bn)
+            print(f"  wshape bn={bn}: {bw:.1f} GB/s", flush=True)
+            print(f"  -> HIPLLAMA_ACHIEVABLE_BW={bw * 1e9:.4e}", flush=True)
+        return
     if a.mode in ("dma", "copy"):
         ladder = [a.streams] if a.streams else [1, 2, 4, 8]
         best = 0.0

@@ -115,11 +115,18 @@ def q4_matmul_xla(x: jax.Array, t: Q4Tensor) -> jax.Array:
     return jnp.einsum("bgn,gn->bn", partial, t.s).astype(x.dtype)
 
 
-def _dequant_tile(p, s_ref, n_groups_h: int, gs: int, half: str):
+def _dequant_tile(p, s_ref, n_groups_h: int, gs: int, half: str,
+                  mode: str = "dequant"):
     """Unpack one nibble plane of a packed (BKH, BN) int32 tile and apply
-    its per-group scales -> bf16 (BKH, BN)."""
+    its per-group scales -> bf16 (BKH, BN). mode="bf16" does the scale
+    multiply at bf16 width (int4 codes are exact in bf16; only the scale
+    rounds) — one fewer full-width VPU pass than the f32 chain."""
     bkh, bn = p.shape
     codes = ((p & 15) if half == "lo" else ((p >> 4) & 15)) - 8
+    if mode == "bf16":
+        s = s_ref[...].reshape(n_groups_h, bn).astype(jnp.bfloat16)
+        w = codes.astype(jnp.bfloat16).reshape(n_groups_h, gs, bn) * s[:, None, :]
+        return w.reshape(bkh, bn)
     s = s_ref[...].reshape(n_groups_h, bn)
     w = codes.astype(jnp.float32).reshape(n_groups_h, gs, bn) * s[:, None, :]
     return w.reshape(bkh, bn).astype(jnp.bfloat16)
@@ -223,10 +230,12 @@ def _q4_kernel(
                       n_groups_h, gs, "hi")
     else:
         acc_ref[:] += jnp.dot(
-            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
+            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo",
+                                mode=dequant_mode),
             preferred_element_type=jnp.float32,
         ) + jnp.dot(
-            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
+            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi",
+                                mode=dequant_mode),
             preferred_element_type=jnp.float32,
         )
 
@@ -503,10 +512,12 @@ def _q4_kernel_silu(
                           n_groups_h, gs, "hi")
             continue
         acc_ref[:] += jnp.dot(
-            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo"),
+            x_lo, _dequant_tile(p, s_lo_ref, n_groups_h, gs, "lo",
+                                mode=dequant_mode),
             preferred_element_type=jnp.float32,
         ) + jnp.dot(
-            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi"),
+            x_hi, _dequant_tile(p, s_hi_ref, n_groups_h, gs, "hi",
+                                mode=dequant_mode),
             preferred_element_type=jnp.float32,
         )
 

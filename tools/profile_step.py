@@ -47,7 +47,9 @@ def main():
     from hip_llama_tpu.models import init_kv_cache, make_decode_step
 
     cfg = CONFIGS[args.model]
-    if args.quant == "q8" and args.layout == "stacked":
+    if args.mode == "paged_chunk":
+        params = None  # the paged branch builds its own stacked params
+    elif args.quant == "q8" and args.layout == "stacked":
         params = rand_qparams_stacked_fused_on_device(cfg)
     elif args.quant == "q8":
         params = rand_qparams_unrolled_on_device(cfg)
@@ -91,6 +93,7 @@ def main():
                 make_paged_chunked_sampling_step,
             )
 
+            cache = None  # free the contiguous cache allocated above
             params = rand_qparams_on_device(cfg)  # paged scans stacked
             page_size = 128
             ppslot = args.window // page_size

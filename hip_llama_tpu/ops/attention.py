@@ -43,6 +43,9 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # ops/quant.py for why micro-benchmarks don't work through the tunnel)
 _ENV_DECODE_BLOCK_K = int(os.environ.get("HIPLLAMA_ATTN_BLOCK_K", "0")) or None
 _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
+# T-major prefill attention (q and output stay (B, T, H, HS) — no XLA
+# transposes in/out of the kernel); default from the round-5 on-chip A/B
+_ENV_PREFILL_TMAJ = os.environ.get("HIPLLAMA_PREFILL_TMAJ", "0") == "1"
 # batch-folded decode grid: HIPLLAMA_ATTN_BB slots share one grid step (the
 # kernel unrolls their per-slot math), so each step issues ONE bigger KV DMA
 # covering BB slots instead of BB small ones — fewer grid steps, less
@@ -835,6 +838,111 @@ def _prefill_kernel(
         ).astype(o_ref.dtype)
 
 
+def _prefill_kernel_tmaj(
+    start_ref,  # (B,) int32 scalar-prefetch
+    valid_ref,  # (B,) int32 scalar-prefetch
+    layer_ref,  # (1,) int32
+    q_ref,  # (1, BT, GW, HS) — T-major: heads on the SUBLANE dim, exactly
+    #         the head-split QKV emission's layout (no XLA transpose)
+    k_ref,  # (1, 1, G, BK, HS)
+    v_ref,
+    *rest,  # [ks_ref, vs_ref if quantized,] o_ref, m, l, acc
+    block_t: int,
+    block_k: int,
+    n_k_blocks: int,
+    scale: float,
+    quantized: bool = False,
+    kv_mul: int = 1,
+):
+    """T-major flash prefill: q tiles and the output stay in the
+    (T, H, HS) layout the surrounding kernels produce/consume, killing
+    the 2x ~67 MB/layer relayout copies of the head-major variant
+    (BASELINE r4 prefill histogram). Per-head dots via static sublane
+    slices — probed exact on-chip (tools/probe_xheads.py headslice)."""
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
+    tq = pl.program_id(2)
+    i = pl.program_id(3)
+    start = start_ref[b]
+    valid = valid_ref[b]
+    hs = q_ref.shape[-1]
+    g_blk = k_ref.shape[2]
+    gw = g_blk * kv_mul
+
+    @pl.when(i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_pos_max = start + jnp.minimum((tq + 1) * block_t, valid) - 1
+
+    @pl.when(i * block_k <= q_pos_max)
+    def _block():
+        prec = jax.lax.Precision.DEFAULT if quantized else None
+        kt = k_ref[...].reshape(g_blk, block_k, hs)
+        vt = v_ref[...].reshape(g_blk, block_k, hs)
+        if quantized:
+            kt = kt.astype(jnp.bfloat16)
+            vt = vt.astype(jnp.bfloat16)
+            kss = ks_ref[...].reshape(g_blk, block_k)
+            vss = vs_ref[...].reshape(g_blk, block_k)
+        # mask is head-independent: compute once per (t, k) tile
+        t_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_t, block_k), 0)
+            + tq * block_t
+        )
+        kv_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_t, block_k), 1)
+            + i * block_k
+        )
+        mask = (kv_col <= start + t_row) & (t_row < valid)
+
+        for g in range(g_blk):
+            k_g = kt[g]
+            v_g = vt[g]
+            for m in range(kv_mul):
+                h = g * kv_mul + m
+                q_h = q_ref[0, :, h].astype(k_g.dtype)  # (BT, HS)
+                s = (
+                    jax.lax.dot_general(
+                        q_h, k_g, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec,
+                    )
+                    * scale
+                )  # (BT, BK)
+                if quantized:
+                    s = s * kss[g][None, :]
+                s = jnp.where(mask, s, MASK_VALUE)
+
+                m_prev = m_scr[:, h, :1]
+                l_prev = l_scr[:, h, :1]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - m_next)
+                l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+                m_scr[:, h] = jnp.broadcast_to(m_next, (block_t, 128))
+                l_scr[:, h] = jnp.broadcast_to(l_next, (block_t, 128))
+                if quantized:
+                    pv = (p * vss[g][None, :]).astype(jnp.bfloat16)
+                else:
+                    pv = p.astype(v_g.dtype)
+                acc_scr[:, h] = acc_scr[:, h] * alpha + jax.lax.dot_general(
+                    pv, v_g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+
+    @pl.when(i == n_k_blocks - 1)
+    def _final():
+        l = l_scr[:, :, :1]  # (BT, GW, 1)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+
+
 def _pick_block_t(t: int, target: int = 128) -> int:
     for bt in (target, 128, 64, 32, 16, 8, 4, 2):
         if bt <= t and t % bt == 0:
@@ -896,6 +1004,83 @@ def attention_prefill_pallas(
         and (2 * g_blk) * bk * hs * k_cache.dtype.itemsize <= 2 * 2 ** 20
     ):
         g_blk *= 2
+
+    gw = g_blk * kv_mul
+    t_major = (
+        _ENV_PREFILL_TMAJ and gw % 8 == 0 and hs % 128 == 0 and h % gw == 0
+    )
+    if t_major:
+        # q and the output stay (B, T, H, HS): head blocks ride the
+        # sublane dim and the kernel does per-head dots/stores — the two
+        # ~67 MB/layer XLA relayouts (q transpose in, output transpose
+        # out) disappear from the graph
+        layer_arr = jnp.reshape(layer, (1,)).astype(jnp.int32)
+
+        def q_map_t(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+            return (bi, tq, g, 0)
+
+        def kv_map_t(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+            q_pos_max = start_ref[bi] + jnp.minimum(
+                (tq + 1) * bt, valid_ref[bi]) - 1
+            last_live = jnp.maximum(q_pos_max, 0) // bk
+            return (bi, layer_ref[0], g, jnp.minimum(i, last_live), 0)
+
+        def scale_kv_map_t(bi, g, tq, i, start_ref, valid_ref, layer_ref):
+            q_pos_max = start_ref[bi] + jnp.minimum(
+                (tq + 1) * bt, valid_ref[bi]) - 1
+            last_live = jnp.maximum(q_pos_max, 0) // bk
+            return (bi, layer_ref[0] * (kvh // g_blk) + g, 0,
+                    jnp.minimum(i, last_live))
+
+        in_specs_t = [
+            pl.BlockSpec((1, bt, gw, hs), q_map_t),
+            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map_t),
+            pl.BlockSpec((1, 1, g_blk, bk, hs), kv_map_t),
+        ]
+        operands_t = [q, k_cache, v_cache]
+        if quantized:
+            in_specs_t += [
+                pl.BlockSpec((1, g_blk, 1, bk), scale_kv_map_t),
+                pl.BlockSpec((1, g_blk, 1, bk), scale_kv_map_t),
+            ]
+            operands_t += [
+                k_scale.reshape(b, n_layers * kvh, 1, s),
+                v_scale.reshape(b, n_layers * kvh, 1, s),
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, kvh // g_blk, n_t_blocks, n_k_blocks),
+            in_specs=in_specs_t,
+            out_specs=pl.BlockSpec((1, bt, gw, hs), q_map_t),
+            scratch_shapes=[
+                pltpu.VMEM((bt, gw, 128), jnp.float32),
+                pltpu.VMEM((bt, gw, 128), jnp.float32),
+                pltpu.VMEM((bt, gw, hs), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _prefill_kernel_tmaj, block_t=bt, block_k=bk,
+            n_k_blocks=n_k_blocks, scale=scale, quantized=quantized,
+            kv_mul=kv_mul,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, t, h, hs), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "arbitrary", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=64 * 2 ** 20,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * t * h * s * hs,
+                bytes_accessed=2 * b * kvh * s * hs
+                * k_cache.dtype.itemsize * n_t_blocks
+                + 2 * b * t * h * hs * q.dtype.itemsize,
+                transcendentals=b * t * h * s,
+            ),
+            interpret=interpret,
+        )(start, valid, layer_arr, *operands_t)
 
     # (B, T, KVH, M, HS) -> (B, KVH, T, M, HS): head-major tiles
     qs = q.reshape(b, t, kvh, kv_mul, hs).transpose(0, 2, 1, 3, 4)

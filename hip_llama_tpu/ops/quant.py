@@ -1227,6 +1227,10 @@ def q8_matmul(
         # head-split store is a lane split of sub-width vectors — Mosaic
         # "unsupported shape cast" (hit at 110m hs=64 with padded weights)
         or out_heads % 128
+        # prefill w8a8 + head-split emission together bust the 128 MB
+        # physical VMEM (the resident out block + the x stash measured
+        # 139.5 MB at 7B QKV block_m=256) — flat emission for a8
+        or (dequant_mode == "a8" and b > 512)
         # the rounding above can leave a NON-DIVISOR block_n (env-overridden
         # widths, e.g. 2560 -> 2048 with n=15360): a non-divisor block would
         # FLOOR the grid and silently drop the tail head slices — emit flat

@@ -343,3 +343,37 @@ def test_fused_qkv_odd_batch_fallback():
     want = attention_decode_pallas(q, kf, vf, jnp.int32(0), pos, kc, vc)
     got = attention_decode_fused(qkv, kf, vf, jnp.int32(0), pos, n_heads=h)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_prefill_tmaj_matches_head_major(monkeypatch, quantized):
+    """T-major prefill kernel (q/output stay (B,T,H,HS); per-head dots via
+    static sublane slices) must match the head-major kernel bit-for-bit —
+    same math, different tiling (r5 relayout kill)."""
+    import hip_llama_tpu.ops.attention as A
+
+    b, L, kvh, s, hs, kv_mul, t = 2, 2, 8, 256, 128, 2, 32
+    h = kvh * kv_mul
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, h, hs)), jnp.float32)
+    start = jnp.asarray([0, 64], jnp.int32)
+    valid = jnp.asarray([32, 20], jnp.int32)
+    layer = jnp.int32(1)
+    if quantized:
+        kc = jnp.asarray(rng.integers(-90, 90, (b, L, kvh, s, hs)), jnp.int8)
+        vc = jnp.asarray(rng.integers(-90, 90, (b, L, kvh, s, hs)), jnp.int8)
+        scales = (jnp.full((b, L, kvh, s), 0.01, jnp.float32),) * 2
+    else:
+        kc = jnp.asarray(rng.standard_normal((b, L, kvh, s, hs)) * 0.2,
+                         jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((b, L, kvh, s, hs)) * 0.2,
+                         jnp.float32)
+        scales = ()
+
+    monkeypatch.setattr(A, "_ENV_PREFILL_TMAJ", True)
+    out_t = A.attention_prefill_pallas(
+        q, kc, vc, layer, start, valid, *scales, interpret=True)
+    monkeypatch.setattr(A, "_ENV_PREFILL_TMAJ", False)
+    out_h = A.attention_prefill_pallas(
+        q, kc, vc, layer, start, valid, *scales, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out_h))

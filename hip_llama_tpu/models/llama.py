@@ -290,6 +290,23 @@ _ENV_LAYER_FUSE = (
 # Bit-identical to the flat path; measured TTFT 569/571 vs 581/585 ms in
 # back-to-back A/B/A (r4) — default ON since round 4.
 _ENV_PREFILL_HEADS = os.environ.get("HIPLLAMA_PREFILL_HEADS", "1") == "1"
+# wo consumes the T-major head-split attention output directly (see
+# ops/quant.py q8_matmul_xheads); default from the round-5 on-chip A/B
+_ENV_PREFILL_XHEADS = os.environ.get("HIPLLAMA_PREFILL_XHEADS", "0") == "1"
+
+
+def _mm_res_heads(res: jax.Array, x4: jax.Array, w) -> jax.Array:
+    """res + x4 @ w with x4 in the (B, T, NH, HS) head-split layout."""
+    b, t, nh, hs = x4.shape
+    if isinstance(w, QTensor):
+        from hip_llama_tpu.ops.quant import q8_matmul_xheads
+
+        y = q8_matmul_xheads(
+            x4.reshape(b * t, nh, hs), w,
+            residual=res.reshape(b * t, res.shape[-1]), out_dtype=res.dtype,
+        )
+        return y.reshape(b, t, -1)
+    return _mm_res(res, x4.reshape(b, t, nh * hs), w)
 
 
 def _mm_ffn(x: jax.Array, g: jax.Array, w13, w2, hidden: int, eps: float):
@@ -1050,16 +1067,28 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
                     ).reshape(b, t, kvh_c * kv_mul, c.head_size)
                 else:
                     qp = q
-                att_out = attention_prefill_pallas(
+                att4 = attention_prefill_pallas(
                     qp, kcache, vcache, l, start, valid_len,
                     ks_c if quantized_kv else None,
                     vs_c if quantized_kv else None,
                 )
                 if kvh_c != kvh_e:
-                    att_out = att_out.reshape(
+                    att4 = att4.reshape(
                         b, t, kvh_c, kv_mul, c.head_size
-                    )[:, :, :kvh_e]
-                att_out = att_out.reshape(b, t, d_e).astype(x.dtype)
+                    )[:, :, :kvh_e].reshape(
+                        b, t, kvh_e * kv_mul, c.head_size)
+                if (
+                    _ENV_PREFILL_XHEADS
+                    and isinstance(wo, QTensor)
+                    and c.head_size % 128 == 0
+                ):
+                    # wo consumes the T-major head-split attention output
+                    # directly (ops/quant.py q8_matmul_xheads) — the
+                    # (B,T,H,HS)->(B,T,D) relayout never materializes
+                    x = _mm_res_heads(x, att4.astype(x.dtype), wo)
+                    att_out = None
+                else:
+                    att_out = att4.reshape(b, t, d_e).astype(x.dtype)
             else:
                 kc = lax.dynamic_index_in_dim(kcache, l, 1, keepdims=False)
                 vc = lax.dynamic_index_in_dim(vcache, l, 1, keepdims=False)
@@ -1100,7 +1129,8 @@ def make_prefill(cfg: ModelConfig, attn_impl: str = "xla",
                 )
                 att_out = out.reshape(b, t, d_e).astype(x.dtype)
 
-            x = _mm_res(x, att_out, wo)
+            if att_out is not None:  # None = wo already consumed x_heads
+                x = _mm_res(x, att_out, wo)
             if w3 is None or (
                 isinstance(w3, tuple) and len(w3) == 0
             ):  # fused W1/W3 (w1 holds the concatenated weight)

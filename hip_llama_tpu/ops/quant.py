@@ -210,6 +210,7 @@ def _q8_kernel(
     last_j: int,
     dequant_mode: str = "reshape", k_axis: int = 1, g_ref=None, r_ref=None,
     p_ref=None, rope_spec=None, norm_eps: float = 1e-5, out_heads: int = 0,
+    x_heads_hs: int = 0,
 ):
     j = pl.program_id(k_axis)
     # n-block index, needed by the rope/head-split epilogues (hoisted:
@@ -361,6 +362,22 @@ def _q8_kernel(
                 xb, w.reshape(bk, bnc).astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
+    elif x_heads_hs:
+        # HEAD-SPLIT x (M, GH, HS): consume the attention kernel's T-major
+        # output directly — per-head dots against the dequantized tile's
+        # sublane-split head rows (probed exact on-chip,
+        # tools/probe_xheads.py `unroll`). Kills the (B,T,H,HS)->(B,T,D)
+        # relayout between prefill attention and the wo matmul.
+        w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)
+        bk, bn = w.shape
+        w = w.reshape(n_groups, gs, bn) * s[:, None, :]
+        w3 = w.reshape(bk, bn).astype(jnp.bfloat16).reshape(
+            bk // x_heads_hs, x_heads_hs, bn)
+        for hh in range(bk // x_heads_hs):
+            acc_ref[:] += jnp.dot(
+                x_ref[:, hh].astype(jnp.bfloat16), w3[hh],
+                preferred_element_type=jnp.float32,
+            )
     else:
         w = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1]).astype(jnp.float32)  # (BK, BN)
         bk, bn = w.shape
@@ -398,6 +415,103 @@ def _q8_kernel(
             ).astype(o_ref.dtype)
         else:
             o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_n", "block_m", "interpret", "out_dtype"),
+)
+def q8_matmul_xheads(
+    x3: jax.Array,  # (M, GH, HS) — head-split activations (T-major)
+    qt: QTensor,  # (GH*HS, N)
+    *,
+    residual: jax.Array | None = None,  # (M, N)
+    out_dtype=None,
+    block_n: int = 512,
+    block_m: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """x3 consumed in the attention kernel's T-major head-split layout:
+    the (M, GH, HS) -> (M, D) relayout between prefill attention and the
+    wo projection never exists in the XLA graph. Per-head dots inside the
+    kernel (probed exact: tools/probe_xheads.py). Ineligible shapes
+    flatten and take q8_matmul (bit-identical math, one extra reshape)."""
+    m, gh, hs = x3.shape
+    k = gh * hs
+    out_dtype = out_dtype or x3.dtype
+    n = qt.q.shape[-1]
+    gs = qt.group_size
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    bn = block_n
+    while bn > 128 and n % bn:
+        bn //= 2
+    bm = min(block_m, m)
+    eligible = (
+        hs % 128 == 0
+        and qt.q.shape[0] == k
+        and k % gs == 0
+        and n % bn == 0 and bn % 128 == 0
+        and k * bn <= 8 * 2 ** 20  # single K block (whole-row strip)
+        and (m % bm == 0 or m <= bm)
+        and (gh % 8 == 0 or gh == x3.shape[1])
+    )
+    if not eligible:
+        return q8_matmul(
+            x3.reshape(m, k), qt, out_dtype=out_dtype, residual=residual,
+            block_n=block_n, interpret=interpret,
+        )
+    pad_m = (-m) % bm
+    if pad_m:
+        x3 = jnp.pad(x3, ((0, pad_m), (0, 0), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+    n_groups = k // gs
+    s_blocked = qt.s.reshape(1, n_groups, n)
+    grid = (mp // bm, n // bn, 1)
+    in_specs = [
+        pl.BlockSpec((bm, gh, hs), lambda mi, i, j: (mi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda mi, i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_groups, bn), lambda mi, i, j: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x3, qt.q, s_blocked]
+    kernel_fn = _q8_kernel
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((bm, bn), lambda mi, i, j: (mi, i),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+        kernel_fn = _q8_kernel_res
+    out = pl.pallas_call(
+        functools.partial(
+            kernel_fn, n_groups=n_groups, gs=gs, last_j=0, k_axis=2,
+            x_heads_hs=hs,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda mi, i, j: (mi, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=48 * 2 ** 20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=k * n + (k // gs) * n * 4 + mp * k * 2
+            + mp * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:m] if pad_m else out
 
 
 def _q8_kernel_silu(

@@ -46,6 +46,8 @@ _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
 # T-major prefill attention (q and output stay (B, T, H, HS) — no XLA
 # transposes in/out of the kernel); default from the round-5 on-chip A/B
 _ENV_PREFILL_TMAJ = os.environ.get("HIPLLAMA_PREFILL_TMAJ", "0") == "1"
+# sub-128 head sizes: "xla" (measured default at 110m) or "pallas"
+_ENV_DECODE_SUB128 = os.environ.get("HIPLLAMA_DECODE_SUB128", "xla")
 # batch-folded decode grid: HIPLLAMA_ATTN_BB slots share one grid step (the
 # kernel unrolls their per-slot math), so each step issues ONE bigger KV DMA
 # covering BB slots instead of BB small ones — fewer grid steps, less
@@ -1191,12 +1193,19 @@ def attention_decode_pallas(
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if (hs < 64 or (quantized and kvh % 8)) and not interpret:
-        # sub-lane head sizes (toy configs) hit Mosaic layout edge cases,
-        # and DIRECT calls with a non-8-aligned int8-KV scale plane hit the
+    if (
+        hs < 64 or (quantized and kvh % 8)
+        or (hs % 128 and _ENV_DECODE_SUB128 != "pallas")
+    ) and not interpret:
+        # sub-lane head sizes (toy configs) hit Mosaic layout edge cases;
+        # DIRECT calls with a non-8-aligned int8-KV scale plane hit the
         # "slice must be aligned to tiling (8)" DMA rule (model paths
-        # instead allocate 8-padded caches — kvh_storage); the einsum path
-        # is fine at those sizes
+        # instead allocate 8-padded caches — kvh_storage); and at hs=64
+        # (stories110M) the per-slot Pallas grid measured 5290 tok/s vs
+        # the XLA fused einsum's ~7130 at the dispatch-bound 110m scale —
+        # the einsum is the measured default there
+        # (HIPLLAMA_DECODE_SUB128=pallas engages the kernel anyway; it
+        # compiles and is parity-tested on the 8-padded cache)
         from hip_llama_tpu.models.llama import attention_decode_xla
 
         return attention_decode_xla(

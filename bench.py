@@ -595,9 +595,13 @@ def run_bench(args):
 
     if args.quant == "q8":
         if args.paged:
-            # the paged step scans the PLAIN stacked qparams (run.py keeps
-            # that layout for paged mode too — no unroll/fuse)
-            params = rand_qparams_on_device(cfg)
+            # paged steps iterate unrolled per-layer buffers since round 5
+            # (fuse=False: the paged prefill consumes separate wq/wk/wv);
+            # the stacked scan's weight slices cost 8.9 ms/step at 7B
+            from hip_llama_tpu.models.params import unstack_quant_params
+
+            params = unstack_quant_params(
+                rand_qparams_on_device(cfg), fuse=False)
             dtype = jnp.bfloat16
         elif args.layout == "stacked":
             params = rand_qparams_stacked_fused_on_device(cfg)

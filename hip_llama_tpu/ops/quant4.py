@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hip_llama_tpu.ops.quant import _rmsnorm_rows
 
-_ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q4_BLOCK_N", "512"))
+# 256 beats 512 by +16% at 7B decode (727 vs 627 tok/s, r5 on-chip sweep:
+# narrower n-strips shrink the unpack+dequant intermediates the VPU must
+# produce per MXU dot, improving the overlap); 1024/128 and the bf16/a8
+# dequant variants all measured worse (BASELINE.md r5)
+_ENV_BLOCK_N = int(os.environ.get("HIPLLAMA_Q4_BLOCK_N", "256"))
 _ENV_BLOCK_K = int(os.environ.get("HIPLLAMA_Q4_BLOCK_K", "1024"))
 # "dequant" = unpack + f32 dequant + bf16 MXU (exact vs the group scales);
 # "a8" = w4a8: nibbles expand straight to int8 and feed int8xint8 MXU dots,

@@ -406,6 +406,15 @@ def main(argv: list[str]) -> int:
         from hip_llama_tpu.models.params import qparams_from_quant_weights
 
         params = qparams_from_quant_weights(cfg, weights)
+    if hasattr(params, "tok_emb_q") and tp <= 1 and paged:
+        # paged steps iterate unrolled per-layer buffers since round 5
+        # (the stacked scan's weight-slice copies cost a measured
+        # 8.9 ms/step at 7B — the bulk of the paged serve deficit).
+        # fuse=False: the paged prefill consumes separate wq/wk/wv.
+        from hip_llama_tpu.models.params import unstack_quant_params
+
+        if layout == "unrolled" and type(params.wq).__name__ != "Q4Tensor":
+            params = unstack_quant_params(params, fuse=False)
     if hasattr(params, "tok_emb_q") and tp <= 1 and not paged:
         if (
             layout == "stacked"

@@ -44,8 +44,9 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _ENV_DECODE_BLOCK_K = int(os.environ.get("HIPLLAMA_ATTN_BLOCK_K", "0")) or None
 _ENV_DECODE_TARGET_KB = int(os.environ.get("HIPLLAMA_ATTN_TARGET_KB", "512"))
 # T-major prefill attention (q and output stay (B, T, H, HS) — no XLA
-# transposes in/out of the kernel); default from the round-5 on-chip A/B
-_ENV_PREFILL_TMAJ = os.environ.get("HIPLLAMA_PREFILL_TMAJ", "0") == "1"
+# transposes in/out of the kernel). Default ON: TTFT 550.7 vs 570.1 ms
+# at 7B b8x512 (r5 on-chip A/B), bit-identical outputs
+_ENV_PREFILL_TMAJ = os.environ.get("HIPLLAMA_PREFILL_TMAJ", "1") == "1"
 # sub-128 head sizes: "xla" (measured default at 110m) or "pallas"
 _ENV_DECODE_SUB128 = os.environ.get("HIPLLAMA_DECODE_SUB128", "xla")
 # batch-folded decode grid: HIPLLAMA_ATTN_BB slots share one grid step (the

@@ -48,11 +48,15 @@ CONFIGS = {
 # v5e: 16 GB HBM @ ~819 GB/s, 197 TFLOPs bf16
 HBM_BW_BYTES = 819e9
 PEAK_FLOPS_BF16 = 197e12
-# Achievable HBM bandwidth measured by the pure-DMA HBM->HBM copy probe
-# (tools/hbm_bw.py --mode dma) — a non-circular denominator: no compute
-# kernel grades itself. 0/unset disables the vs_achievable field until a
-# probe number exists for this chip. Override: HIPLLAMA_ACHIEVABLE_BW.
-ACHIEVABLE_BW_BYTES = float(os.environ.get("HIPLLAMA_ACHIEVABLE_BW", "0")) or None
+# Achievable HBM bandwidth from the independent XLA-reduction probe
+# (tools/hbm_bw.py --mode xreduce): 780.1 GB/s measured on this chip
+# (round 5) = 95.2% of spec — a non-circular denominator: XLA's own
+# reduction emitter, no repo kernel grades itself. The pure-DMA Pallas
+# probes (dma/wshape/dmadeep) cap at 420-437 GB/s, a kernel DMA-issue
+# artifact, not the HBM ceiling. Override: HIPLLAMA_ACHIEVABLE_BW
+# (set 0 to disable the vs_achievable field).
+ACHIEVABLE_BW_BYTES = float(
+    os.environ.get("HIPLLAMA_ACHIEVABLE_BW", "7.801e11")) or None
 
 
 def live_kv_fraction(pos0: int, steps: int, window: int,

@@ -876,8 +876,9 @@ def run_bench(args):
     if ACHIEVABLE_BW_BYTES:
         # non-circular achievable-BW denominator: pure-DMA HBM copy probe
         # (tools/hbm_bw.py --mode dma), not any compute kernel's own number
+        # achievable SoL = spec SoL scaled DOWN by the probe/spec ratio
         result["vs_achievable"] = round(
-            tok_s / (sol_tok_s * HBM_BW_BYTES / ACHIEVABLE_BW_BYTES), 4)
+            tok_s / (sol_tok_s * ACHIEVABLE_BW_BYTES / HBM_BW_BYTES), 4)
     print(json.dumps(result))
 
 
